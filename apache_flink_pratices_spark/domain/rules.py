@@ -1,0 +1,40 @@
+"""Framework-free business rules, shared by the batch and streaming paths.
+
+The reference keeps domain rules framework-free by design (``docs/project
+docs/2. CEP 레이어 구현 설계 및 체크리스트.md:82,209``); we follow suit: these
+constants/functions are imported both by DataFrame column expressions and by
+the pandas-based stateful processors.
+"""
+
+from __future__ import annotations
+
+# --- fraud detection (fraud_detector.py:35-37 uses 1.00 / 500.00 / 60s on
+# the USD transaction corpus; rescaled here to the driver's `events.value`
+# distribution [0.01, 490] with sparser per-key traffic, keeping the same
+# shape: small-then-large within a bounded event-time window).
+SMALL_AMOUNT = 50.0
+LARGE_AMOUNT = 400.0
+WINDOW_US = 86_400 * 1_000_000  # 1 day in microseconds
+
+# The reference's original constants, used verbatim by the fixture tests on
+# the canonical 12-transaction corpus (FIXTURES.md §1).
+REF_SMALL_AMOUNT = 1.00
+REF_LARGE_AMOUNT = 500.00
+REF_WINDOW_MS = 60_000
+
+# --- sessionization / CEP windows
+SESSION_GAP_US = 1_800 * 1_000_000  # 30 min inactivity closes a session
+
+# --- orderbook analytics (designed CEP layer, 시스템 아키텍처.md:649-651)
+IMBALANCE_THRESHOLD = 2.0  # total_ask / total_bid ratio flag
+DENSITY_WINDOW_S = 60  # trailing mean window for ask-volume density
+DENSITY_MIN_SAMPLES = 10  # warm-up gate (2. CEP 레이어...md:111-150)
+DENSITY_MIN_SECONDS = 30
+
+
+def is_small(amount: float, small: float = SMALL_AMOUNT) -> bool:
+    return amount <= small
+
+
+def is_large(amount: float, large: float = LARGE_AMOUNT) -> bool:
+    return amount >= large

@@ -1,0 +1,12 @@
+"""Operator inventory (SURVEY.md §2). Importing this package registers every
+query in :mod:`apache_flink_pratices_spark.registry`."""
+
+from apache_flink_pratices_spark.operators import (  # noqa: F401
+    dedup,
+    fraud,
+    relational,
+    row_transforms,
+    similarity,
+    text,
+    windows,
+)

@@ -1,0 +1,262 @@
+"""Relational core: filter/project/join/aggregate over the TPC-H-ish tables.
+
+The reference's relational surface is small (map/filter/keyed reduce —
+SURVEY.md §2.3/§2.4), but our engine is a superset by design: Spark's join +
+aggregation family is exposed and exercised through TPC-H-shaped queries so
+Catalyst's pushdown/pruning/join-selection paths are all covered.
+
+Scale notes (100 TB stance), verified via ``.explain``:
+- dimension joins (region/nation/customer/supplier/part) are explicitly
+  ``broadcast()`` — no shuffle of the fact table for dim joins;
+- aggregates are partial (map-side combine) by construction of ``groupBy``;
+- date filters sit directly on the parquet scan (PushedFilters) and only the
+  referenced columns are read (ReadSchema);
+- every float aggregate uses the order-independent decimal-sum pattern from
+  :mod:`apache_flink_pratices_spark.functions.numeric`.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from apache_flink_pratices_spark.functions.numeric import davg, dsum, sql_davg, sql_dsum
+from apache_flink_pratices_spark.io import load
+from apache_flink_pratices_spark.registry import register
+
+_REVENUE = "l_extendedprice * (1 - l_discount)"
+
+
+@register(
+    "q1_pricing_summary",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           {sql_dsum('l_quantity')} AS sum_qty,
+           {sql_dsum('l_extendedprice')} AS sum_base_price,
+           {sql_dsum(_REVENUE)} AS sum_disc_price,
+           {sql_dsum(_REVENUE + ' * (1 + l_tax)')} AS sum_charge,
+           {sql_davg('l_quantity')} AS avg_qty,
+           {sql_davg('l_extendedprice')} AS avg_price,
+           {sql_davg('l_discount')} AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    doc="TPC-H Q1-shaped pricing summary: scan-filter-aggregate (SURVEY §2.4 A1/A6 superset).",
+    bench=True,
+    tags=("relational", "aggregation"),
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load(spark, sf_dir, "lineitem")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        l.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity").alias("sum_qty"),
+            dsum("l_extendedprice").alias("sum_base_price"),
+            dsum(revenue).alias("sum_disc_price"),
+            dsum(revenue * (1 + F.col("l_tax"))).alias("sum_charge"),
+            davg("l_quantity").alias("avg_qty"),
+            davg("l_extendedprice").alias("avg_price"),
+            davg("l_discount").alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@register(
+    "q3_shipping_priority",
+    oracle=f"""
+    SELECT l_orderkey,
+           {sql_dsum(_REVENUE)} AS revenue,
+           CAST(epoch_us(o_orderdate) AS BIGINT) AS o_orderdate_us,
+           o_orderpriority
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-03-15'
+      AND l_shipdate > TIMESTAMP '1998-03-15'
+    GROUP BY l_orderkey, o_orderdate_us, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+    doc="TPC-H Q3-shaped join + top-N; customer dim is broadcast.",
+    bench=True,
+    tags=("relational", "join", "topn"),
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp"))
+    l = load(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp"))
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    # customer is a broadcast dim; lineitem ⋈ orders is a shuffle join on
+    # l_orderkey (both are fact tables at 100 TB — broadcasting either would
+    # not survive scale-up; AQE may still downgrade to broadcast at small SF).
+    co = o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+    return (
+        l.join(co, l.l_orderkey == co.o_orderkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(dsum(revenue).alias("revenue"))
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.unix_micros("o_orderdate").alias("o_orderdate_us"),
+            "o_orderpriority",
+        )
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )
+
+
+@register(
+    "q5_local_supplier",
+    oracle=f"""
+    SELECT n_name, {sql_dsum(_REVENUE)} AS revenue
+    FROM customer
+      JOIN orders   ON c_custkey = o_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+      JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1997-01-01'
+    GROUP BY n_name
+    """,
+    doc="TPC-H Q5-shaped multi-join: fact table joins only broadcast dims (zero fact shuffles pre-agg).",
+    bench=True,
+    tags=("relational", "join"),
+)
+def q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n = load(spark, sf_dir, "nation")
+    s = load(spark, sf_dir, "supplier")
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    l = load(spark, sf_dir, "lineitem")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    # supplier⋈nation⋈region collapses to one small broadcast dim;
+    # customer broadcasts into orders; the only shuffle join is
+    # lineitem ⋈ filtered-orders on l_orderkey.
+    dim = (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    )
+    co = o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+    return (
+        l.join(co, l.l_orderkey == co.o_orderkey)
+        .join(F.broadcast(dim), (l.l_suppkey == dim.s_suppkey) & (co.c_nationkey == dim.s_nationkey))
+        .groupBy("n_name")
+        .agg(dsum(revenue).alias("revenue"))
+    )
+
+
+@register(
+    "q6_forecast_revenue",
+    oracle=f"""
+    SELECT {sql_dsum('l_extendedprice * l_discount')} AS revenue, COUNT(*) AS n
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.03 AND 0.07 AND l_quantity < 24
+    """,
+    doc="TPC-H Q6-shaped pure scan-filter-agg; all predicates pushed to parquet.",
+    tags=("relational", "filter"),
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load(spark, sf_dir, "lineitem")
+    return (
+        l.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount").between(0.03, 0.07))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(dsum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"), F.count("*").alias("n"))
+    )
+
+
+@register(
+    "q4_order_priority",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders
+    WHERE EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+    GROUP BY o_orderpriority
+    """,
+    doc="TPC-H Q4-shaped EXISTS → left-semi join + aggregate.",
+    tags=("relational", "semijoin"),
+)
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    l = load(spark, sf_dir, "lineitem")
+    joined = o.join(
+        l,
+        (o.o_orderkey == l.l_orderkey) & (l.l_shipdate > o.o_orderdate),
+        "left_semi",
+    )
+    return joined.groupBy("o_orderpriority").agg(F.count("*").alias("order_count"))
+
+
+@register(
+    "q_rollup_orders",
+    oracle=f"""
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt,
+           {sql_dsum('o_totalprice')} AS total_price
+    FROM orders
+    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+    doc="Hierarchical rollup aggregation (superset op; SURVEY §2.4 'absent but exposed').",
+    tags=("relational", "rollup"),
+)
+def q_rollup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    return o.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("cnt"), dsum("o_totalprice").alias("total_price")
+    )
+
+
+@register(
+    "q_distinct_users",
+    oracle="""
+    SELECT event_type, COUNT(DISTINCT user_id) AS uniq_users, COUNT(*) AS cnt
+    FROM events GROUP BY event_type
+    """,
+    doc="Exact distinct aggregation per group (A6 counters analogue).",
+    tags=("relational", "distinct"),
+)
+def q_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("uniq_users"), F.count("*").alias("cnt")
+    )
+
+
+@register(
+    "q_top_customers_per_segment",
+    oracle="""
+    SELECT c_mktsegment, c_custkey, c_acctbal, rn
+    FROM (SELECT c_mktsegment, c_custkey, c_acctbal,
+                 ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                                    ORDER BY c_acctbal DESC, c_custkey) AS rn
+          FROM customer)
+    WHERE rn <= 3
+    """,
+    doc="Per-group top-N via window rank (deterministic tiebreak on key).",
+    tags=("relational", "window_fn"),
+)
+def q_top_customers_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    c = load(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+    return (
+        c.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("c_mktsegment", "c_custkey", "c_acctbal", "rn")
+    )

@@ -1,0 +1,189 @@
+"""Text-analysis operators over the `documents` table.
+
+Covers the reference's tokenizer pipeline (P2+A1: ``examples/word_count.py:
+13-25,44-48`` — lower, whitespace split, per-key count) plus the
+training-data-pipeline extensions: token counting, quality scoring,
+document fingerprinting (rolling hash) and marker-based language ID.
+
+Everything is built-in column expressions + higher-order functions —
+JVM-side, no Python in the hot path. At 100 TB the only shuffle per query is
+the final groupBy; per-document metrics are embarrassingly parallel map work.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from apache_flink_pratices_spark.functions.hashing import MOD, md5_long, sql_md5_long
+from apache_flink_pratices_spark.io import load
+from apache_flink_pratices_spark.registry import register
+
+STOPWORDS = ("the", "a")
+
+#: marker words for the toy language-ID heuristic (deterministic n-gram/
+#: stopword-profile scoring; a real model would load per-language profiles)
+LANG_MARKERS = {
+    "en": ("the", "a", "fast"),
+    "de": ("der", "die", "und"),
+    "es": ("el", "la", "que"),
+    "fr": ("le", "la", "et"),
+    "zh": ("的", "了", "是"),
+}
+
+
+def tokens(col: str = "text") -> F.Column:
+    """lower + whitespace split (word_count.py:17)."""
+    return F.split(F.lower(F.col(col)), " ")
+
+
+@register(
+    "wordcount",
+    oracle="""
+    SELECT word, COUNT(*) AS cnt
+    FROM (SELECT unnest(string_split(lower(text), ' ')) AS word FROM documents)
+    WHERE word <> ''
+    GROUP BY word
+    """,
+    doc="P2+A1: the reference's flagship word count — flat_map tokenizer + "
+    "keyed count (word_count.py:13-25). Batch gives final per-key totals; "
+    "streaming update-mode twin in streaming/wordcount.",
+    bench=True,
+    tags=("text", "aggregation"),
+)
+def wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(tokens()).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+@register(
+    "text_quality",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, lang,
+             string_split(lower(text), ' ') AS ws,
+             length(text) AS n_chars_m
+      FROM documents
+    )
+    SELECT doc_id, lang,
+           len(ws) AS n_words,
+           n_chars_m AS n_chars_measured,
+           len(list_filter(ws, w -> w IN {STOPWORDS!r})) AS n_stopwords,
+           CAST(len(list_filter(ws, w -> w IN {STOPWORDS!r})) AS DOUBLE) / len(ws) AS stopword_ratio,
+           CAST(n_chars_m - (len(ws) - 1) AS DOUBLE) / len(ws) AS avg_word_len,
+           least(1.0, len(ws) / 64.0)
+             * (1.0 - CAST(len(list_filter(ws, w -> w IN {STOPWORDS!r})) AS DOUBLE) / len(ws))
+             AS quality_score
+    FROM t
+    WHERE len(ws) > 0
+    """,
+    doc="Quality scoring: token count, stopword ratio, average word length, "
+    "composite score — per-document map work, zero shuffles.",
+    tags=("text", "quality"),
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    ws = tokens()
+    t = d.select(
+        "doc_id",
+        "lang",
+        ws.alias("ws"),
+        F.length("text").alias("n_chars_m"),
+    ).filter(F.size("ws") > 0)
+    n_words = F.size("ws")
+    n_stop = F.size(F.filter(F.col("ws"), lambda w: w.isin(*STOPWORDS)))
+    stop_ratio = n_stop.cast("double") / n_words
+    return t.select(
+        "doc_id",
+        "lang",
+        n_words.alias("n_words"),
+        F.col("n_chars_m").alias("n_chars_measured"),
+        n_stop.alias("n_stopwords"),
+        stop_ratio.alias("stopword_ratio"),
+        ((F.col("n_chars_m") - (n_words - F.lit(1))).cast("double") / n_words).alias("avg_word_len"),
+        (F.least(F.lit(1.0), n_words / F.lit(64.0)) * (F.lit(1.0) - stop_ratio)).alias("quality_score"),
+    )
+
+
+@register(
+    "doc_fingerprint",
+    oracle=f"""
+    WITH words AS (
+      SELECT doc_id,
+             unnest(string_split(lower(text), ' ')) AS w,
+             generate_subscripts(string_split(lower(text), ' '), 1) AS pos
+      FROM documents
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_words,
+           SUM(pos * ({sql_md5_long('w')} % {MOD})) % {MOD} AS fingerprint
+    FROM words
+    GROUP BY doc_id
+    """,
+    doc="Document fingerprinting: position-weighted rolling hash over tokens "
+    "(order-sensitive content signature for dedup/provenance). Portable "
+    "md5-derived 56-bit word hashes; modular arithmetic keeps sums in int64.",
+    tags=("text", "fingerprint"),
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    words = d.select("doc_id", F.posexplode(tokens()).alias("pos0", "w"))
+    return (
+        words.select("doc_id", ((F.col("pos0") + 1) * (md5_long(F.col("w")) % MOD)).alias("term"))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_words"), (F.sum("term") % MOD).alias("fingerprint"))
+    )
+
+
+def _sql_marker_score(lang: str) -> str:
+    markers = LANG_MARKERS[lang]
+    return f"len(list_filter(ws, w -> w IN {markers!r}))"
+
+
+@register(
+    "lang_id",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, lang, string_split(lower(text), ' ') AS ws FROM documents),
+    scored AS (
+      SELECT doc_id, lang,
+             {_sql_marker_score('en')} AS s_en,
+             {_sql_marker_score('de')} AS s_de,
+             {_sql_marker_score('es')} AS s_es,
+             {_sql_marker_score('fr')} AS s_fr,
+             {_sql_marker_score('zh')} AS s_zh
+      FROM t
+    )
+    SELECT doc_id, lang,
+           CASE GREATEST(s_en, s_de, s_es, s_fr, s_zh)
+             WHEN 0 THEN 'und'
+             WHEN s_en THEN 'en'
+             WHEN s_de THEN 'de'
+             WHEN s_es THEN 'es'
+             WHEN s_fr THEN 'fr'
+             ELSE 'zh' END AS pred_lang
+    FROM scored
+    """,
+    doc="Language ID: deterministic marker-word profile scoring (argmax with "
+    "fixed tie order en>de>es>fr>zh; 'und' when no marker hits).",
+    tags=("text", "langid"),
+)
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    t = d.select("doc_id", "lang", tokens().alias("ws"))
+    def marker_filter(markers: tuple[str, ...]):
+        # NB: must be a 1-arg lambda — a 2-arg lambda would make F.filter
+        # pass the element *index* as the second argument.
+        return lambda w: w.isin(*markers)
+
+    scores = {lang: F.size(F.filter(F.col("ws"), marker_filter(markers))) for lang, markers in LANG_MARKERS.items()}
+    best = F.greatest(*scores.values())
+    pred = F.when(best == 0, "und")
+    for lang in ("en", "de", "es", "fr"):
+        pred = pred.when(scores[lang] == best, lang)
+    pred = pred.otherwise("zh")
+    return t.select("doc_id", "lang", pred.alias("pred_lang"))

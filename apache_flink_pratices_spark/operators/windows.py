@@ -1,0 +1,134 @@
+"""Event-time windowed aggregation (SURVEY.md §2.4 A2/A3/A6) — batch
+formulations whose streaming twins live in
+:mod:`apache_flink_pratices_spark.streaming`.
+
+- tumbling window: per-type daily stats (A6 counters over time buckets);
+- sliding window: 5-day size / 1-day slide average (the designed
+  ``SlidingEventTimeWindows.of(5s, 1s)`` of 시스템 아키텍처.md:641-648, scaled
+  to the testdata's event density);
+- session window: gap-based sessionization (the position-lifecycle state
+  machine analogue, MapState-based in the reference design).
+
+All timestamps are emitted as epoch microseconds (bigint) so results compare
+exactly across engines.
+
+Scale: each query is one shuffle (on the grouping key); the sliding window
+multiplies rows by size/slide = 5× *before* the partial aggregation —
+acceptable fan-out, and Spark's ``window()`` does it JVM-side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from apache_flink_pratices_spark.domain.rules import SESSION_GAP_US
+from apache_flink_pratices_spark.functions.numeric import davg, dsum, sql_davg, sql_dsum
+from apache_flink_pratices_spark.io import load
+from apache_flink_pratices_spark.registry import register
+
+
+@register(
+    "win_tumbling_daily",
+    oracle=f"""
+    SELECT CAST(epoch_us(date_trunc('day', ts)) AS BIGINT) AS win_start_us,
+           event_type,
+           COUNT(*) AS n,
+           {sql_dsum('value')} AS total_value,
+           {sql_davg('value')} AS avg_value
+    FROM events
+    GROUP BY win_start_us, event_type
+    """,
+    doc="A2/A6: tumbling 1-day event-time window per event_type.",
+    tags=("window", "aggregation"),
+)
+def win_tumbling_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), dsum("value").alias("total_value"), davg("value").alias("avg_value"))
+        .select(
+            F.unix_micros(F.col("w.start")).alias("win_start_us"),
+            "event_type",
+            "n",
+            "total_value",
+            "avg_value",
+        )
+    )
+
+
+@register(
+    "win_sliding_5d_1d",
+    oracle=f"""
+    SELECT CAST(epoch_us(w.ws) AS BIGINT) AS win_start_us,
+           event_type,
+           COUNT(*) AS n,
+           {sql_davg('value')} AS avg_value
+    FROM events,
+         LATERAL (SELECT unnest(generate_series(date_trunc('day', ts) - INTERVAL 4 DAY,
+                                                date_trunc('day', ts),
+                                                INTERVAL 1 DAY)) AS ws) w
+    GROUP BY win_start_us, event_type
+    """,
+    doc="A2: sliding event-time window (size 5 days, slide 1 day) — the "
+    "SlidingEventTimeWindows analogue; each event lands in size/slide = 5 windows.",
+    tags=("window", "aggregation"),
+)
+def win_sliding_5d_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "5 days", "1 day").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), davg("value").alias("avg_value"))
+        .select(F.unix_micros(F.col("w.start")).alias("win_start_us"), "event_type", "n", "avg_value")
+    )
+
+
+@register(
+    "win_sessionization",
+    oracle=f"""
+    WITH gaps AS (
+      SELECT user_id, event_id,
+             CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+             CASE WHEN LAG(CAST(epoch_us(ts) AS BIGINT)) OVER w IS NULL
+                    OR CAST(epoch_us(ts) AS BIGINT)
+                       - LAG(CAST(epoch_us(ts) AS BIGINT)) OVER w > {SESSION_GAP_US}
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sessions AS (
+      SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS session_seq
+      FROM gaps
+    )
+    SELECT user_id, session_seq,
+           COUNT(*) AS n_events,
+           MIN(ts_us) AS session_start_us,
+           MAX(ts_us) AS session_end_us
+    FROM sessions
+    GROUP BY user_id, session_seq
+    """,
+    doc="Session windows (30-min gap) via gap-detection + running sum — the "
+    "batch twin of streaming session_window / stateful position tracking.",
+    bench=True,
+    tags=("window", "session", "stateful"),
+)
+def win_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events").select("user_id", "event_id", F.unix_micros("ts").alias("ts_us"))
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    gaps = e.withColumn(
+        "is_new",
+        F.when(
+            F.lag("ts_us").over(w).isNull() | ((F.col("ts_us") - F.lag("ts_us").over(w)) > SESSION_GAP_US),
+            1,
+        ).otherwise(0),
+    )
+    sessions = gaps.withColumn(
+        "session_seq", F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    )
+    return sessions.groupBy("user_id", "session_seq").agg(
+        F.count("*").alias("n_events"),
+        F.min("ts_us").alias("session_start_us"),
+        F.max("ts_us").alias("session_end_us"),
+    )

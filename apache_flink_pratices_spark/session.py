@@ -1,0 +1,59 @@
+"""SparkSession factory.
+
+Local testing runs on ``local[$SPARK_GRAFT_CPUS]`` (default 32); the same
+configuration is what we would ship to a 1000-executor cluster, with only the
+master URL and memory sizing changing:
+
+- AQE on (runtime coalescing, skew-join splitting, dynamic join selection) —
+  at 100 TB the static ``shuffle.partitions`` is only an upper bound; AQE
+  right-sizes post-shuffle partitions from actual map output statistics.
+- Session timezone pinned to UTC: the reference mandates tz-aware UTC
+  timestamps everywhere (reference ``src/data_ingestion/domain/models/
+  market_data.py:147-239``).
+- Arrow enabled for every pandas interchange (pandas UDFs, toPandas).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def _cpus() -> int:
+    try:
+        return int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    except ValueError:
+        return 32
+
+
+def tune(builder: SparkSession.Builder, shuffle_partitions: int | None = None) -> SparkSession.Builder:
+    """Apply engine configuration to any builder (also used on the driver's
+    own session via ``spark.conf`` where dynamically settable)."""
+    sp = shuffle_partitions or max(_cpus(), 2) * 2
+    return (
+        builder.config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.shuffle.partitions", str(sp))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.sql.files.maxPartitionBytes", "128m")
+        # streaming state: RocksDB scales state size past executor heap
+        .config(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+        )
+        .config("spark.sql.shuffle.spill.compress", "true")
+    )
+
+
+def get_spark(app_name: str = "afp-spark", master: str | None = None) -> SparkSession:
+    """Engine session. ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]``."""
+    master = master or f"local[{_cpus()}]"
+    builder = SparkSession.builder.appName(app_name).master(master)
+    builder = tune(builder)
+    if master.startswith("local"):
+        builder = builder.config("spark.driver.memory", os.environ.get("AFP_DRIVER_MEMORY", "16g"))
+    return builder.getOrCreate()
