@@ -82,7 +82,7 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY revenue DESC, l_orderkey
     LIMIT 10
     """,
-    doc="TPC-H Q3-shaped join + top-N; customer dim is broadcast.",
+    doc="TPC-H Q3-shaped join + top-N; join strategy left to AQE (customer scales with SF).",
     bench=True,
     tags=("relational", "join", "topn"),
 )
@@ -91,10 +91,10 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load(spark, sf_dir, "orders").filter(F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp"))
     l = load(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp"))
     revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    # customer is a broadcast dim; lineitem ⋈ orders is a shuffle join on
-    # l_orderkey (both are fact tables at 100 TB — broadcasting either would
-    # not survive scale-up; AQE may still downgrade to broadcast at small SF).
-    co = o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+    # customer grows with SF — no forced broadcast; AQE picks broadcast at
+    # small SF from runtime stats and falls back to shuffle join at scale.
+    # lineitem ⋈ orders is a shuffle join on l_orderkey (both fact tables).
+    co = o.join(c, o.o_custkey == c.c_custkey)
     return (
         l.join(co, l.l_orderkey == co.o_orderkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
@@ -125,7 +125,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
       AND o_orderdate <  TIMESTAMP '1997-01-01'
     GROUP BY n_name
     """,
-    doc="TPC-H Q5-shaped multi-join: fact table joins only broadcast dims (zero fact shuffles pre-agg).",
+    doc="TPC-H Q5-shaped multi-join: fixed dims broadcast, SF-scaling joins left to AQE.",
     bench=True,
     tags=("relational", "join"),
 )
@@ -140,14 +140,15 @@ def q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     l = load(spark, sf_dir, "lineitem")
     revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    # supplier⋈nation⋈region collapses to one small broadcast dim;
-    # customer broadcasts into orders; the only shuffle join is
+    # supplier⋈nation⋈region collapses to one small broadcast dim. customer
+    # scales with SF, so its join is left to AQE (broadcast at small SF,
+    # shuffle at scale); the unavoidable shuffle join is
     # lineitem ⋈ filtered-orders on l_orderkey.
     dim = (
         s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
     )
-    co = o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+    co = o.join(c, o.o_custkey == c.c_custkey)
     return (
         l.join(co, l.l_orderkey == co.o_orderkey)
         .join(F.broadcast(dim), (l.l_suppkey == dim.s_suppkey) & (co.c_nationkey == dim.s_nationkey))

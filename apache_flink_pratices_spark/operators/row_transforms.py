@@ -48,7 +48,7 @@ def p_filter_even_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
     "p_json_props",
     oracle="""
     SELECT event_type,
-           SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_sum,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
            COUNT(json_extract_string(props, '$.k')) AS k_cnt
     FROM events
     GROUP BY event_type
@@ -70,7 +70,7 @@ def p_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     "p_normalize_validate",
     oracle="""
     SELECT upper(trim(source)) AS source_code, lang, COUNT(*) AS n_docs,
-           SUM(n_chars) AS total_chars
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
     FROM documents
     WHERE text IS NOT NULL AND length(text) > 0
       AND lang IN ('en', 'de', 'es', 'fr', 'zh')

@@ -121,22 +121,30 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT doc_id,
            COUNT(*) AS n_words,
-           SUM(pos * ({sql_md5_long('w')} % {MOD})) % {MOD} AS fingerprint
+           CAST(SUM(pos * ({sql_md5_long('w')} % {MOD})) % {MOD} AS BIGINT) AS fingerprint
     FROM words
     GROUP BY doc_id
     """,
     doc="Document fingerprinting: position-weighted rolling hash over tokens "
     "(order-sensitive content signature for dedup/provenance). Portable "
-    "md5-derived 56-bit word hashes; modular arithmetic keeps sums in int64.",
+    "md5-derived 56-bit word hashes; both engines accumulate the weighted "
+    "terms exactly (DECIMAL(38,0) in Spark, HUGEINT in DuckDB) before the "
+    "final %MOD, so long documents cannot overflow int64 mid-sum.",
     tags=("text", "fingerprint"),
 )
 def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     words = d.select("doc_id", F.posexplode(tokens()).alias("pos0", "w"))
+    # Accumulate as DECIMAL(38,0): terms grow as pos·1e9, so an int64 sum
+    # would overflow past ~135k tokens while DuckDB (HUGEINT) would not.
+    term = ((F.col("pos0") + 1) * (md5_long(F.col("w")) % MOD)).cast("decimal(38,0)")
     return (
-        words.select("doc_id", ((F.col("pos0") + 1) * (md5_long(F.col("w")) % MOD)).alias("term"))
+        words.select("doc_id", term.alias("term"))
         .groupBy("doc_id")
-        .agg(F.count("*").alias("n_words"), (F.sum("term") % MOD).alias("fingerprint"))
+        .agg(
+            F.count("*").alias("n_words"),
+            (F.sum("term") % MOD).cast("long").alias("fingerprint"),
+        )
     )
 
 

@@ -98,8 +98,8 @@ def win_sliding_5d_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ),
     sessions AS (
-      SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
-                                  ROWS UNBOUNDED PRECEDING) AS session_seq
+      SELECT *, CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
       FROM gaps
     )
     SELECT user_id, session_seq,
