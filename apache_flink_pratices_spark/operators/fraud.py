@@ -11,16 +11,23 @@ Reference semantics (``src/pyflink_examples/fraud_detection/fraud_detector.py:
 - mid-size transactions leave the flag untouched.
 
 Batch formulation (this module): for every large event, look at the most
-recent *small-or-large* event of the same key. The flag is set iff that event
-is small and within WINDOW. This is an exact restatement of the state machine
-(flag := last small/large event was small; timer := armed from the most
-recent small) and is a pure window-function plan: one shuffle on the key,
-no self-join explosion, fully scalable.
+recent *small-or-large* event of the same key; alert iff that event is
+small and within WINDOW. This is a pure window-function plan — one shuffle
+on the key, no self-join explosion, fully scalable — and it is the
+*lag-based* reading of the state machine: the window is measured from the
+MOST RECENT small. The reference's timer semantics measure it from the
+FIRST small of an uninterrupted run (a stale timer clears the flag;
+``fraud_detector.py:103-110``), so on a consecutive-smalls run the two
+diverge. The divergence is intentional (the lag form is the one a
+relational engine and the DuckDB oracle can state exactly), pinned by
+``test_batch_diverges_on_consecutive_smalls``, and documented in
+``docs/fraud_semantics.md``.
 
 The streaming path (true per-event state + timers via
 ``applyInPandasWithState``) lives in
-:mod:`apache_flink_pratices_spark.streaming.fraud` and reuses the same
-thresholds from :mod:`apache_flink_pratices_spark.domain.rules`.
+:mod:`apache_flink_pratices_spark.streaming.fraud`, implements the timer
+semantics faithfully, and reuses the same thresholds from
+:mod:`apache_flink_pratices_spark.domain.rules`.
 """
 
 from __future__ import annotations

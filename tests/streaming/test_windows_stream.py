@@ -1,0 +1,55 @@
+"""Streaming windowed aggregation: tumbling windows finalize in append mode
+once the watermark passes; results must equal the batch formulation."""
+
+from __future__ import annotations
+
+import datetime
+import os
+
+from pyspark.sql import functions as F
+
+from apache_flink_pratices_spark.sources.collection import stream_from_collection
+from apache_flink_pratices_spark.streaming.windows import tumbling_agg
+
+BASE = datetime.datetime(2021, 1, 1)
+
+EVENTS = [
+    ("click", BASE + datetime.timedelta(seconds=1), 1.0),
+    ("click", BASE + datetime.timedelta(seconds=2), 3.0),
+    ("view", BASE + datetime.timedelta(seconds=3), 5.0),
+    # next window
+    ("click", BASE + datetime.timedelta(seconds=11), 7.0),
+    # much later event advances the watermark past both windows above
+    ("view", BASE + datetime.timedelta(seconds=60), 9.0),
+]
+
+
+def test_tumbling_stream_matches_batch(spark, tmp_path):
+    src = stream_from_collection(
+        spark, EVENTS, "etype string, ts timestamp, v double",
+        os.path.join(str(tmp_path), "in"), chunks=2,
+    )
+    out = tumbling_agg(
+        src, "ts", ["etype"], [F.count("*").alias("n"), F.sum("v").alias("total")],
+        size="10 seconds",
+    )
+    q = (
+        out.writeStream.format("memory").queryName("tumble")
+        .option("checkpointLocation", os.path.join(str(tmp_path), "ckpt"))
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = spark.sql("SELECT * FROM tumble").collect()
+    got = {(r.win_start_us, r.etype): (r.n, r.total) for r in rows}
+    # append mode only emits finalized windows (watermark passed window end):
+    # the two 0-10s / 10-20s windows are final; the 60s window is still open.
+    t0 = int(BASE.replace(tzinfo=datetime.timezone.utc).timestamp() * 1_000_000)
+    assert got == {
+        (t0, "click"): (2, 4.0),
+        (t0, "view"): (1, 5.0),
+        (t0 + 10_000_000, "click"): (1, 7.0),
+    }

@@ -68,3 +68,16 @@ def test_edge_cases(spark):
     ).collect()
     got = sorted((r.account_id, r.amount) for r in alerts)
     assert got == [(6, 500.00), (9, 700.00)]
+
+
+def test_batch_diverges_on_consecutive_smalls(spark):
+    """small@0, small@30s, large@80s: the lag-based batch form measures the
+    window from the MOST RECENT small (gap 50s ≤ 60s → alert), whereas the
+    reference's timer semantics (streaming path) would have the first
+    small's stale timer clear the flag at t=60s → no alert. Intentional,
+    documented divergence — see docs/fraud_semantics.md."""
+    txs = [(20, 0, 0.50), (20, 30_000, 0.60), (20, 80_000, 900.00)]
+    alerts = detect(
+        _df(spark, txs), REF_SMALL_AMOUNT, REF_LARGE_AMOUNT, REF_WINDOW_MS * 1000
+    ).collect()
+    assert [(r.account_id, r.amount) for r in alerts] == [(20, 900.00)]
