@@ -31,6 +31,14 @@ DENSITY_WINDOW_S = 60  # trailing mean window for ask-volume density
 DENSITY_MIN_SAMPLES = 10  # warm-up gate (2. CEP 레이어...md:111-150)
 DENSITY_MIN_SECONDS = 30
 
+# Driver-scale equivalents for the sparse testdata event stream (events are
+# minutes-to-hours apart per key, not milliseconds): same formulas, window
+# rescaled so the trailing baseline actually accumulates ≥ MIN_SAMPLES.
+OB_DENSITY_WINDOW_US = 7 * 86_400 * 1_000_000  # trailing 7 days
+OB_WARMUP_US = 2 * 86_400 * 1_000_000  # 2-day warm-up period
+OB_MIN_SAMPLES = DENSITY_MIN_SAMPLES  # unchanged
+OB_TOP_N = 10  # top-N levels per side (시스템 아키텍처.md:575)
+
 
 def is_small(amount: float, small: float = SMALL_AMOUNT) -> bool:
     return amount <= small
