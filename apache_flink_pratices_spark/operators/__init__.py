@@ -5,6 +5,7 @@ from apache_flink_pratices_spark.operators import (  # noqa: F401
     dedup,
     fraud,
     orderbook,
+    protobuf_codec,
     relational,
     row_transforms,
     similarity,

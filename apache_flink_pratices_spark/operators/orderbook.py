@@ -65,7 +65,7 @@ _SQL_OB = f"""
     FROM events
   ),
   lvls AS (
-    SELECT code, event_id, ts_us,
+    SELECT code, event_id, ts_us, i,
            CAST(power(2, ((event_id * {_ASK_A} + i * {_ASK_B}) % {_MIX_P}) % 11) AS BIGINT) AS ask_size,
            CAST(power(2, ((event_id * {_BID_A} + i * {_BID_B}) % {_MIX_P}) % 11) AS BIGINT) AS bid_size
     FROM ob, LATERAL (SELECT unnest(generate_series(1, {OB_TOP_N})) AS i) g
