@@ -12,11 +12,26 @@ Numeric determinism: dot products and norms accumulate as exact decimals
 order-independent), so Spark and DuckDB produce bit-identical cosines — see
 functions/numeric.py for the full argument.
 
-An LSH/IVF-bucketed approximate variant is the planned scale path (round 2):
-same verify step, candidate generation via random-hyperplane signatures.
+The LSH-bucketed variant (``ann_lsh_topk``) is the scale path: candidate
+generation via random-hyperplane (sign) signatures banded like minhash-LSH,
+then the same exact-cosine verify on candidates only. Hyperplane entries
+are ±1 derived from md5 of the (bit, dim) index — computable identically
+in Spark and DuckDB — and each signature bit is the sign of an exact
+decimal-accumulated dot product, so bucket membership is deterministic
+across engines (no float-ordering sign flips on near-orthogonal vectors).
+
+Parameter note, pinned by tests: the driver's synthetic embeddings are
+isotropic (top-10 cosines ≈ 0.26-0.37), so high recall forces small bands
+(2 bits × 8 bands ⇒ measured recall 0.96, candidate fraction ~0.87 —
+little pruning is *information-theoretically available* on unclustered
+data). On clustered embeddings, where ANN is actually deployed, the same
+operator with 8-bit bands prunes >85% at recall ≥0.9
+(tests/test_ann_lsh.py::test_clustered_data_prunes).
 """
 
 from __future__ import annotations
+
+import hashlib
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -26,6 +41,12 @@ from apache_flink_pratices_spark.registry import register
 
 N_QUERIES = 5  # vec_id < 5 form the query set
 TOP_K = 10
+DIM = 64  # embeddings.embedding is float[64] (TESTDATA.md)
+
+#: random-hyperplane signature defaults for the registered query (see
+#: module docstring for why the bands are this small on isotropic data)
+RH_BITS = 16
+RH_BAND = 2
 
 # Precision budget: element products of unit-scale embeddings stay < 1e8,
 # so DECIMAL(20,12) holds each term exactly at 1e-12 resolution. The
@@ -117,3 +138,184 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= TOP_K)
         .select("query_id", "vec_id", "label", "cosine", "rn")
     )
+
+
+# --- random-hyperplane LSH (bucketed ANN) ---------------------------------
+def rh_signs(bits: int, dim: int) -> list[list[float]]:
+    """±1 hyperplane matrix from md5 of 'afp-rh-{bit}-{k}' (k is 1-based to
+    match SQL generate_subscripts); identical derivation in the oracle."""
+    return [
+        [
+            1.0
+            if hashlib.md5(f"afp-rh-{j}-{k}".encode()).digest()[0] % 2 == 0
+            else -1.0
+            for k in range(1, dim + 1)
+        ]
+        for j in range(bits)
+    ]
+
+
+def _signature_bands(
+    vectors: DataFrame, bits: int, band_size: int, dim: int
+) -> DataFrame:
+    """(vec_id, band, bucket): banded sign signature per vector.
+
+    Each bit is sign(Σ ±x_k) with the sum accumulated exactly in decimals
+    (order-independent), so buckets match bit-for-bit across engines.
+    """
+    signs = rh_signs(bits, dim)
+    zero = F.lit("0").cast(_ACC)
+
+    def bit(j: int) -> Column:
+        sgn = F.array(*[F.lit(s) for s in signs[j]])
+        prods = F.zip_with(
+            F.col("embedding"), sgn, lambda x, s: (x.cast("double") * s).cast(_DEC)
+        )
+        return (F.aggregate(prods, zero, lambda acc, v: (acc + v).cast(_ACC)) >= 0).cast(
+            "int"
+        )
+
+    n_bands = bits // band_size
+    bands = []
+    for b in range(n_bands):
+        bucket: Column = F.lit(0)
+        for pos in range(band_size):
+            bucket = bucket * 2 + bit(b * band_size + pos)
+        bands.append(
+            F.struct(F.lit(b).alias("band"), bucket.cast("long").alias("bucket"))
+        )
+    return vectors.select(
+        "vec_id", F.explode(F.array(*bands)).alias("bb")
+    ).select("vec_id", "bb.band", "bb.bucket")
+
+
+def ann_lsh_frame(
+    vectors: DataFrame,
+    bits: int = RH_BITS,
+    band_size: int = RH_BAND,
+    dim: int = DIM,
+    n_queries: int = N_QUERIES,
+    top_k: int = TOP_K,
+) -> DataFrame:
+    """Bucketed ANN over (vec_id, label, embedding) rows: band-bucket
+    candidates → exact-cosine verify on candidates only → per-query top-k.
+
+    At scale the verify cost is bounded by bucket collisions (the brute
+    path is O(|Q|·N·d)); the signature pass is one JVM-side map over the
+    corpus, and candidates shuffle as (query_id, vec_id) pairs only.
+    """
+    from pyspark.sql.window import Window
+
+    with_norm = vectors.select(
+        "vec_id", "label", "embedding",
+        _dot(F.col("embedding"), F.col("embedding")).alias("nrm"),
+    )
+    bands = _signature_bands(vectors, bits, band_size, dim)
+    qb = bands.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), "band", "bucket"
+    )
+    cand = (
+        bands.join(F.broadcast(qb), ["band", "bucket"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id")
+        .distinct()
+    )
+    q = with_norm.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_embedding"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    pairs = cand.join(with_norm, "vec_id").join(F.broadcast(q), "query_id")
+    scored = pairs.select(
+        "query_id",
+        "vec_id",
+        "label",
+        (
+            _dot(F.col("q_embedding"), F.col("embedding"))
+            / (F.sqrt(F.col("q_nrm")) * F.sqrt(F.col("nrm")))
+        ).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= top_k)
+        .select("query_id", "vec_id", "label", "cosine", "rn")
+    )
+
+
+_SQL_RH_SIGNS = f"""
+    signs AS (
+      SELECT j, k,
+             CASE WHEN CAST(('0x' || substr(md5('afp-rh-' || j || '-' || k), 1, 2)) AS INTEGER) % 2 = 0
+                  THEN 1.0 ELSE -1.0 END AS s
+      FROM (SELECT unnest(generate_series(0, {RH_BITS - 1})) AS j) bi,
+           (SELECT unnest(generate_series(1, {DIM})) AS k) di
+    )
+"""
+
+
+@register(
+    "ann_lsh_topk",
+    oracle=f"""
+    WITH {_SQL_RH_SIGNS},
+    elems AS (
+      SELECT vec_id, u.k, u.x
+      FROM embeddings,
+           LATERAL (SELECT unnest(embedding) AS x,
+                           generate_subscripts(embedding, 1) AS k) u
+    ),
+    bits AS (
+      SELECT e.vec_id, s.j,
+             (SUM(CAST(CAST(e.x AS DOUBLE) * s.s AS DECIMAL(20,12))) >= 0) AS bit
+      FROM elems e JOIN signs s ON s.k = e.k
+      GROUP BY e.vec_id, s.j
+    ),
+    bands AS (
+      SELECT vec_id, j // {RH_BAND} AS band,
+             CAST(SUM(CASE WHEN bit THEN power(2, {RH_BAND - 1} - (j % {RH_BAND})) ELSE 0 END) AS BIGINT) AS bucket
+      FROM bits GROUP BY vec_id, band
+    ),
+    cand AS (
+      SELECT DISTINCT q.vec_id AS query_id, e.vec_id AS vec_id
+      FROM bands q JOIN bands e ON q.band = e.band AND q.bucket = e.bucket
+      WHERE q.vec_id < {N_QUERIES} AND e.vec_id <> q.vec_id
+    ),
+    norms AS (
+      SELECT vec_id, label,
+             {_sql_dot('u.x', 'u.x')} AS nrm
+      FROM embeddings, LATERAL (SELECT unnest(embedding) AS x) u
+      GROUP BY vec_id, label
+    ),
+    dots AS (
+      SELECT qid AS query_id, vid AS vec_id,
+             {_sql_dot('u.qx', 'u.ex')} AS dot
+      FROM (SELECT c.query_id AS qid, c.vec_id AS vid,
+                   q.embedding AS qe, e.embedding AS ee
+            FROM cand c
+              JOIN embeddings q ON q.vec_id = c.query_id
+              JOIN embeddings e ON e.vec_id = c.vec_id) p,
+           LATERAL (SELECT unnest(qe) AS qx, unnest(ee) AS ex) u
+      GROUP BY query_id, vec_id
+    ),
+    scored AS (
+      SELECT d.query_id, d.vec_id, ne.label,
+             d.dot / (sqrt(nq.nrm) * sqrt(ne.nrm)) AS cosine
+      FROM dots d
+        JOIN norms nq ON nq.vec_id = d.query_id
+        JOIN norms ne ON ne.vec_id = d.vec_id
+    )
+    SELECT query_id, vec_id, label, cosine, rn
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY cosine DESC, vec_id) AS rn
+          FROM scored)
+    WHERE rn <= {TOP_K}
+    """,
+    doc=f"Bucketed ANN: random-hyperplane sign signatures ({RH_BITS} bits, "
+    f"{RH_BAND}-bit bands), band-bucket candidates, exact-cosine verify on "
+    "candidates only, per-query top-k. Measured recall vs brute force "
+    "≥ 0.9 (asserted in tests/test_ann_lsh.py).",
+    bench=True,
+    tags=("similarity", "ann", "lsh"),
+)
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ann_lsh_frame(load(spark, sf_dir, "embeddings"))

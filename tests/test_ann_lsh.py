@@ -1,0 +1,109 @@
+"""Bucketed ANN properties:
+
+1. recall of the registered LSH query vs the brute-force query ≥ 0.9 on
+   the driver's (isotropic) embeddings;
+2. on clustered embeddings — where ANN is actually deployed — the same
+   operator with production-sized bands achieves recall ≥ 0.9 while
+   generating < 20% of pairs as candidates (real pruning).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from apache_flink_pratices_spark.operators.similarity import (
+    N_QUERIES,
+    _signature_bands,
+    ann_cosine_topk,
+    ann_lsh_frame,
+    ann_lsh_topk,
+)
+
+SF = "/root/testdata/sf0.01"
+
+
+def _topk_sets(rows):
+    out: dict[int, set[int]] = {}
+    for r in rows:
+        out.setdefault(r.query_id, set()).add(r.vec_id)
+    return out
+
+
+def test_recall_vs_brute_force(spark):
+    brute = _topk_sets(ann_cosine_topk(spark, SF).collect())
+    lsh = _topk_sets(ann_lsh_topk(spark, SF).collect())
+    recalls = [
+        len(brute[q] & lsh.get(q, set())) / len(brute[q]) for q in brute
+    ]
+    assert sum(recalls) / len(recalls) >= 0.9, f"mean recall {recalls}"
+
+
+@pytest.fixture(scope="module")
+def clustered(spark):
+    """10 clusters × 40 vectors, noise 0.2 — same-cluster cosine ≈ 0.96."""
+    rng = np.random.RandomState(42)
+    centers = rng.randn(10, 64)
+    X = np.vstack([c + 0.2 * rng.randn(40, 64) for c in centers])
+    rows = [
+        (i, int(i // 40), [float(x) for x in X[i]]) for i in range(len(X))
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, label int, embedding array<float>"
+    )
+    # ground truth from the same float32-rounded vectors Spark sees
+    Xf = np.array([r[2] for r in rows], dtype=np.float32).astype(np.float64)
+    Xn = Xf / np.linalg.norm(Xf, axis=1, keepdims=True)
+    sims = Xn[:N_QUERIES] @ Xn.T
+    for i in range(N_QUERIES):
+        sims[i, i] = -2
+    true_top = np.argsort(-sims, axis=1)[:, :10]
+    return df, true_top
+
+
+def test_clustered_data_prunes(spark, clustered):
+    df, true_top = clustered
+    n = df.count()
+    bits, band = 32, 8
+
+    cand = (
+        _signature_bands(df, bits, band, 64)
+        .alias("e")
+        .join(
+            _signature_bands(df.filter(F.col("vec_id") < N_QUERIES), bits, band, 64)
+            .select(
+                F.col("vec_id").alias("query_id"), "band", "bucket"
+            )
+            .alias("q"),
+            ["band", "bucket"],
+        )
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id")
+        .distinct()
+    )
+    frac = cand.count() / (N_QUERIES * (n - 1))
+    assert frac < 0.2, f"candidate fraction {frac:.3f} — no pruning"
+
+    got = _topk_sets(
+        ann_lsh_frame(df, bits=bits, band_size=band, top_k=10).collect()
+    )
+    recalls = [
+        np.isin(true_top[q], sorted(got.get(q, set()))).mean()
+        for q in range(N_QUERIES)
+    ]
+    assert float(np.mean(recalls)) >= 0.9, f"clustered recall {recalls}"
+
+
+def test_signs_derivation_matches_sql(spark):
+    """The ±1 hyperplane entries must match the oracle's md5 derivation."""
+    from apache_flink_pratices_spark.operators.similarity import rh_signs
+
+    signs = rh_signs(4, 8)
+    row = spark.sql(
+        "SELECT conv(substr(md5('afp-rh-2-3'), 1, 2), 16, 10) % 2 AS m"
+    ).collect()[0]
+    expected = 1.0 if int(row.m) == 0 else -1.0
+    assert signs[2][2] == expected  # k is 1-based → index 2 is k=3
