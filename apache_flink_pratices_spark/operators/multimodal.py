@@ -1,0 +1,295 @@
+"""Multimodal (image/audio/video) columns: opaque ``binary`` payloads with
+typed metadata, processed by Arrow-batched ``mapInPandas`` stages.
+
+Design for 100 TB media processing:
+
+- media rows are (doc_id, media_type, meta struct, payload binary); the
+  payload never leaves its partition — decode/feature/resize/frame-sample
+  are per-row map work, and only small feature rows cross any shuffle;
+- batch shape: ``mapInPandas`` receives Arrow record batches (bounded by
+  ``spark.sql.execution.arrow.maxRecordsPerBatch``), so peak executor
+  memory is batch_rows × payload_size regardless of table size;
+- the codec layer is pluggable. Real decoders (pillow / soundfile / cv2)
+  are NOT installed in this environment, so the default codec is a
+  clearly-marked deterministic fake (payload bytes ARE the sample values)
+  and requesting a real codec raises ``NotImplementedError`` — the Spark
+  plumbing (schemas, UDF signatures, batching, partitioning) is real and
+  fully tested either way.
+
+Synthetic payloads are md5 chains built JVM-side (``unhex(md5(...))``
+blocks), which makes the *byte statistics* SQL-expressible: the DuckDB
+oracle recomputes them from hex strings, so the Python decode path gets a
+full value-hash correctness check — unusual for binary plumbing.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from apache_flink_pratices_spark.io import load
+from apache_flink_pratices_spark.registry import register
+
+# media geometry (fake but typed): image 16×16×3, audio 1024 samples,
+# video 4 frames of 8×8×3
+IMG_W, IMG_H, IMG_C = 16, 16, 3
+AUDIO_SAMPLES = 1024
+VID_FRAMES, VID_W, VID_H, VID_C = 4, 8, 8, 3
+
+_BLOCK = 16  # md5 digest bytes
+
+_N_BLOCKS = {
+    "image": IMG_W * IMG_H * IMG_C // _BLOCK,  # 48
+    "audio": AUDIO_SAMPLES // _BLOCK,  # 64
+    "video": VID_FRAMES * VID_W * VID_H * VID_C // _BLOCK,  # 48
+}
+
+MEDIA_META_SCHEMA = (
+    "struct<width:int, height:int, channels:int, sample_rate:int, n_frames:int>"
+)
+
+
+class FakeCodec:
+    """Deterministic fake decoder: payload bytes ARE the decoded samples.
+
+    Stands in for pillow/soundfile/cv2, which are not available here; the
+    decode contract (payload + meta → uint8 sample array) is the real one.
+    """
+
+    def decode(self, payload: bytes, meta: dict) -> np.ndarray:
+        return np.frombuffer(payload, dtype=np.uint8)
+
+
+def get_codec(media_type: str, implementation: str = "fake"):
+    if implementation == "fake":
+        return FakeCodec()
+    if implementation == "real":
+        raise NotImplementedError(
+            "real media decoding requires pillow/soundfile/cv2, which are "
+            "not installed in this environment; use the deterministic "
+            "FakeCodec ('fake') — the Spark-side plumbing is identical"
+        )
+    raise ValueError(f"unknown codec implementation {implementation!r}")
+
+
+def _media_type_expr():
+    return (
+        F.when(F.col("doc_id") % 3 == 0, "image")
+        .when(F.col("doc_id") % 3 == 1, "audio")
+        .otherwise("video")
+    )
+
+
+def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → (doc_id, media_type, meta, payload binary).
+
+    Payload = concat of md5 blocks keyed by (doc_id, block#) — built
+    entirely JVM-side; the binary column is opaque to the engine exactly
+    like a real image/audio blob would be.
+    """
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    typed = d.withColumn("media_type", _media_type_expr())
+    n_blocks = (
+        F.when(F.col("media_type") == "image", _N_BLOCKS["image"])
+        .when(F.col("media_type") == "audio", _N_BLOCKS["audio"])
+        .otherwise(_N_BLOCKS["video"])
+    )
+    payload = F.expr(
+        "aggregate(transform(sequence(1, nb), "
+        "i -> unhex(md5(concat(CAST(doc_id AS STRING), '-', CAST(i AS STRING))))), "
+        "CAST('' AS BINARY), (acc, x) -> concat(acc, x))"
+    )
+    meta = F.when(
+        F.col("media_type") == "image",
+        F.expr(
+            f"named_struct('width', {IMG_W}, 'height', {IMG_H}, "
+            f"'channels', {IMG_C}, 'sample_rate', 0, 'n_frames', 1)"
+        ),
+    ).when(
+        F.col("media_type") == "audio",
+        F.expr(
+            "named_struct('width', 0, 'height', 0, 'channels', 1, "
+            "'sample_rate', 8000, 'n_frames', 0)"
+        ),
+    ).otherwise(
+        F.expr(
+            f"named_struct('width', {VID_W}, 'height', {VID_H}, "
+            f"'channels', {VID_C}, 'sample_rate', 0, 'n_frames', {VID_FRAMES})"
+        )
+    )
+    return (
+        typed.withColumn("nb", n_blocks)
+        .withColumn("payload", payload)
+        .withColumn("meta", meta)
+        .select("doc_id", "media_type", "meta", "payload")
+    )
+
+
+_STATS_SCHEMA = (
+    "doc_id bigint, media_type string, n_bytes bigint, byte_sum bigint, "
+    "byte_min bigint, byte_max bigint, mean_value double"
+)
+
+
+def _stats_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    codec = FakeCodec()
+    for pdf in batches:
+        out = []
+        for row in pdf.itertuples(index=False):
+            samples = codec.decode(bytes(row.payload), {})
+            out.append(
+                (
+                    int(row.doc_id),
+                    row.media_type,
+                    len(samples),
+                    int(samples.sum()),
+                    int(samples.min()),
+                    int(samples.max()),
+                    float(samples.sum()) / len(samples),
+                )
+            )
+        yield pd.DataFrame(
+            out,
+            columns=[
+                "doc_id", "media_type", "n_bytes", "byte_sum",
+                "byte_min", "byte_max", "mean_value",
+            ],
+        )
+
+
+_SQL_MEDIA_BYTES = """
+  typed AS (
+    SELECT doc_id,
+           CASE WHEN doc_id % 3 = 0 THEN 'image'
+                WHEN doc_id % 3 = 1 THEN 'audio'
+                ELSE 'video' END AS media_type,
+           CASE WHEN doc_id % 3 = 0 THEN 48
+                WHEN doc_id % 3 = 1 THEN 64
+                ELSE 48 END AS nb
+    FROM documents
+  ),
+  blocks AS (
+    SELECT doc_id, media_type, b.i,
+           md5(CAST(doc_id AS VARCHAR) || '-' || CAST(b.i AS VARCHAR)) AS hx
+    FROM typed, LATERAL (SELECT unnest(generate_series(1, nb)) AS i) b
+  ),
+  bytes AS (
+    SELECT doc_id, media_type, (i - 1) * 16 + j - 1 AS pos,
+           CAST(('0x' || substr(hx, 2 * j - 1, 2)) AS INTEGER) AS v
+    FROM blocks, LATERAL (SELECT unnest(generate_series(1, 16)) AS j) g
+  )
+"""
+
+
+@register(
+    "mm_image_stats",
+    oracle=f"""
+    WITH {_SQL_MEDIA_BYTES}
+    SELECT doc_id, media_type,
+           COUNT(*) AS n_bytes,
+           CAST(SUM(v) AS BIGINT) AS byte_sum,
+           CAST(MIN(v) AS BIGINT) AS byte_min,
+           CAST(MAX(v) AS BIGINT) AS byte_max,
+           CAST(SUM(v) AS DOUBLE) / COUNT(*) AS mean_value
+    FROM bytes
+    GROUP BY doc_id, media_type
+    """,
+    doc="Multimodal feature extraction: binary payloads decoded by the "
+    "(fake) codec in an Arrow-batched mapInPandas stage; per-media sample "
+    "statistics. The oracle recomputes the bytes from the md5 chain, so "
+    "the Python decode path is value-hash checked end to end.",
+    tags=("multimodal", "binary"),
+)
+def mm_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return media_table(spark, sf_dir).mapInPandas(_stats_fn, _STATS_SCHEMA)
+
+
+_FRAME_SCHEMA = (
+    "doc_id bigint, frame_idx bigint, frame_bytes bigint, frame_sum bigint"
+)
+
+
+def _frame_sample_fn(every_k: int):
+    frame_size = VID_W * VID_H * VID_C
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        codec = FakeCodec()
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                samples = codec.decode(bytes(row.payload), {})
+                frames = samples.reshape(-1, frame_size)
+                for idx in range(0, frames.shape[0], every_k):
+                    out.append(
+                        (int(row.doc_id), idx, frame_size, int(frames[idx].sum()))
+                    )
+            yield pd.DataFrame(
+                out, columns=["doc_id", "frame_idx", "frame_bytes", "frame_sum"]
+            )
+
+    return fn
+
+
+@register(
+    "mm_frame_sample",
+    oracle=f"""
+    WITH {_SQL_MEDIA_BYTES}
+    SELECT doc_id,
+           pos // {VID_W * VID_H * VID_C} AS frame_idx,
+           COUNT(*) AS frame_bytes,
+           CAST(SUM(v) AS BIGINT) AS frame_sum
+    FROM bytes
+    WHERE media_type = 'video' AND (pos // {VID_W * VID_H * VID_C}) % 2 = 0
+    GROUP BY doc_id, frame_idx
+    """,
+    doc="Video frame sampling: every 2nd frame of each video payload, "
+    "emitted as one row per sampled frame with an order-pinning checksum. "
+    "1:N mapInPandas fan-out — the frame extraction a real pipeline runs "
+    "before per-frame models.",
+    tags=("multimodal", "binary", "video"),
+)
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    video = media_table(spark, sf_dir).filter(F.col("media_type") == "video")
+    return video.mapInPandas(_frame_sample_fn(every_k=2), _FRAME_SCHEMA)
+
+
+def resize_images(media: DataFrame, factor: int = 2) -> DataFrame:
+    """Fake 'resize': factor×factor average pooling over the decoded image
+    (exact integer mean, truncated) — the geometry/plumbing of a real
+    resize with a deterministic kernel. Returns (doc_id, width, height,
+    channels, resized binary)."""
+    out_schema = (
+        "doc_id bigint, width int, height int, channels int, resized binary"
+    )
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        codec = FakeCodec()
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                w, h, c = row.meta["width"], row.meta["height"], row.meta["channels"]
+                img = codec.decode(bytes(row.payload), {}).reshape(h, w, c)
+                pooled = (
+                    img.reshape(h // factor, factor, w // factor, factor, c)
+                    .astype(np.int64)
+                    .sum(axis=(1, 3))
+                    // (factor * factor)
+                ).astype(np.uint8)
+                out.append(
+                    (
+                        int(row.doc_id),
+                        w // factor,
+                        h // factor,
+                        int(c),
+                        pooled.tobytes(),
+                    )
+                )
+            yield pd.DataFrame(
+                out, columns=["doc_id", "width", "height", "channels", "resized"]
+            )
+
+    return media.filter(F.col("media_type") == "image").mapInPandas(fn, out_schema)
