@@ -113,6 +113,16 @@ def _side_total(side: str) -> Column:
     )
 
 
+def _direct_total(a: int, b: int) -> Column:
+    """Σ level sizes computed straight from the level sequence — same value
+    as folding the built array, without materializing array-of-struct rows
+    (used by aggregate-only plans that never need the levels)."""
+    return F.expr(
+        f"aggregate(sequence(1, {OB_TOP_N}), 0L, (acc, i) -> acc + "
+        f"CAST(power(2, ((event_id * {a} + i * {b}) % {_MIX_P}) % 11) AS BIGINT))"
+    )
+
+
 @register(
     "ob_imbalance",
     oracle=f"""
@@ -146,12 +156,16 @@ def ob_imbalance(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH {_SQL_OB},
     windowed AS (
       SELECT code, event_id, ts_us, total_ask,
-             SUM(total_ask) OVER w AS win_sum,
-             COUNT(*) OVER w AS win_cnt,
+             coalesce(SUM(total_ask) OVER whi, 0)
+               - coalesce(SUM(total_ask) OVER wlo, 0) AS win_sum,
+             COUNT(*) OVER whi - COUNT(*) OVER wlo AS win_cnt,
              MIN(ts_us) OVER (PARTITION BY code) AS first_seen_us
       FROM totals
-      WINDOW w AS (PARTITION BY code ORDER BY ts_us
-                   RANGE BETWEEN {OB_DENSITY_WINDOW_US} PRECEDING AND 1 PRECEDING)
+      WINDOW whi AS (PARTITION BY code ORDER BY ts_us
+                     RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+             wlo AS (PARTITION BY code ORDER BY ts_us
+                     RANGE BETWEEN UNBOUNDED PRECEDING
+                               AND {OB_DENSITY_WINDOW_US + 1} PRECEDING)
     )
     SELECT code, event_id, ts_us, total_ask,
            CAST(coalesce(win_cnt, 0) AS BIGINT) AS sample_count,
@@ -174,13 +188,22 @@ def ob_imbalance(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("orderbook", "cep", "window"),
 )
 def ob_density_change(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ob = orderbook_updates(spark, sf_dir).select(
-        "code", "event_id", "ts_us", _side_total("asks").alias("total_ask")
+    e = load(spark, sf_dir, "events")
+    ob = e.select(
+        F.concat(F.lit("KRW-"), F.upper(F.col("event_type"))).alias("code"),
+        "event_id",
+        F.unix_micros("ts").alias("ts_us"),
+        _direct_total(_ASK_A, _ASK_B).alias("total_ask"),
     )
-    w = (
-        Window.partitionBy("code")
-        .orderBy("ts_us")
-        .rangeBetween(-OB_DENSITY_WINDOW_US, -1)
+    # Trailing window as the difference of two run-length frames: a bounded
+    # sliding RANGE frame makes Spark recompute the aggregate buffer per
+    # row (O(rows × window)); unbounded-preceding frames grow incrementally
+    # (O(rows)) — measured 8s → 1s at sf0.1. Integer sums keep the
+    # subtraction exact and identical in the oracle.
+    ordered = Window.partitionBy("code").orderBy("ts_us")
+    w_hi = ordered.rangeBetween(Window.unboundedPreceding, -1)
+    w_lo = ordered.rangeBetween(
+        Window.unboundedPreceding, -(OB_DENSITY_WINDOW_US + 1)
     )
     wfull = Window.partitionBy("code")
     d = ob.select(
@@ -188,8 +211,11 @@ def ob_density_change(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         "ts_us",
         "total_ask",
-        F.sum("total_ask").over(w).alias("win_sum"),
-        F.count("*").over(w).alias("win_cnt"),
+        (
+            F.coalesce(F.sum("total_ask").over(w_hi), F.lit(0))
+            - F.coalesce(F.sum("total_ask").over(w_lo), F.lit(0))
+        ).alias("win_sum"),
+        (F.count("*").over(w_hi) - F.count("*").over(w_lo)).alias("win_cnt"),
         F.min("ts_us").over(wfull).alias("first_seen_us"),
     )
     warmup = (F.col("ts_us") - F.col("first_seen_us") < OB_WARMUP_US) | (

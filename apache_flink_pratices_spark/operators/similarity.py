@@ -7,17 +7,18 @@ corpus side stays partition-parallel; only k rows per query cross the final
 shuffle boundary (per-query top-k is a partial-aggregatable pattern via
 window rank after AQE-coalesced exchange).
 
-Numeric determinism: dot products and norms accumulate as exact decimals
-(float→double products are IEEE-identical everywhere; decimal addition is
-order-independent), so Spark and DuckDB produce bit-identical cosines — see
-functions/numeric.py for the full argument.
+Numeric determinism: each element product (IEEE-identical everywhere) is
+quantized to 1e-12 by flooring into int64 and summed as plain longs —
+exact, order-independent, and primitive-typed so whole-stage codegen keeps
+the hot loop allocation-free. Spark and DuckDB produce bit-identical
+cosines.
 
 The LSH-bucketed variant (``ann_lsh_topk``) is the scale path: candidate
 generation via random-hyperplane (sign) signatures banded like minhash-LSH,
 then the same exact-cosine verify on candidates only. Hyperplane entries
 are ±1 derived from md5 of the (bit, dim) index — computable identically
 in Spark and DuckDB — and each signature bit is the sign of an exact
-decimal-accumulated dot product, so bucket membership is deterministic
+scaled-int64-accumulated projection, so bucket membership is deterministic
 across engines (no float-ordering sign flips on near-orthogonal vectors).
 
 Parameter note, pinned by tests: the driver's synthetic embeddings are
@@ -48,27 +49,34 @@ DIM = 64  # embeddings.embedding is float[64] (TESTDATA.md)
 RH_BITS = 16
 RH_BAND = 2
 
-# Precision budget: element products of unit-scale embeddings stay < 1e8,
-# so DECIMAL(20,12) holds each term exactly at 1e-12 resolution. The
-# accumulator is DECIMAL(25,12): each add yields at most 14 integer digits
-# (26 total < 38), so Spark never hits the precision-38 cap — which would
-# silently REDUCE SCALE and break cross-engine bit-equality.
-_DEC = "decimal(20,12)"
-_ACC = "decimal(25,12)"
+# Determinism-with-speed: element products are quantized to 1e-12 by
+# flooring product·1e12 into int64, then summed as plain longs — exact,
+# order-independent, and it stays in whole-stage codegen's primitive fast
+# path (a decimal accumulator forces BigDecimal allocation per element and
+# measured ~5× slower on the sf0.1 bench). |product|·1e12 ≤ ~2.5e13 and
+# 64-element sums ≤ ~1.6e15 < 2^53, so the final long→double cast and the
+# /1e12 division are exact and identical in both engines.
+_SCALE = 1_000_000_000_000  # 1e12 quantization of each product
+
+
+def _scaled_products(a: Column, b: Column) -> Column:
+    return F.zip_with(
+        a, b, lambda x, y: F.floor(x.cast("double") * y.cast("double") * _SCALE).cast("long")
+    )
 
 
 def _dot(a: Column, b: Column) -> Column:
     """Exact order-independent dot product of two float arrays, as double."""
-    prods = F.zip_with(a, b, lambda x, y: (x.cast("double") * y.cast("double")).cast(_DEC))
-    zero = F.lit("0").cast(_ACC)
-    # decimal addition widens precision; pin the accumulator type so the
-    # merge lambda's return type stays fixed (required by `aggregate`)
-    return F.aggregate(prods, zero, lambda acc, v: (acc + v).cast(_ACC)).cast("double")
+    total = F.aggregate(
+        _scaled_products(a, b), F.lit(0).cast("long"), lambda acc, v: acc + v
+    )
+    return total.cast("double") / F.lit(_SCALE)
 
 
 def _sql_dot(ax: str, bx: str) -> str:
     return (
-        f"CAST(SUM(CAST(CAST({ax} AS DOUBLE) * CAST({bx} AS DOUBLE) AS DECIMAL(20,12))) AS DOUBLE)"
+        f"CAST(SUM(CAST(floor(CAST({ax} AS DOUBLE) * CAST({bx} AS DOUBLE) * {_SCALE}) AS BIGINT)) AS DOUBLE)"
+        f" / {_SCALE}"
     )
 
 
@@ -164,16 +172,15 @@ def _signature_bands(
     (order-independent), so buckets match bit-for-bit across engines.
     """
     signs = rh_signs(bits, dim)
-    zero = F.lit("0").cast(_ACC)
 
     def bit(j: int) -> Column:
         sgn = F.array(*[F.lit(s) for s in signs[j]])
-        prods = F.zip_with(
-            F.col("embedding"), sgn, lambda x, s: (x.cast("double") * s).cast(_DEC)
+        total = F.aggregate(
+            _scaled_products(F.col("embedding"), sgn),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
         )
-        return (F.aggregate(prods, zero, lambda acc, v: (acc + v).cast(_ACC)) >= 0).cast(
-            "int"
-        )
+        return (total >= 0).cast("int")
 
     n_bands = bits // band_size
     bands = []
@@ -266,7 +273,7 @@ _SQL_RH_SIGNS = f"""
     ),
     bits AS (
       SELECT e.vec_id, s.j,
-             (SUM(CAST(CAST(e.x AS DOUBLE) * s.s AS DECIMAL(20,12))) >= 0) AS bit
+             (SUM(CAST(floor(CAST(e.x AS DOUBLE) * s.s * {_SCALE}) AS BIGINT)) >= 0) AS bit
       FROM elems e JOIN signs s ON s.k = e.k
       GROUP BY e.vec_id, s.j
     ),

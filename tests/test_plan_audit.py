@@ -1,0 +1,64 @@
+"""Plan audits: the scale-critical properties the docstrings claim are
+asserted against the actual physical plans."""
+
+from __future__ import annotations
+
+import pytest
+
+from apache_flink_pratices_spark.operators.dedup import dedup_exact
+from apache_flink_pratices_spark.operators.fraud import fraud_alerts
+from apache_flink_pratices_spark.operators.relational import (
+    q1_pricing_summary,
+    q5_local_supplier,
+    q6_forecast_revenue,
+)
+from apache_flink_pratices_spark.plans.explain import (
+    codegen_stage_count,
+    exchange_count,
+    formatted_plan,
+    join_kinds,
+    pushed_filters,
+    scan_columns,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_q6_filters_pushed_to_scan(spark):
+    plan = formatted_plan(q6_forecast_revenue(spark, SF))
+    pushed = " ".join(pushed_filters(plan))
+    assert "l_discount" in pushed and "l_quantity" in pushed
+    # shipdate predicates also reach the scan (timestamp pushdown)
+    assert "l_shipdate" in pushed
+
+
+def test_q1_column_pruning(spark):
+    plan = formatted_plan(q1_pricing_summary(spark, SF))
+    cols = scan_columns(plan)
+    # only the 7 referenced lineitem columns are read, not the whole table
+    assert "l_comment" not in cols and "l_orderkey" not in cols
+    assert {"l_returnflag", "l_linestatus", "l_quantity", "l_shipdate"} <= cols
+
+
+def test_q5_dim_joins_broadcast_fact_join_shuffles(spark):
+    plan = formatted_plan(q5_local_supplier(spark, SF))
+    kinds = join_kinds(plan)
+    # the collapsed supplier⋈nation⋈region dim is explicitly broadcast
+    assert "BroadcastHashJoin" in kinds
+    # no cartesian products anywhere
+    assert "CartesianProduct" not in kinds and "BroadcastNestedLoopJoin" not in kinds
+
+
+def test_fraud_single_shuffle(spark):
+    df = fraud_alerts(spark, SF)
+    plan = formatted_plan(df)
+    # one shuffle on the key (window), nothing else
+    assert exchange_count(plan) == 1
+    assert codegen_stage_count(df) >= 1
+
+
+def test_dedup_exact_shuffles_digest_not_body(spark):
+    plan = formatted_plan(dedup_exact(spark, SF))
+    assert exchange_count(plan) <= 1
+    # the document body must not survive past the scan projection
+    assert "text" not in scan_columns(plan) or "md5" in plan
