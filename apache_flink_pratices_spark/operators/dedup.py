@@ -73,6 +73,22 @@ MH_COEFFS = _mh_coeffs()
 #: df_cap·(df_cap-1)/2 ≈ 5k regardless of corpus size.
 NGRAM_DF_CAP = 100
 
+#: SimHash: fingerprint width, byte-band candidates, Hamming verify bound.
+#: Fingerprints are term-frequency weighted (Charikar's construction) —
+#: unweighted sign-sums cannot separate these short docs (~25 distinct
+#: tokens from a shared vocabulary: 1k+ pairs collide at Hamming 0).
+SIMHASH_BITS = 32
+SIMHASH_BAND_BITS = 8
+SIMHASH_HAMMING_MAX = 1
+
+#: embedding near-dup: exact-cosine threshold over LSH candidates.
+#: 0.4 is rescaled to the isotropic testdata (max pairwise cosine ≈ 0.51);
+#: production corpora use ≥ 0.9, where the LSH recall is far higher (see
+#: operators/similarity.py docstring on the isotropy tradeoff).
+EMB_COSINE_THRESHOLD = 0.4
+EMB_LSH_BITS = 16
+EMB_LSH_BAND = 4
+
 _SQL_DOCS = "SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents"
 _SQL_SHINGLE = "ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]"
 _SQL_SHS = f"""
@@ -320,3 +336,243 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("inter"))
     )
     return _jaccard_from_inter(inter, sizes)
+
+
+# --- SimHash near-dup -----------------------------------------------------
+def _sql_simhash_sums() -> str:
+    return ",\n             ".join(
+        f"SUM((((h >> {b}) & 1) * 2 - 1) * cnt) AS s{b}" for b in range(SIMHASH_BITS)
+    )
+
+
+def _sql_simhash_fp() -> str:
+    terms = " + ".join(
+        f"(CASE WHEN s{b} > 0 THEN CAST({1 << b} AS BIGINT) ELSE 0 END)"
+        for b in range(SIMHASH_BITS)
+    )
+    return f"CAST({terms} AS BIGINT)"
+
+
+def _sql_simhash_bands() -> str:
+    n_bands = SIMHASH_BITS // SIMHASH_BAND_BITS
+    selects = [
+        f"SELECT doc_id, {i} AS band, (fp >> {i * SIMHASH_BAND_BITS}) & 255 AS bucket FROM fp"
+        for i in range(n_bands)
+    ]
+    return "\n      UNION ALL ".join(selects)
+
+
+@register(
+    "dedup_simhash",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, w, COUNT(*) AS cnt
+      FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w FROM documents)
+      WHERE w <> ''
+      GROUP BY doc_id, w
+    ),
+    hs AS (SELECT doc_id, cnt, {sql_md5_long('w')} AS h FROM toks),
+    sums AS (
+      SELECT doc_id,
+             {_sql_simhash_sums()}
+      FROM hs GROUP BY doc_id
+    ),
+    fp AS (SELECT doc_id, {_sql_simhash_fp()} AS fp FROM sums),
+    bands AS (
+      {_sql_simhash_bands()}
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    )
+    SELECT c.doc_a, c.doc_b,
+           CAST(bit_count(xor(fa.fp, fb.fp)) AS BIGINT) AS hamming
+    FROM cand c
+      JOIN fp fa ON fa.doc_id = c.doc_a
+      JOIN fp fb ON fb.doc_id = c.doc_b
+    WHERE bit_count(xor(fa.fp, fb.fp)) <= {SIMHASH_HAMMING_MAX}
+    """,
+    doc=f"SimHash near-dup: {SIMHASH_BITS}-bit term-frequency-weighted "
+    "fingerprint (Charikar), byte-band candidates, Hamming distance ≤ "
+    f"{SIMHASH_HAMMING_MAX} verify. Fingerprints are 8-byte values — the "
+    "candidate join shuffles ~1/1000th of the shingle-join's volume, the "
+    "cheapest near-dup tier at 100 TB.",
+    bench=True,
+    tags=("dedup", "simhash"),
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs_repartitioned(spark, sf_dir)
+    toks = (
+        d.select("doc_id", F.explode(F.split(F.lower("text"), " ")).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("doc_id", "w")
+        .agg(F.count("*").alias("cnt"))
+    )
+    hs = toks.select("doc_id", "cnt", md5_long(F.col("w")).alias("h"))
+    sums = hs.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                ((F.shiftright(F.col("h"), b).bitwiseAND(1)) * 2 - 1) * F.col("cnt")
+            ).alias(f"s{b}")
+            for b in range(SIMHASH_BITS)
+        ]
+    )
+    fp_col = None
+    for b in range(SIMHASH_BITS):
+        term = F.when(F.col(f"s{b}") > 0, F.lit(1 << b).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        fp_col = term if fp_col is None else fp_col + term
+    fp = sums.select("doc_id", fp_col.alias("fp"))
+
+    n_bands = SIMHASH_BITS // SIMHASH_BAND_BITS
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band"),
+                (
+                    F.shiftright(F.col("fp"), i * SIMHASH_BAND_BITS).bitwiseAND(255)
+                ).alias("bucket"),
+            )
+            for i in range(n_bands)
+        ]
+    )
+    bands = fp.select("doc_id", F.explode(band_structs).alias("bb")).select(
+        "doc_id", "bb.band", "bb.bucket"
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    fa = fp.select(F.col("doc_id").alias("doc_a"), F.col("fp").alias("fp_a"))
+    fb = fp.select(F.col("doc_id").alias("doc_b"), F.col("fp").alias("fp_b"))
+    ham = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
+    return (
+        cand.join(fa, "doc_a")
+        .join(fb, "doc_b")
+        .filter(ham <= SIMHASH_HAMMING_MAX)
+        .select("doc_a", "doc_b", ham.cast("long").alias("hamming"))
+    )
+
+
+# --- embedding-cosine near-dup --------------------------------------------
+def _sql_emb_oracle() -> str:
+    from apache_flink_pratices_spark.operators.similarity import (
+        _SCALE,
+        _SQL_RH_SIGNS,
+        _sql_dot,
+    )
+
+    return f"""
+    WITH {_SQL_RH_SIGNS},
+    elems AS (
+      SELECT vec_id, u.k, u.x
+      FROM embeddings,
+           LATERAL (SELECT unnest(embedding) AS x,
+                           generate_subscripts(embedding, 1) AS k) u
+    ),
+    bits AS (
+      SELECT e.vec_id, s.j,
+             (SUM(CAST(floor(CAST(e.x AS DOUBLE) * s.s * {_SCALE}) AS BIGINT)) >= 0) AS bit
+      FROM elems e JOIN signs s ON s.k = e.k
+      GROUP BY e.vec_id, s.j
+    ),
+    bands AS (
+      SELECT vec_id, j // {EMB_LSH_BAND} AS band,
+             CAST(SUM(CASE WHEN bit THEN power(2, {EMB_LSH_BAND - 1} - (j % {EMB_LSH_BAND})) ELSE 0 END) AS BIGINT) AS bucket
+      FROM bits GROUP BY vec_id, band
+    ),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+    ),
+    norms AS (
+      SELECT vec_id, {_sql_dot('u.x', 'u.x')} AS nrm
+      FROM embeddings, LATERAL (SELECT unnest(embedding) AS x) u
+      GROUP BY vec_id
+    ),
+    dots AS (
+      SELECT va AS vec_a, vb AS vec_b, {_sql_dot('u.ax', 'u.bx')} AS dot
+      FROM (SELECT c.vec_a AS va, c.vec_b AS vb, a.embedding AS ae, b.embedding AS be
+            FROM cand c
+              JOIN embeddings a ON a.vec_id = c.vec_a
+              JOIN embeddings b ON b.vec_id = c.vec_b) p,
+           LATERAL (SELECT unnest(ae) AS ax, unnest(be) AS bx) u
+      GROUP BY vec_a, vec_b
+    )
+    SELECT d.vec_a, d.vec_b,
+           d.dot / (sqrt(na.nrm) * sqrt(nb.nrm)) AS cosine
+    FROM dots d
+      JOIN norms na ON na.vec_id = d.vec_a
+      JOIN norms nb ON nb.vec_id = d.vec_b
+    WHERE d.dot / (sqrt(na.nrm) * sqrt(nb.nrm)) >= {EMB_COSINE_THRESHOLD}
+    """
+
+
+def _register_emb_dedup() -> None:
+    @register(
+        "dedup_embedding_cosine",
+        oracle=_sql_emb_oracle(),
+        doc=f"Embedding near-dup: {EMB_LSH_BITS}-bit sign-LSH candidates "
+        f"({EMB_LSH_BAND}-bit bands) verified with exact cosine ≥ "
+        f"{EMB_COSINE_THRESHOLD}. Approximate by design — recall is what "
+        "the band structure gives on isotropic data (documented in "
+        "operators/similarity.py); both engines compute the identical "
+        "candidate set, so the oracle check is exact.",
+        tags=("dedup", "embedding", "lsh"),
+    )
+    def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from apache_flink_pratices_spark.operators.similarity import (
+            _dot,
+            _signature_bands,
+        )
+
+        e = load(spark, sf_dir, "embeddings")
+        bands = _signature_bands(e, EMB_LSH_BITS, EMB_LSH_BAND, 64)
+        a = bands.alias("a")
+        b = bands.alias("b")
+        cand = (
+            a.join(
+                b,
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.bucket") == F.col("b.bucket"))
+                & (F.col("a.vec_id") < F.col("b.vec_id")),
+            )
+            .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
+            .distinct()
+        )
+        with_norm = e.select(
+            "vec_id", "embedding", _dot(F.col("embedding"), F.col("embedding")).alias("nrm")
+        )
+        ea = with_norm.select(
+            F.col("vec_id").alias("vec_a"),
+            F.col("embedding").alias("emb_a"),
+            F.col("nrm").alias("nrm_a"),
+        )
+        eb = with_norm.select(
+            F.col("vec_id").alias("vec_b"),
+            F.col("embedding").alias("emb_b"),
+            F.col("nrm").alias("nrm_b"),
+        )
+        cosine = _dot(F.col("emb_a"), F.col("emb_b")) / (
+            F.sqrt(F.col("nrm_a")) * F.sqrt(F.col("nrm_b"))
+        )
+        return (
+            cand.join(ea, "vec_a")
+            .join(eb, "vec_b")
+            .select("vec_a", "vec_b", cosine.alias("cosine"))
+            .filter(F.col("cosine") >= EMB_COSINE_THRESHOLD)
+        )
+
+
+_register_emb_dedup()
