@@ -40,6 +40,23 @@ OB_MIN_SAMPLES = DENSITY_MIN_SAMPLES  # unchanged
 OB_TOP_N = 10  # top-N levels per side (시스템 아키텍처.md:575)
 
 
+# --- CEP SignalGenerator (시스템 아키텍처.md:560-760, real-time scale —
+# the streaming tests drive synthetic second-granularity streams, so the
+# reference's own windows apply unrescaled)
+P_WAVE_DENSITY_DROP_PCT = 30.0  # cond1: density drop > X% (:583)
+SPOOF_LEVEL_FRACTION = 0.05  # cond2 arm: new level > 5% of book (:588)
+SPOOF_VANISH_MS = 1_500  # cond2 verify delay (:589)
+SPOOF_REMAIN_FRACTION = 0.25  # "mostly gone" = < 25% of armed size remains
+COND_FRESH_US = 10_000_000  # both P-wave conditions must be ≤ 10s apart
+REMOVED_TTL_MS = 30_000  # recently-removed guard TTL (:702-718)
+CEP_DENSITY_WINDOW_US = 60 * 1_000_000  # trailing 60s baseline (:575)
+CEP_WARMUP_US = 30 * 1_000_000
+CEP_MIN_SAMPLES = 10
+TRADE_WIN_US = 5 * 1_000_000  # sliding trade-volume window (:641-648)
+CONSEC_DECREASES = 2  # sell cond: 2 consecutive avg decreases (:646)
+P_WAVE_REASON = "P_WAVE_EARTHQUAKE_DETECTED"
+
+
 def is_small(amount: float, small: float = SMALL_AMOUNT) -> bool:
     return amount <= small
 

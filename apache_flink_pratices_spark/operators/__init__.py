@@ -10,6 +10,7 @@ from apache_flink_pratices_spark.operators import (  # noqa: F401
     relational,
     row_transforms,
     similarity,
+    streaming_golden,
     text,
     windows,
 )

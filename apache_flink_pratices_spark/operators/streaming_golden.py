@@ -1,0 +1,179 @@
+"""Driver-checked golden runs of the streaming operators.
+
+Streaming stateful processors are not SQL-expressible, but their outputs
+on pinned scenarios ARE deterministic — so each entry here drives a real
+readStream → memory-sink query over its canonical corpus and the oracle is
+the expected output as a VALUES literal. A hash match means the entire
+streaming pipeline (source, watermark, keyed state, timers, emission)
+reproduced the golden result inside the driver's own session.
+
+- ``stream_fraud_golden``: the reference's 12-transaction corpus → exactly
+  3 alerts (accounts 3, 4, 3 — ``docs/fraud_detection_guide.md:86-100``).
+- ``stream_cep_signals_golden``: the SignalGenerator lifecycle scenario →
+  BUY (P-wave) then two SELLs (see tests/streaming/test_signal_generator).
+
+``sf_dir`` is accepted but unused: the corpora are fixed golden inputs,
+not scale-factor data.
+"""
+
+from __future__ import annotations
+
+import datetime
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+
+from apache_flink_pratices_spark.domain.rules import P_WAVE_REASON
+from apache_flink_pratices_spark.registry import register
+from apache_flink_pratices_spark.sources.collection import stream_from_collection
+from apache_flink_pratices_spark.streaming.fraud import fraud_alert_stream
+from apache_flink_pratices_spark.streaming.signal_generator import (
+    UNIFIED_SCHEMA,
+    deterministic_signal_id,
+    signal_stream,
+)
+
+_BASE_MS = 1_609_459_200_000  # 2021-01-01T00:00:00Z
+
+#: the reference's canonical fraud corpus (job.py:33-54 values)
+_FRAUD_TXS = [
+    (1, 0, 600.00), (1, 30_000, 700.00),
+    (2, 0, 0.50), (2, 10_000, 0.75),
+    (3, 0, 0.50), (3, 30_000, 600.00),
+    (4, 0, 1.00), (4, 30_000, 500.00),
+    (5, 0, 0.10), (5, 10_000, 0.50),
+    (3, 120_000, 0.99), (3, 150_000, 999.00),
+]
+
+
+def _run_memory_stream(spark: SparkSession, rows, schema, build, name: str) -> DataFrame:
+    # A handful of golden rows doesn't need the session's (often 200)
+    # shuffle partitions — each micro-batch would schedule that many state
+    # tasks. Narrow the setting for the run and restore it after.
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        with tempfile.TemporaryDirectory(prefix="afp-golden-") as d:
+            src = stream_from_collection(
+                spark, rows, schema, os.path.join(d, "in"), chunks=2
+            )
+            q = (
+                build(src)
+                .writeStream.format("memory")
+                .queryName(name)
+                .option("checkpointLocation", os.path.join(d, "ckpt"))
+                .outputMode("append")
+                .start()
+            )
+            try:
+                q.processAllAvailable()
+            finally:
+                q.stop()
+            out = spark.table(name)
+            # materialize before the temp checkpoint dir disappears
+            return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
+@register(
+    "stream_fraud_golden",
+    oracle=f"""
+    SELECT * FROM (VALUES
+      (CAST(3 AS BIGINT), CAST({(_BASE_MS + 30_000) * 1000} AS BIGINT), CAST(600.00 AS DOUBLE)),
+      (CAST(4 AS BIGINT), CAST({(_BASE_MS + 30_000) * 1000} AS BIGINT), CAST(500.00 AS DOUBLE)),
+      (CAST(3 AS BIGINT), CAST({(_BASE_MS + 150_000) * 1000} AS BIGINT), CAST(999.00 AS DOUBLE))
+    ) AS t(account_id, alert_ts_us, amount)
+    """,
+    doc="W1/W2 streaming: the keyed stateful FraudDetector driven through "
+    "a real readStream over the reference's 12-tx corpus; oracle is the "
+    "pinned 3-alert golden output (accounts 3/4/3).",
+    tags=("streaming", "stateful", "golden"),
+)
+def stream_fraud_golden(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rows = [
+        (
+            acct,
+            datetime.datetime.fromtimestamp(
+                (_BASE_MS + off) / 1000, datetime.timezone.utc
+            ).replace(tzinfo=None),
+            amount,
+        )
+        for acct, off, amount in _FRAUD_TXS
+    ]
+    return _run_memory_stream(
+        spark,
+        rows,
+        "account_id long, ts timestamp, amount double",
+        fraud_alert_stream,
+        "afp_fraud_golden",
+    )
+
+
+_CODE = "KRW-BTC"
+_B = datetime.datetime(2021, 1, 1)
+
+
+def _cep_scenario():
+    def ts(sec):
+        return _B + datetime.timedelta(seconds=sec)
+
+    def ob(sec, ask, bid, levels):
+        return (_CODE, ts(sec), int(sec * 1_000_000), "orderbook",
+                None, None, ask, bid, levels, None, None, None, None)
+
+    def trade(sec, price, vol):
+        return (_CODE, ts(sec), int(sec * 1_000_000), "trade",
+                price, vol, None, None, None, None, None, None, None)
+
+    rows = [ob(5 * k, 1000, 1000, [(100 + i, 100) for i in range(10)]) for k in range(12)]
+    rows.append(trade(55.5, 50_000.0, 10.0))
+    rows.append(ob(56, 600, 1000, [(100 + i, 30) for i in range(10)] + [(999, 300)]))
+    rows.append(ob(57, 600, 1000, [(100 + i, 60) for i in range(10)]))
+    rows.append(ob(58.2, 600, 1000, [(100 + i, 60) for i in range(10)]))
+    rows.append(trade(60, 50_100.0, 9.0))
+    rows.append(trade(62, 50_200.0, 1.0))
+    rows.append(trade(64, 50_300.0, 1.0))
+    rows.append(ob(65, 900, 300, [(100 + i, 90) for i in range(10)]))
+    return rows
+
+
+def _cep_expected() -> list[tuple]:
+    # scenario rows carry scenario-relative ts_us (the watermark column ts
+    # is absolute; the processor consumes ts_us as-is)
+    buy_us = 58_199_000  # watch fires just before the 58.2s book
+    sell_us = 65_000_000
+    return [
+        (_CODE, buy_us, "BUY", P_WAVE_REASON,
+         deterministic_signal_id(_CODE, "BUY", P_WAVE_REASON, buy_us), 50_000.0),
+        (_CODE, sell_us, "SELL", P_WAVE_REASON,
+         deterministic_signal_id(_CODE, "SELL", P_WAVE_REASON, sell_us), 50_300.0),
+    ]
+
+
+def _cep_oracle() -> str:
+    values = ",\n      ".join(
+        f"('{c}', CAST({t} AS BIGINT), '{side}', '{reason}', '{sid}', CAST({price} AS DOUBLE))"
+        for c, t, side, reason, sid, price in _cep_expected()
+    )
+    return f"""
+    SELECT * FROM (VALUES
+      {values}
+    ) AS t(code, ts_us, side, reason, signal_id, ref_price)
+    """
+
+
+@register(
+    "stream_cep_signals_golden",
+    oracle=_cep_oracle(),
+    doc="J1/W4/W5/W6/W7 streaming: the CEP SignalGenerator (co-processed "
+    "union, MapState positions, ListState time-series, orderbook diff with "
+    "per-price timers, deterministic ids) over the canonical P-wave "
+    "lifecycle scenario; oracle is the pinned BUY+SELL golden output.",
+    tags=("streaming", "stateful", "cep", "golden"),
+)
+def stream_cep_signals_golden(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _run_memory_stream(
+        spark, _cep_scenario(), UNIFIED_SCHEMA, signal_stream, "afp_cep_golden"
+    )
