@@ -4,6 +4,7 @@ query in :mod:`apache_flink_pratices_spark.registry`."""
 from apache_flink_pratices_spark.operators import (  # noqa: F401
     dedup,
     fraud,
+    market_pipeline,
     multimodal,
     orderbook,
     protobuf_codec,
