@@ -91,14 +91,16 @@ EMB_LSH_BAND = 4
 
 _SQL_DOCS = "SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents"
 _SQL_SHINGLE = "ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]"
+# hash BEFORE the distinct: deduplicating (doc_id, 8-byte h) shuffles ~5×
+# less than deduplicating the raw shingle strings, and one distinct replaces
+# two. Same result set (the hash is applied per instance, then distinct).
 _SQL_SHS = f"""
   docs AS ({_SQL_DOCS}),
-  shs AS (
-    SELECT DISTINCT doc_id, {_SQL_SHINGLE} AS s
+  sh AS (
+    SELECT DISTINCT doc_id, {sql_md5_long(_SQL_SHINGLE)} AS h
     FROM docs, LATERAL (SELECT unnest(generate_series(1, len(ws) - 2)) AS i) g
     WHERE len(ws) >= 3
-  ),
-  sh AS (SELECT DISTINCT doc_id, {sql_md5_long('s')} AS h FROM shs)
+  )
 """
 
 
@@ -114,8 +116,11 @@ def _docs_repartitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load(spark, sf_dir, "documents").repartition(p, "doc_id")
 
 
-def _shingle_strings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, s): distinct 3-token shingle strings per document."""
+def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, h): distinct 56-bit hashes of 3-token shingles.
+
+    Hashes before the distinct so the dedup shuffle carries 8-byte longs
+    instead of shingle strings (~5× less shuffle volume)."""
     d = _docs_repartitioned(spark, sf_dir)
     ws = F.split(F.lower(F.col("text")), " ")
     shingle = F.expr(
@@ -126,14 +131,6 @@ def _shingle_strings(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.select("doc_id", ws.alias("ws"))
         .filter(F.size("ws") >= 3)
         .select("doc_id", F.explode(shingle).alias("s"))
-        .distinct()
-    )
-
-
-def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, h): distinct 56-bit hashes of 3-token shingles."""
-    return (
-        _shingle_strings(spark, sf_dir)
         .select("doc_id", md5_long(F.col("s")).alias("h"))
         .distinct()
     )
