@@ -239,6 +239,184 @@ def q_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_inactive_customers_1996",
+    oracle="""
+    SELECT c_mktsegment, COUNT(*) AS n_inactive
+    FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderdate >= TIMESTAMP '1996-01-01'
+                        AND o_orderdate <  TIMESTAMP '1997-01-01')
+    GROUP BY c_mktsegment
+    """,
+    doc="NOT EXISTS → left-anti join + aggregate: customers with no 1996 "
+    "orders per segment (superset join coverage; the date filter is pushed "
+    "below the anti join).",
+    tags=("relational", "antijoin"),
+)
+def q_inactive_customers_1996(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_inactive"))
+    )
+
+
+@register(
+    "q_customer_order_profile",
+    oracle=f"""
+    SELECT c_custkey, c_mktsegment,
+           COUNT(o_orderkey) AS n_orders,
+           {sql_dsum('coalesce(o_totalprice, 0)')} AS total_spend
+    FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+    GROUP BY c_custkey, c_mktsegment
+    """,
+    doc="Left-outer join preserving order-less customers (count 0, spend "
+    "0): the outer-join + aggregate shape, one shuffle on custkey.",
+    tags=("relational", "outerjoin"),
+)
+def q_customer_order_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey", "c_mktsegment")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            dsum(F.coalesce(F.col("o_totalprice"), F.lit(0.0))).alias("total_spend"),
+        )
+    )
+
+
+@register(
+    "q_big_orders",
+    oracle=f"""
+    SELECT c_custkey, o_orderkey,
+           CAST(epoch_us(o_orderdate) AS BIGINT) AS o_orderdate_us,
+           {sql_dsum('l_quantity')} AS total_qty
+    FROM customer
+      JOIN orders ON c_custkey = o_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+    GROUP BY c_custkey, o_orderkey, o_orderdate_us
+    HAVING {sql_dsum('l_quantity')} > 300
+    """,
+    doc="TPC-H Q18-shaped large-volume orders: join + group + HAVING over "
+    "an aggregate (the having predicate cannot push below the aggregation).",
+    tags=("relational", "having"),
+)
+def q_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    l = load(spark, sf_dir, "lineitem")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_custkey", "o_orderkey", "o_orderdate")
+        .agg(dsum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") > 300)
+        .select(
+            "c_custkey",
+            "o_orderkey",
+            F.unix_micros("o_orderdate").alias("o_orderdate_us"),
+            "total_qty",
+        )
+    )
+
+
+@register(
+    "q_cube_orders",
+    oracle=f"""
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt,
+           {sql_dsum('o_totalprice')} AS total_price
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    doc="CUBE aggregation over both grouping dimensions (all 4 grouping "
+    "sets; complements q_rollup_orders).",
+    tags=("relational", "cube"),
+)
+def q_cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("cnt"), dsum("o_totalprice").alias("total_price")
+    )
+
+
+#: KMV sketch size (k minimum hash values per group)
+KMV_K = 64
+_MAX56F = float(1 << 56)
+
+
+@register(
+    "sketch_kmv_distinct",
+    oracle=f"""
+    WITH hashed AS (
+      SELECT DISTINCT event_type,
+             CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 14)) AS BIGINT) AS h
+      FROM events
+    ),
+    ranked AS (
+      SELECT event_type, h,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n_exact
+      FROM hashed
+    )
+    SELECT event_type,
+           CAST(n_exact AS BIGINT) AS exact_distinct,
+           CASE WHEN n_exact < {KMV_K} THEN CAST(n_exact AS DOUBLE)
+                ELSE CAST({KMV_K - 1} AS DOUBLE) * {_MAX56F:.1f} / CAST(h AS DOUBLE)
+           END AS kmv_estimate
+    FROM ranked
+    WHERE rn = least(n_exact, {KMV_K})
+      AND (n_exact < {KMV_K} OR rn = {KMV_K})
+    """,
+    doc=f"KMV (k-minimum-values, k={KMV_K}) distinct-count sketch over "
+    "portable 56-bit hashes — unlike HLL, fully deterministic and "
+    "bit-identical across engines, so the approximate estimate itself is "
+    "oracle-checked. Mergeable bottom-k state at 100 TB: each partition "
+    "keeps its k smallest hashes; merge = k smallest of the union.",
+    tags=("sketch", "distinct"),
+)
+def sketch_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from apache_flink_pratices_spark.functions.hashing import md5_long
+
+    e = load(spark, sf_dir, "events")
+    hashed = e.select(
+        "event_type", md5_long(F.col("user_id").cast("string")).alias("h")
+    ).distinct()
+    w = Window.partitionBy("event_type")
+    ranked = hashed.select(
+        "event_type",
+        "h",
+        F.row_number().over(w.orderBy("h")).alias("rn"),
+        F.count("*").over(w).alias("n_exact"),
+    )
+    est = F.when(
+        F.col("n_exact") < KMV_K, F.col("n_exact").cast("double")
+    ).otherwise(
+        F.lit(float(KMV_K - 1)) * F.lit(_MAX56F) / F.col("h").cast("double")
+    )
+    return (
+        ranked.filter(
+            (F.col("rn") == F.least(F.col("n_exact"), F.lit(KMV_K)))
+            & ((F.col("n_exact") < KMV_K) | (F.col("rn") == KMV_K))
+        )
+        .select(
+            "event_type",
+            F.col("n_exact").cast("long").alias("exact_distinct"),
+            est.alias("kmv_estimate"),
+        )
+    )
+
+
+@register(
     "q_top_customers_per_segment",
     oracle="""
     SELECT c_mktsegment, c_custkey, c_acctbal, rn

@@ -148,6 +148,44 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: BPE-ish token pattern: alphabetic runs, digit runs, and single
+#: non-alphanumeric marks — the character-class segmentation a byte-pair
+#: tokenizer bottoms out at. Plain classes only, so Java regex (Spark) and
+#: RE2 (DuckDB) agree exactly.
+_BPEISH = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+
+@register(
+    "token_count_bpeish",
+    oracle=f"""
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS ws_tokens,
+           len(regexp_extract_all(lower(text), '{_BPEISH}')) AS bpeish_tokens,
+           CAST(length(text) AS DOUBLE)
+             / len(regexp_extract_all(lower(text), '{_BPEISH}')) AS chars_per_token
+    FROM documents
+    WHERE length(text) > 0
+    """,
+    doc="Token counting two ways: whitespace tokens and a BPE-ish "
+    "character-class segmentation (letter runs / digit runs / single "
+    "marks), plus chars-per-token — the budget metric an LLM-data "
+    "pipeline bins documents by. Pure per-row map, zero shuffles.",
+    tags=("text", "tokens"),
+)
+def token_count_bpeish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    bpeish = F.expr(f"size(regexp_extract_all(lower(text), '{_BPEISH}', 0))")
+    return (
+        d.filter(F.length("text") > 0)
+        .select(
+            "doc_id",
+            F.size(F.split(F.col("text"), " ")).alias("ws_tokens"),
+            bpeish.alias("bpeish_tokens"),
+            (F.length("text").cast("double") / bpeish).alias("chars_per_token"),
+        )
+    )
+
+
 def _sql_marker_score(lang: str) -> str:
     markers = LANG_MARKERS[lang]
     return f"len(list_filter(ws, w -> w IN {markers!r}))"
