@@ -56,7 +56,10 @@ def _varint(n: int) -> bytes:
 def _read_varint(buf: bytes, pos: int) -> tuple[int, int]:
     shift = 0
     result = 0
+    n = len(buf)
     while True:
+        if pos >= n:
+            raise ValueError("truncated varint")
         b = buf[pos]
         pos += 1
         result |= (b & 0x7F) << shift
@@ -66,6 +69,11 @@ def _read_varint(buf: bytes, pos: int) -> tuple[int, int]:
         if shift > 63:
             raise ValueError("varint too long")
     return result, pos
+
+
+def _need(pos: int, count: int, n: int) -> None:
+    if pos + count > n:
+        raise ValueError(f"truncated field: need {count} bytes at {pos}, have {n}")
 
 
 def _to_signed64(n: int) -> int:
@@ -132,16 +140,20 @@ def decode(desc: tuple[Field, ...], data: bytes) -> dict[str, Any]:
             if wire == 0:
                 _, pos = _read_varint(data, pos)
             elif wire == 1:
+                _need(pos, 8, n)
                 pos += 8
             elif wire == 2:
                 ln, pos = _read_varint(data, pos)
+                _need(pos, ln, n)
                 pos += ln
             elif wire == 5:
+                _need(pos, 4, n)
                 pos += 4
             else:
                 raise ValueError(f"cannot skip wire type {wire}")
             continue
         if f.kind == "double":
+            _need(pos, 8, n)
             (obj[f.name],) = struct.unpack_from("<d", data, pos)
             pos += 8
         elif f.kind in ("int64", "enum"):
@@ -152,10 +164,12 @@ def decode(desc: tuple[Field, ...], data: bytes) -> dict[str, Any]:
             obj[f.name] = bool(raw)
         elif f.kind == "string":
             ln, pos = _read_varint(data, pos)
+            _need(pos, ln, n)
             obj[f.name] = data[pos : pos + ln].decode("utf-8")
             pos += ln
         elif f.kind == "message":
             ln, pos = _read_varint(data, pos)
+            _need(pos, ln, n)
             sub = decode(f.message, data[pos : pos + ln])  # type: ignore[arg-type]
             pos += ln
             if f.repeated:
