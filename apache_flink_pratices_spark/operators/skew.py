@@ -1,0 +1,72 @@
+"""Skew-mitigation helpers: salting for hot keys.
+
+AQE's skew-join splitting (enabled in ``session.tune``) handles moderate
+skew at runtime; explicit salting is the deliberate tool for *known*
+pathological keys — e.g. a null-ish default account or a stop-category —
+where a single key would otherwise pin one task at 100 TB.
+
+- :func:`salted_join` — big⋈small equi-join: the big side gets a
+  deterministic salt derived from its other columns, the small side is
+  replicated once per salt value, and the join runs on (key, salt). Same
+  result set as the plain join; the hot key's rows spread over ``salt_n``
+  tasks at the cost of ``salt_n×`` replication of the (broadcastable)
+  small side.
+- :func:`salted_agg` — two-stage aggregation: partial aggregate on
+  (keys, salt), final aggregate on keys. Only for algebraic aggregates
+  (sum/count/min/max) whose merge is the same function. (Spark's partial
+  aggregation already does this map-side; the explicit form matters when
+  the *post-shuffle* reducer for one key is still too big — extreme
+  cardinality-1 groups.)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    key: str,
+    salt_n: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join on ``key`` with the big side salted over ``salt_n`` buckets.
+
+    The salt is ``xxhash64`` of the big side's full row (so it is
+    deterministic and uniform even for one hot key); the small side is
+    exploded once per salt value. Join keys become (key, salt)."""
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(salt_n))
+    big_s = big.withColumn("__salt", salt.cast("int"))
+    small_s = small.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt_n - 1)))
+    )
+    joined = big_s.join(small_s, [key, "__salt"], how)
+    return joined.drop("__salt")
+
+
+def salted_agg(
+    df: DataFrame,
+    keys: list[str],
+    sum_cols: list[str] | None = None,
+    count: bool = True,
+    salt_n: int = 8,
+) -> DataFrame:
+    """Two-stage sum/count aggregation via an intermediate salted groupBy."""
+    sum_cols = sum_cols or []
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(salt_n))
+    partial_aggs: list[Column] = [F.sum(c).alias(f"__sum_{c}") for c in sum_cols]
+    if count:
+        partial_aggs.append(F.count("*").alias("__cnt"))
+    partial = (
+        df.withColumn("__salt", salt.cast("int"))
+        .groupBy(*keys, "__salt")
+        .agg(*partial_aggs)
+    )
+    final_aggs: list[Column] = [
+        F.sum(f"__sum_{c}").alias(f"sum_{c}") for c in sum_cols
+    ]
+    if count:
+        final_aggs.append(F.sum("__cnt").alias("cnt"))
+    return partial.groupBy(*keys).agg(*final_aggs)

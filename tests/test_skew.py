@@ -1,0 +1,63 @@
+"""Salting correctness: salted plans must produce exactly the plain plan's
+results on a pathologically skewed key distribution."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from apache_flink_pratices_spark.operators.skew import salted_agg, salted_join
+
+
+def _skewed(spark):
+    # 5000 rows on one hot key, a long tail of 50 others
+    rows = [(0, i, float(i % 7)) for i in range(5000)]
+    rows += [(k, 10_000 + k, float(k)) for k in range(1, 51)]
+    return spark.createDataFrame(rows, "k long, payload long, v double")
+
+
+def test_salted_join_matches_plain(spark):
+    big = _skewed(spark)
+    small = spark.createDataFrame(
+        [(k, f"dim{k}") for k in range(0, 51, 2)], "k long, name string"
+    )
+    plain = big.join(small, "k").select("k", "payload", "name")
+    salted = salted_join(big, small, "k", salt_n=8).select("k", "payload", "name")
+    assert sorted(map(tuple, salted.collect())) == sorted(map(tuple, plain.collect()))
+
+
+def test_salted_join_left_outer(spark):
+    big = _skewed(spark)
+    small = spark.createDataFrame([(0, "hot")], "k long, name string")
+    plain = big.join(small, "k", "left").select("k", "payload", "name")
+    salted = salted_join(big, small, "k", salt_n=4, how="left").select(
+        "k", "payload", "name"
+    )
+    assert sorted(map(tuple, salted.collect(), )) == sorted(map(tuple, plain.collect()))
+
+
+def test_salted_agg_matches_plain(spark):
+    df = _skewed(spark)
+    plain = (
+        df.groupBy("k")
+        .agg(F.sum("v").alias("sum_v"), F.count("*").alias("cnt"))
+        .collect()
+    )
+    salted = salted_agg(df, ["k"], sum_cols=["v"], salt_n=8).collect()
+    assert sorted((r.k, r.sum_v, r.cnt) for r in salted) == sorted(
+        (r.k, r.sum_v, r.cnt) for r in plain
+    )
+
+
+def test_salt_actually_spreads_hot_key(spark):
+    df = _skewed(spark)
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(8))
+    buckets = (
+        df.filter(F.col("k") == 0)
+        .withColumn("__salt", salt)
+        .groupBy("__salt")
+        .count()
+        .collect()
+    )
+    assert len(buckets) == 8, "hot key must spread across all salt buckets"
+    counts = [r["count"] for r in buckets]
+    assert max(counts) < 5000 * 0.25  # no bucket holds the bulk
