@@ -362,13 +362,12 @@ def _sql_simhash_bands() -> str:
 @register(
     "dedup_simhash",
     oracle=f"""
-    WITH toks AS (
-      SELECT doc_id, w, COUNT(*) AS cnt
+    WITH hs AS (
+      SELECT doc_id, {sql_md5_long('w')} AS h, COUNT(*) AS cnt
       FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w FROM documents)
       WHERE w <> ''
-      GROUP BY doc_id, w
+      GROUP BY doc_id, h
     ),
-    hs AS (SELECT doc_id, cnt, {sql_md5_long('w')} AS h FROM toks),
     sums AS (
       SELECT doc_id,
              {_sql_simhash_sums()}
@@ -400,13 +399,15 @@ def _sql_simhash_bands() -> str:
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs_repartitioned(spark, sf_dir)
-    toks = (
+    # hash before the frequency groupBy: the shuffle carries (doc_id, long)
+    # pairs instead of token strings (same trick as the shingle pipeline)
+    hs = (
         d.select("doc_id", F.explode(F.split(F.lower("text"), " ")).alias("w"))
         .filter(F.col("w") != "")
-        .groupBy("doc_id", "w")
+        .select("doc_id", md5_long(F.col("w")).alias("h"))
+        .groupBy("doc_id", "h")
         .agg(F.count("*").alias("cnt"))
     )
-    hs = toks.select("doc_id", "cnt", md5_long(F.col("w")).alias("h"))
     sums = hs.groupBy("doc_id").agg(
         *[
             F.sum(
