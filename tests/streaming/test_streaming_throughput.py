@@ -1,0 +1,52 @@
+"""Streaming throughput gate: the stateful fraud path must sustain well
+above the reference's delivery-side baseline (~1k msg/s async Kafka
+producer, 시스템 아키텍처.md:483) end to end — source → shuffle → keyed
+state in Python → sink."""
+
+from __future__ import annotations
+
+import datetime
+import os
+import time
+
+from apache_flink_pratices_spark.streaming.fraud import fraud_alert_stream
+
+N_TX = 50_000
+N_ACCOUNTS = 500
+BASE = datetime.datetime(2021, 1, 1)
+
+
+def test_stateful_fraud_throughput(spark, tmp_path):
+    rows = []
+    for i in range(N_TX):
+        acct = i % N_ACCOUNTS
+        # alternate small/large so state actually flips and alerts fire
+        amount = 0.5 if (i // N_ACCOUNTS) % 2 == 0 else 700.0
+        rows.append((acct, BASE + datetime.timedelta(milliseconds=i), amount))
+    in_dir = os.path.join(str(tmp_path), "in")
+    spark.createDataFrame(
+        rows, "account_id long, ts timestamp, amount double"
+    ).coalesce(4).write.parquet(in_dir)
+
+    src = spark.readStream.schema("account_id long, ts timestamp, amount double").parquet(
+        in_dir
+    )
+    q = (
+        fraud_alert_stream(src)
+        .writeStream.format("memory")
+        .queryName("fraud_tput")
+        .option("checkpointLocation", os.path.join(str(tmp_path), "ckpt"))
+        .outputMode("append")
+        .start()
+    )
+    t0 = time.perf_counter()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    wall = time.perf_counter() - t0
+    rate = N_TX / wall
+    n_alerts = spark.sql("SELECT COUNT(*) AS n FROM fraud_tput").collect()[0].n
+    assert n_alerts > 0, "the workload must actually exercise alert emission"
+    # 5× the reference's 1k msg/s producer baseline, end to end
+    assert rate >= 5_000, f"stateful throughput {rate:.0f} tx/s < 5k gate"
