@@ -70,6 +70,19 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def dim(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load a fixed-size dimension table with a broadcast hint.
+
+    Only tables in :data:`BROADCAST_TABLES` qualify — asking for an
+    SF-scaling table here is a scale bug, so it raises instead."""
+    if name not in BROADCAST_TABLES:
+        raise ValueError(
+            f"{name!r} scales with SF and must not be force-broadcast; "
+            f"broadcastable dims: {sorted(BROADCAST_TABLES)}"
+        )
+    return F.broadcast(load(spark, sf_dir, name))
+
+
 def register_all(spark: SparkSession, sf_dir: str) -> None:
     """Register every testdata table as a temp view (for spark.sql paths)."""
     for name in TABLES:

@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from apache_flink_pratices_spark.functions.numeric import davg, dsum, sql_davg, sql_dsum
-from apache_flink_pratices_spark.io import load
+from apache_flink_pratices_spark.io import dim, load
 from apache_flink_pratices_spark.registry import register
 
 _REVENUE = "l_extendedprice * (1 - l_discount)"
@@ -130,8 +130,8 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("relational", "join"),
 )
 def q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    r = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
-    n = load(spark, sf_dir, "nation")
+    r = dim(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n = dim(spark, sf_dir, "nation")
     s = load(spark, sf_dir, "supplier")
     c = load(spark, sf_dir, "customer")
     o = load(spark, sf_dir, "orders").filter(
@@ -144,14 +144,16 @@ def q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     # scales with SF, so its join is left to AQE (broadcast at small SF,
     # shuffle at scale); the unavoidable shuffle join is
     # lineitem ⋈ filtered-orders on l_orderkey.
-    dim = (
-        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
-        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    dims = s.join(n, s.s_nationkey == n.n_nationkey).join(
+        r, n.n_regionkey == r.r_regionkey
     )
     co = o.join(c, o.o_custkey == c.c_custkey)
     return (
         l.join(co, l.l_orderkey == co.o_orderkey)
-        .join(F.broadcast(dim), (l.l_suppkey == dim.s_suppkey) & (co.c_nationkey == dim.s_nationkey))
+        .join(
+            F.broadcast(dims),
+            (l.l_suppkey == dims.s_suppkey) & (co.c_nationkey == dims.s_nationkey),
+        )
         .groupBy("n_name")
         .agg(dsum(revenue).alias("revenue"))
     )
@@ -374,12 +376,12 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp"))
     )
     l = load(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
-    n = load(spark, sf_dir, "nation")
+    n = dim(spark, sf_dir, "nation")
     revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
-        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(n, c.c_nationkey == n.n_nationkey)
         .groupBy("c_custkey", "c_name", "n_name")
         .agg(dsum(revenue).alias("revenue"))
         .orderBy(F.desc("revenue"), "c_custkey")
