@@ -420,6 +420,35 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_STATUSES = ("F", "O", "P")
+
+
+@register(
+    "q_pivot_priority_by_status",
+    oracle=f"""
+    SELECT o_orderpriority,
+           {", ".join(f"COUNT(CASE WHEN o_orderstatus = '{s}' THEN 1 END) AS status_{s}" for s in _STATUSES)}
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+    doc="Pivot: order counts per priority spread across status columns "
+    "(explicit value list keeps the output schema static — the form that "
+    "scales, since pivot-value discovery needs an extra pass).",
+    tags=("relational", "pivot"),
+)
+def q_pivot_priority_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    pivoted = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", list(_STATUSES))
+        .count()
+    )
+    cols = [F.col("o_orderpriority")] + [
+        F.coalesce(F.col(s), F.lit(0)).alias(f"status_{s}") for s in _STATUSES
+    ]
+    return pivoted.select(*cols)
+
+
 #: KMV sketch size (k minimum hash values per group)
 KMV_K = 64
 _MAX56F = float(1 << 56)

@@ -24,6 +24,36 @@ EVENTS = [
 ]
 
 
+def test_sliding_stream_fanout(spark, tmp_path):
+    from apache_flink_pratices_spark.streaming.windows import sliding_agg
+
+    src = stream_from_collection(
+        spark, EVENTS, "etype string, ts timestamp, v double",
+        os.path.join(str(tmp_path), "in2"), chunks=1,
+    )
+    out = sliding_agg(
+        src, "ts", ["etype"], [F.count("*").alias("n")],
+        size="10 seconds", slide="5 seconds",
+    )
+    q = (
+        out.writeStream.format("memory").queryName("slide")
+        .option("checkpointLocation", os.path.join(str(tmp_path), "ckpt2"))
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = spark.sql("SELECT * FROM slide WHERE etype = 'click'").collect()
+    t0 = int(BASE.replace(tzinfo=datetime.timezone.utc).timestamp() * 1_000_000)
+    got = {(r.win_start_us - t0) // 1_000_000: r.n for r in rows}
+    # events at 1s,2s land in windows starting -5s and 0s; event at 11s in
+    # windows 5s and 10s (size/slide = 2 windows per event); all finalized
+    # by the 60s watermark advance.
+    assert got == {-5: 2, 0: 2, 5: 1, 10: 1}, got
+
+
 def test_tumbling_stream_matches_batch(spark, tmp_path):
     src = stream_from_collection(
         spark, EVENTS, "etype string, ts timestamp, v double",
