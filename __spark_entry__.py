@@ -20,13 +20,27 @@ from apache_flink_pratices_spark import registry  # noqa: E402
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
 
+def _with_deploy(fn: Callable[[SparkSession, str], DataFrame]):
+    """Ship the package to the session's Python workers before running:
+    queries with mapInPandas/applyInPandasWithState stages need the module
+    importable on executors regardless of the host process's cwd."""
+
+    def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from apache_flink_pratices_spark.deploy import ensure_shipped
+
+        ensure_shipped(spark)
+        return fn(spark, sf_dir)
+
+    return wrapped
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query (TPC-H Q1-shaped pricing summary) on sf0.001."""
-    return registry.queries()["q1_pricing_summary"](spark, SMOKE_SF_DIR)
+    return _with_deploy(registry.queries()["q1_pricing_summary"])(spark, SMOKE_SF_DIR)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return registry.queries()
+    return {name: _with_deploy(fn) for name, fn in registry.queries().items()}
 
 
 def oracle_sql() -> dict[str, str]:

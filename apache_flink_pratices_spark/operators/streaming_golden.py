@@ -50,7 +50,10 @@ _FRAUD_TXS = [
 def _run_memory_stream(spark: SparkSession, rows, schema, build, name: str) -> DataFrame:
     # A handful of golden rows doesn't need the session's (often 200)
     # shuffle partitions — each micro-batch would schedule that many state
-    # tasks. Narrow the setting for the run and restore it after.
+    # tasks. Narrow the setting for the run and restore it after. Pin UTC
+    # like io.load does: the corpora carry naive datetimes whose epoch
+    # conversion must not depend on the host session's timezone.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     try:
@@ -92,12 +95,15 @@ def _run_memory_stream(spark: SparkSession, rows, schema, build, name: str) -> D
     tags=("streaming", "stateful", "golden"),
 )
 def stream_fraud_golden(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # tz-AWARE datetimes: pyspark interprets naive ones in the PYTHON
+    # process's local timezone (not the session conf), which would shift
+    # the epochs on a non-UTC driver host.
     rows = [
         (
             acct,
             datetime.datetime.fromtimestamp(
                 (_BASE_MS + off) / 1000, datetime.timezone.utc
-            ).replace(tzinfo=None),
+            ),
             amount,
         )
         for acct, off, amount in _FRAUD_TXS
@@ -112,11 +118,12 @@ def stream_fraud_golden(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _CODE = "KRW-BTC"
-_B = datetime.datetime(2021, 1, 1)
+_B = datetime.datetime(2021, 1, 1, tzinfo=datetime.timezone.utc)
 
 
 def _cep_scenario():
     def ts(sec):
+        # tz-aware (see stream_fraud_golden): host-TZ-independent epochs
         return _B + datetime.timedelta(seconds=sec)
 
     def ob(sec, ask, bid, levels):
