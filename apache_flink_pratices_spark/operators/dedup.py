@@ -73,13 +73,47 @@ MH_COEFFS = _mh_coeffs()
 #: df_cap·(df_cap-1)/2 ≈ 5k regardless of corpus size.
 NGRAM_DF_CAP = 100
 
-#: SimHash: fingerprint width, byte-band candidates, Hamming verify bound.
-#: Fingerprints are term-frequency weighted (Charikar's construction) —
-#: unweighted sign-sums cannot separate these short docs (~25 distinct
+#: SimHash: fingerprint width, band width for candidates, Hamming verify
+#: bound. Fingerprints are term-frequency weighted (Charikar's construction)
+#: — unweighted sign-sums cannot separate these short docs (~25 distinct
 #: tokens from a shared vocabulary: 1k+ pairs collide at Hamming 0).
-SIMHASH_BITS = 32
-SIMHASH_BAND_BITS = 8
-SIMHASH_HAMMING_MAX = 1
+#:
+#: 64-bit fingerprints with 16-bit bands give 65,536 buckets per band:
+#: random docs land ~uniformly, so expected collision pairs per band are
+#: N²/(2·65536) — linear-ish corpus growth stays sub-quadratic far longer
+#: than the 256-bucket space an 8-bit band would give (which turns
+#: candidate generation quadratic around N≈10⁵; see
+#: tests/test_simhash_scale.py for the measured ratio). 4 bands with
+#: Hamming ≤ 3 is the standard pigeonhole guarantee: ≤3 differing bits can
+#: touch at most 3 of the 4 bands, so every true near-dup shares at least
+#: one exact band — candidate recall is 100% by construction, not
+#: probabilistic.
+#:
+#: The base token hash (md5_long) is 56-bit, so fingerprint bit b is NOT a
+#: raw bit of h (bits 56-63 would be constant); each bit gets its own
+#: universal hash sign: ((a_b·(h mod P31) + b_b) mod P31) mod 2 — exact
+#: integer arithmetic both engines evaluate identically.
+SIMHASH_BITS = 64
+SIMHASH_BAND_BITS = 16
+SIMHASH_HAMMING_MAX = 3
+#: int64 min: bit 63's addend in the signed fingerprint accumulation
+_I64_MIN = -(1 << 63)
+
+
+def _sh_coeffs() -> list[tuple[int, int]]:
+    """Per-fingerprint-bit universal-hash coefficients (deterministic)."""
+    import hashlib
+
+    out = []
+    for i in range(SIMHASH_BITS):
+        d = hashlib.md5(f"afp-simhash-{i}".encode()).digest()
+        a = int.from_bytes(d[:4], "big") % (P31 - 1) + 1
+        b = int.from_bytes(d[4:8], "big") % P31
+        out.append((a, b))
+    return out
+
+
+SH_COEFFS = _sh_coeffs()
 
 #: embedding near-dup: exact-cosine threshold over LSH candidates.
 #: 0.4 is rescaled to the isotropic testdata (max pairwise cosine ≈ 0.51);
@@ -336,24 +370,100 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- SimHash near-dup -----------------------------------------------------
+def _simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, fp): signed-64-bit TF-weighted SimHash fingerprints."""
+    return _simhash_fingerprints_of(_docs_repartitioned(spark, sf_dir))
+
+
+def _simhash_fingerprints_of(d: DataFrame) -> DataFrame:
+    """Fingerprint any (doc_id, text) DataFrame — split out so tests can
+    fingerprint synthetic corpora with realistic vocabulary breadth (the
+    driver testdata draws from a 31-token vocabulary, which concentrates
+    fingerprints regardless of band width — a data property, not a plan
+    property; see tests/test_simhash_scale.py)."""
+    # hash before the frequency groupBy: the shuffle carries (doc_id, long)
+    # pairs instead of token strings (same trick as the shingle pipeline)
+    hs = (
+        d.select("doc_id", F.explode(F.split(F.lower("text"), " ")).alias("w"))
+        .filter(F.col("w") != "")
+        .select("doc_id", (md5_long(F.col("w")) % P31).alias("hm"))
+        .groupBy("doc_id", "hm")
+        .agg(F.count("*").alias("cnt"))
+    )
+    sums = hs.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                (((F.lit(a) * F.col("hm") + F.lit(b)) % P31) % 2 * 2 - 1) * F.col("cnt")
+            ).alias(f"s{i}")
+            for i, (a, b) in enumerate(SH_COEFFS)
+        ]
+    )
+    fp_col = None
+    for b in range(SIMHASH_BITS):
+        addend = _I64_MIN if b == SIMHASH_BITS - 1 else (1 << b)
+        term = F.when(F.col(f"s{b}") > 0, F.lit(addend).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        fp_col = term if fp_col is None else fp_col + term
+    return sums.select("doc_id", fp_col.alias("fp"))
+
+
+def _simhash_candidates(fp: DataFrame, band_bits: int = SIMHASH_BAND_BITS) -> DataFrame:
+    """(doc_a, doc_b) pairs sharing at least one exact band of the fp."""
+    n_bands = SIMHASH_BITS // band_bits
+    mask = (1 << band_bits) - 1
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band"),
+                (F.shiftright(F.col("fp"), i * band_bits).bitwiseAND(mask)).alias("bucket"),
+            )
+            for i in range(n_bands)
+        ]
+    )
+    bands = fp.select("doc_id", F.explode(band_structs).alias("bb")).select(
+        "doc_id", "bb.band", "bb.bucket"
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
 def _sql_simhash_sums() -> str:
     return ",\n             ".join(
-        f"SUM((((h >> {b}) & 1) * 2 - 1) * cnt) AS s{b}" for b in range(SIMHASH_BITS)
+        f"SUM(((({a} * hm + {b}) % {P31}) % 2 * 2 - 1) * cnt) AS s{i}"
+        for i, (a, b) in enumerate(SH_COEFFS)
     )
 
 
 def _sql_simhash_fp() -> str:
+    # bit 63 contributes int64-min (two's complement); positives accumulate
+    # first so every partial sum stays inside int64.
     terms = " + ".join(
         f"(CASE WHEN s{b} > 0 THEN CAST({1 << b} AS BIGINT) ELSE 0 END)"
-        for b in range(SIMHASH_BITS)
+        for b in range(SIMHASH_BITS - 1)
+    )
+    terms += (
+        f" + (CASE WHEN s{SIMHASH_BITS - 1} > 0"
+        " THEN CAST(-9223372036854775807 - 1 AS BIGINT) ELSE 0 END)"
     )
     return f"CAST({terms} AS BIGINT)"
 
 
 def _sql_simhash_bands() -> str:
     n_bands = SIMHASH_BITS // SIMHASH_BAND_BITS
+    mask = (1 << SIMHASH_BAND_BITS) - 1
     selects = [
-        f"SELECT doc_id, {i} AS band, (fp >> {i * SIMHASH_BAND_BITS}) & 255 AS bucket FROM fp"
+        f"SELECT doc_id, {i} AS band, (fp >> {i * SIMHASH_BAND_BITS}) & {mask} AS bucket FROM fp"
         for i in range(n_bands)
     ]
     return "\n      UNION ALL ".join(selects)
@@ -363,10 +473,10 @@ def _sql_simhash_bands() -> str:
     "dedup_simhash",
     oracle=f"""
     WITH hs AS (
-      SELECT doc_id, {sql_md5_long('w')} AS h, COUNT(*) AS cnt
+      SELECT doc_id, {sql_md5_long('w')} % {P31} AS hm, COUNT(*) AS cnt
       FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w FROM documents)
       WHERE w <> ''
-      GROUP BY doc_id, h
+      GROUP BY doc_id, hm
     ),
     sums AS (
       SELECT doc_id,
@@ -390,67 +500,19 @@ def _sql_simhash_bands() -> str:
     WHERE bit_count(xor(fa.fp, fb.fp)) <= {SIMHASH_HAMMING_MAX}
     """,
     doc=f"SimHash near-dup: {SIMHASH_BITS}-bit term-frequency-weighted "
-    "fingerprint (Charikar), byte-band candidates, Hamming distance ≤ "
-    f"{SIMHASH_HAMMING_MAX} verify. Fingerprints are 8-byte values — the "
-    "candidate join shuffles ~1/1000th of the shingle-join's volume, the "
-    "cheapest near-dup tier at 100 TB.",
+    f"fingerprint (Charikar), {SIMHASH_BAND_BITS}-bit-band candidates "
+    f"(65,536 buckets/band), Hamming distance ≤ {SIMHASH_HAMMING_MAX} "
+    "verify with pigeonhole-guaranteed candidate recall. Fingerprints are "
+    "8-byte values — the candidate join shuffles ~1/1000th of the "
+    "shingle-join's volume, the cheapest near-dup tier at 100 TB.",
     bench=True,
     tags=("dedup", "simhash"),
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _docs_repartitioned(spark, sf_dir)
-    # hash before the frequency groupBy: the shuffle carries (doc_id, long)
-    # pairs instead of token strings (same trick as the shingle pipeline)
-    hs = (
-        d.select("doc_id", F.explode(F.split(F.lower("text"), " ")).alias("w"))
-        .filter(F.col("w") != "")
-        .select("doc_id", md5_long(F.col("w")).alias("h"))
-        .groupBy("doc_id", "h")
-        .agg(F.count("*").alias("cnt"))
-    )
-    sums = hs.groupBy("doc_id").agg(
-        *[
-            F.sum(
-                ((F.shiftright(F.col("h"), b).bitwiseAND(1)) * 2 - 1) * F.col("cnt")
-            ).alias(f"s{b}")
-            for b in range(SIMHASH_BITS)
-        ]
-    )
-    fp_col = None
-    for b in range(SIMHASH_BITS):
-        term = F.when(F.col(f"s{b}") > 0, F.lit(1 << b).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
-        fp_col = term if fp_col is None else fp_col + term
-    fp = sums.select("doc_id", fp_col.alias("fp"))
-
-    n_bands = SIMHASH_BITS // SIMHASH_BAND_BITS
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(i).alias("band"),
-                (
-                    F.shiftright(F.col("fp"), i * SIMHASH_BAND_BITS).bitwiseAND(255)
-                ).alias("bucket"),
-            )
-            for i in range(n_bands)
-        ]
-    )
-    bands = fp.select("doc_id", F.explode(band_structs).alias("bb")).select(
-        "doc_id", "bb.band", "bb.bucket"
-    )
-    a = bands.alias("a")
-    b = bands.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-    )
+    # the fingerprint table feeds the band join AND both verify sides;
+    # persist it so the 64-term sign-sum aggregate runs once, not 3×
+    fp = _simhash_fingerprints(spark, sf_dir).persist(StorageLevel.MEMORY_AND_DISK)
+    cand = _simhash_candidates(fp)
     fa = fp.select(F.col("doc_id").alias("doc_a"), F.col("fp").alias("fp_a"))
     fb = fp.select(F.col("doc_id").alias("doc_b"), F.col("fp").alias("fp_b"))
     ham = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
