@@ -451,6 +451,12 @@ def q_pivot_priority_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 #: KMV sketch size (k minimum hash values per group)
 KMV_K = 64
+#: salt fan-out for the partial bottom-k stage: the stage-1 sort runs over
+#: (event_type, h % KMV_SALT) groups, so parallelism is #keys × 256 and no
+#: task ever sorts a whole key's hash set. Any member of a key's global
+#: bottom-k is also in its salt group's bottom-k, so the merge stage sees
+#: every needed hash among ≤ 256·k survivors per key.
+KMV_SALT = 256
 _MAX56F = float(1 << 56)
 
 
@@ -462,26 +468,39 @@ _MAX56F = float(1 << 56)
              CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 14)) AS BIGINT) AS h
       FROM events
     ),
-    ranked AS (
+    exact AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_exact
+      FROM hashed GROUP BY event_type
+    ),
+    partial AS (
       SELECT event_type, h,
-             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rn,
-             COUNT(*) OVER (PARTITION BY event_type) AS n_exact
+             ROW_NUMBER() OVER (PARTITION BY event_type, h % {KMV_SALT}
+                                ORDER BY h) AS rn1
       FROM hashed
+    ),
+    merged AS (
+      SELECT p.event_type, p.h, e.n_exact,
+             ROW_NUMBER() OVER (PARTITION BY p.event_type ORDER BY p.h) AS rn
+      FROM partial p JOIN exact e ON p.event_type = e.event_type
+      WHERE p.rn1 <= {KMV_K}
     )
     SELECT event_type,
            CAST(n_exact AS BIGINT) AS exact_distinct,
            CASE WHEN n_exact < {KMV_K} THEN CAST(n_exact AS DOUBLE)
                 ELSE CAST({KMV_K - 1} AS DOUBLE) * {_MAX56F:.1f} / CAST(h AS DOUBLE)
            END AS kmv_estimate
-    FROM ranked
+    FROM merged
     WHERE rn = least(n_exact, {KMV_K})
       AND (n_exact < {KMV_K} OR rn = {KMV_K})
     """,
     doc=f"KMV (k-minimum-values, k={KMV_K}) distinct-count sketch over "
     "portable 56-bit hashes — unlike HLL, fully deterministic and "
     "bit-identical across engines, so the approximate estimate itself is "
-    "oracle-checked. Mergeable bottom-k state at 100 TB: each partition "
-    "keeps its k smallest hashes; merge = k smallest of the union.",
+    "oracle-checked. Mergeable two-stage bottom-k: stage 1 keeps each "
+    f"(key, h % {KMV_SALT}) group's k smallest (parallelism = keys × "
+    f"{KMV_SALT}, no global per-key sort); stage 2 merges the ≤ "
+    f"{KMV_SALT}·k survivors per key. exact_distinct rides the scalable "
+    "hash-agg count, not a sort.",
     tags=("sketch", "distinct"),
 )
 def sketch_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -493,12 +512,22 @@ def sketch_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     hashed = e.select(
         "event_type", md5_long(F.col("user_id").cast("string")).alias("h")
     ).distinct()
-    w = Window.partitionBy("event_type")
-    ranked = hashed.select(
-        "event_type",
-        "h",
-        F.row_number().over(w.orderBy("h")).alias("rn"),
-        F.count("*").over(w).alias("n_exact"),
+    # exact count: plain two-stage hash aggregate — scales with partials
+    exact = hashed.groupBy("event_type").agg(F.count("*").alias("n_exact"))
+    # stage 1: bottom-k inside each (key, salt) group — the sort is spread
+    # over keys × KMV_SALT tasks and each only needs its k smallest
+    w1 = Window.partitionBy("event_type", "salt").orderBy("h")
+    survivors = (
+        hashed.withColumn("salt", F.col("h") % KMV_SALT)
+        .withColumn("rn1", F.row_number().over(w1))
+        .filter(F.col("rn1") <= KMV_K)
+        .select("event_type", "h")
+    )
+    # stage 2: merge — ≤ KMV_SALT·k rows per key, a bounded-input sort.
+    # exact is #distinct-keys rows, broadcast by size.
+    w2 = Window.partitionBy("event_type").orderBy("h")
+    merged = survivors.join(F.broadcast(exact), "event_type").withColumn(
+        "rn", F.row_number().over(w2)
     )
     est = F.when(
         F.col("n_exact") < KMV_K, F.col("n_exact").cast("double")
@@ -506,7 +535,7 @@ def sketch_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(float(KMV_K - 1)) * F.lit(_MAX56F) / F.col("h").cast("double")
     )
     return (
-        ranked.filter(
+        merged.filter(
             (F.col("rn") == F.least(F.col("n_exact"), F.lit(KMV_K)))
             & ((F.col("n_exact") < KMV_K) | (F.col("rn") == KMV_K))
         )
