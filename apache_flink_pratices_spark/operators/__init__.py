@@ -15,3 +15,6 @@ from apache_flink_pratices_spark.operators import (  # noqa: F401
     text,
     windows,
 )
+
+# K2/K3 wire-projection queries register from the sink module itself
+from apache_flink_pratices_spark.sinks import kafka as _kafka_sink  # noqa: F401

@@ -112,10 +112,13 @@ def _build_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.select("event_id", js.alias("js"))
 
 
-@register(
-    "p_market_pipeline",
-    oracle=f"""
-    WITH {_SQL_BUILD},
+def sql_parsed_market_rows(restrict_types: bool = True) -> str:
+    """DuckDB CTE chain ending in a ``typed`` relation: the parsed,
+    validated market rows (optionally without the trade/orderbook type
+    restriction, for consumers that route on event_type themselves)."""
+    type_filter = "AND ty IN ('trade', 'orderbook')" if restrict_types else ""
+    return f"""
+    {_SQL_BUILD},
     valid AS (SELECT event_id, js FROM built WHERE json_valid(js)),
     parsed AS (
       SELECT event_id,
@@ -126,34 +129,37 @@ def _build_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(json_extract(js, '$.ttms') AS BIGINT) AS ttms,
              CAST(json_extract(js, '$.tms') AS BIGINT) AS tms
       FROM valid
+    ),
+    typed AS (
+      SELECT event_id,
+             upper(cd) AS code,
+             ty AS event_type,
+             tp AS price_cents,
+             tv AS volume_milli,
+             coalesce(ttms, tms) AS event_ts_ms,
+             tms + {_RECV_DELAY_MS} AS recv_ts_ms
+      FROM parsed
+      WHERE upper(cd) LIKE 'KRW-%'
+        AND coalesce(ttms, tms) <= tms + {_RECV_DELAY_MS}
+        {type_filter}
     )
-    SELECT event_id,
-           upper(cd) AS code,
-           ty AS event_type,
-           tp AS price_cents,
-           tv AS volume_milli,
-           coalesce(ttms, tms) AS event_ts_ms,
-           tms + {_RECV_DELAY_MS} AS recv_ts_ms
-    FROM parsed
-    WHERE ty IN ('trade', 'orderbook')
-      AND upper(cd) LIKE 'KRW-%'
-      AND coalesce(ttms, tms) <= tms + {_RECV_DELAY_MS}
-    """,
-    doc="P4-P7 composed: strict JSON parse (corrupt rows dropped), "
-    "type/subscription filter, KRW-prefix + causality validation, code "
-    "normalization, event-time extraction with ttms→tms fallback — the "
-    "reference's WebSocket parse path as one JVM-side plan.",
-    tags=("transform", "json", "pipeline"),
-)
-def p_market_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """
+
+
+def parsed_market_rows(
+    spark: SparkSession, sf_dir: str, restrict_types: bool = True
+) -> DataFrame:
+    """Parsed + validated market rows; ``restrict_types=False`` keeps
+    unrouted types (ticker) so downstream topic routing can drop them."""
     raw = _build_payloads(spark, sf_dir)
     p = raw.select("event_id", F.from_json("js", _MSG_SCHEMA).alias("m"))
     event_ts = F.coalesce(F.col("m.ttms"), F.col("m.tms"))
     recv_ts = F.col("m.tms") + _RECV_DELAY_MS
+    out = p.filter(F.col("m").isNotNull() & F.col("m.ty").isNotNull())
+    if restrict_types:
+        out = out.filter(F.col("m.ty").isin("trade", "orderbook"))
     return (
-        p.filter(F.col("m").isNotNull() & F.col("m.ty").isNotNull())
-        .filter(F.col("m.ty").isin("trade", "orderbook"))
-        .filter(F.upper(F.col("m.cd")).startswith("KRW-"))
+        out.filter(F.upper(F.col("m.cd")).startswith("KRW-"))
         .filter(event_ts <= recv_ts)
         .select(
             "event_id",
@@ -165,3 +171,19 @@ def p_market_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             recv_ts.alias("recv_ts_ms"),
         )
     )
+
+
+@register(
+    "p_market_pipeline",
+    oracle=f"""
+    WITH {sql_parsed_market_rows(restrict_types=True)}
+    SELECT * FROM typed
+    """,
+    doc="P4-P7 composed: strict JSON parse (corrupt rows dropped), "
+    "type/subscription filter, KRW-prefix + causality validation, code "
+    "normalization, event-time extraction with ttms→tms fallback — the "
+    "reference's WebSocket parse path as one JVM-side plan.",
+    tags=("transform", "json", "pipeline"),
+)
+def p_market_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return parsed_market_rows(spark, sf_dir, restrict_types=True)

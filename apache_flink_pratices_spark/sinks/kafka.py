@@ -85,6 +85,100 @@ def to_kafka_frame(
     return out.select(*cols)
 
 
+# --- K2/K3 wire projection as oracle-checked batch queries -----------------
+# The sink's column construction is pure projection, so it is verifiable
+# without a broker (VERDICT r2 #3): build the exact (key, value[, topic])
+# frame Spark's Kafka writer consumes, then emit driver-comparable columns
+# (key text, value md5 + byte length — md5 proves the value bytes match
+# across engines without pushing raw BLOBs through the driver's hash).
+def _wire_payload() -> Column:
+    """Serialized value payload — integer-only JSON so both engines render
+    byte-identical strings (same trick as the market-pipeline corpus)."""
+    return F.concat(
+        F.lit('{"code":"'), F.col("code"),
+        F.lit('","t":'), F.col("event_ts_ms").cast("string"),
+        F.lit(',"p":'), F.col("price_cents").cast("string"),
+        F.lit(',"v":'), F.col("volume_milli").cast("string"),
+        F.lit("}"),
+    )
+
+
+_SQL_WIRE_PAYLOAD = (
+    "'{\"code\":\"' || code || '\",\"t\":' || event_ts_ms || "
+    "',\"p\":' || price_cents || ',\"v\":' || volume_milli || '}'"
+)
+
+
+def _register_wire_queries() -> None:
+    from apache_flink_pratices_spark.operators.market_pipeline import (
+        parsed_market_rows,
+        sql_parsed_market_rows,
+    )
+    from apache_flink_pratices_spark.registry import register
+
+    @register(
+        "kafka_wire_trades",
+        oracle=f"""
+        WITH {sql_parsed_market_rows(restrict_types=True)}
+        SELECT code AS key_str,
+               md5({_SQL_WIRE_PAYLOAD}) AS value_md5,
+               CAST(strlen({_SQL_WIRE_PAYLOAD}) AS BIGINT) AS value_len
+        FROM typed
+        WHERE event_type = 'trade'
+        """,
+        doc="K2 Kafka sink wire frame for trades: key = market code "
+        "(Kafka hash partitioning → per-key ordering, reference "
+        "kafka_producer.py:240-245), value = serialized payload. The "
+        "registered output carries the key text plus md5/length of the "
+        "value bytes, proving the exact bytes the producer would send.",
+        tags=("sink", "kafka"),
+    )
+    def kafka_wire_trades(spark, sf_dir):
+        rows = parsed_market_rows(spark, sf_dir, restrict_types=True).filter(
+            F.col("event_type") == "trade"
+        )
+        wire = to_kafka_frame(rows.withColumn("payload", _wire_payload()), "code", "payload")
+        return wire.select(
+            F.col("key").cast("string").alias("key_str"),
+            F.md5(F.col("value")).alias("value_md5"),
+            F.length(F.col("value")).cast("long").alias("value_len"),
+        )
+
+    @register(
+        "kafka_wire_routed",
+        oracle=f"""
+        WITH {sql_parsed_market_rows(restrict_types=False)}
+        SELECT code AS key_str,
+               md5({_SQL_WIRE_PAYLOAD}) AS value_md5,
+               CASE event_type WHEN 'trade' THEN '{TRADES_TOPIC}'
+                               WHEN 'orderbook' THEN '{ORDERBOOKS_TOPIC}'
+               END AS topic
+        FROM typed
+        WHERE event_type IN ('trade', 'orderbook')
+        """,
+        doc="K3 topic routing: one wire frame serves all topics via the "
+        "topic column (trade → upbit.trades.v1, orderbook → "
+        "upbit.orderbooks.v1, reference ingestion_service.py:322-337); "
+        "unrouted types (ticker) get a NULL topic and are skipped, the "
+        "reference's log-and-skip stance.",
+        tags=("sink", "kafka", "routing"),
+    )
+    def kafka_wire_routed(spark, sf_dir):
+        rows = parsed_market_rows(spark, sf_dir, restrict_types=False)
+        wire = to_kafka_frame(
+            rows.withColumn("payload", _wire_payload()), "code", "payload",
+            type_col="event_type",
+        )
+        return wire.select(
+            F.col("key").cast("string").alias("key_str"),
+            F.md5(F.col("value")).alias("value_md5"),
+            F.col("topic"),
+        )
+
+
+_register_wire_queries()
+
+
 def write_kafka_stream(
     wire: DataFrame,
     brokers: str,
