@@ -36,7 +36,18 @@ def salted_join(
 
     The salt is ``xxhash64`` of the big side's full row (so it is
     deterministic and uniform even for one hot key); the small side is
-    exploded once per salt value. Join keys become (key, salt)."""
+    exploded once per salt value. Join keys become (key, salt).
+
+    Only join types where an unmatched SMALL-side row contributes nothing
+    are allowed: with ``right``/``full``/``anti`` the replicated small side
+    would emit each unmatched row once per salt replica (ADVICE r2)."""
+    allowed = {"inner", "left", "left_outer", "leftouter", "left_semi", "leftsemi", "semi"}
+    if how.lower() not in allowed:
+        raise ValueError(
+            f"salted_join is result-preserving only for {sorted(allowed)}; "
+            f"got how={how!r} (unmatched small-side rows would duplicate "
+            f"once per salt replica)"
+        )
     salt = F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(salt_n))
     big_s = big.withColumn("__salt", salt.cast("int"))
     small_s = small.withColumn(

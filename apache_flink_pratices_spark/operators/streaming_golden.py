@@ -119,6 +119,13 @@ def stream_fraud_golden(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _CODE = "KRW-BTC"
 _B = datetime.datetime(2021, 1, 1, tzinfo=datetime.timezone.utc)
+#: epoch micros of _B — ts_us MUST be the absolute unix_micros(ts) (what
+#: unify_streams produces): watch deadlines are derived from ts_us and
+#: armed as event-time timeouts, so they must share the watermark's
+#: domain. Scenario-relative ts_us put deadlines ~1.6e12 ms below the
+#: watermark, and any watch spanning a micro-batch boundary would crash
+#: setTimeoutTimestamp (ADVICE r2).
+_BASE_US = int(_B.timestamp()) * 1_000_000
 
 
 def _cep_scenario():
@@ -127,11 +134,11 @@ def _cep_scenario():
         return _B + datetime.timedelta(seconds=sec)
 
     def ob(sec, ask, bid, levels):
-        return (_CODE, ts(sec), int(sec * 1_000_000), "orderbook",
+        return (_CODE, ts(sec), _BASE_US + int(sec * 1_000_000), "orderbook",
                 None, None, ask, bid, levels, None, None, None, None)
 
     def trade(sec, price, vol):
-        return (_CODE, ts(sec), int(sec * 1_000_000), "trade",
+        return (_CODE, ts(sec), _BASE_US + int(sec * 1_000_000), "trade",
                 price, vol, None, None, None, None, None, None, None)
 
     rows = [ob(5 * k, 1000, 1000, [(100 + i, 100) for i in range(10)]) for k in range(12)]
@@ -147,10 +154,9 @@ def _cep_scenario():
 
 
 def _cep_expected() -> list[tuple]:
-    # scenario rows carry scenario-relative ts_us (the watermark column ts
-    # is absolute; the processor consumes ts_us as-is)
-    buy_us = 58_199_000  # watch fires just before the 58.2s book
-    sell_us = 65_000_000
+    # ts_us is absolute unix_micros (same domain as the watermark)
+    buy_us = _BASE_US + 58_199_000  # watch fires just before the 58.2s book
+    sell_us = _BASE_US + 65_000_000
     return [
         (_CODE, buy_us, "BUY", P_WAVE_REASON,
          deterministic_signal_id(_CODE, "BUY", P_WAVE_REASON, buy_us), 50_000.0),

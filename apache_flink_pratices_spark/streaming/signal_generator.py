@@ -324,6 +324,14 @@ def make_signal_generator():
                     on_feedback(row)
                 elif row.source == "restore":
                     on_restore(row)
+            # End-of-batch drain (mirrors streaming/fraud.py): watches the
+            # watermark has already passed fire now — they would have been
+            # timeout callbacks had no rows arrived, and a leftover deadline
+            # <= WM would make write()'s setTimeoutTimestamp raise
+            # INVALID_TIMEOUT_TIMESTAMP. Late input rows (which
+            # applyInPandasWithState does NOT filter) can arm such watches.
+            wm = state.getCurrentWatermarkMs()
+            fire_due_watches(wm, wm * 1000)
 
         st.write(state)
         if signals:

@@ -16,6 +16,16 @@ from pyspark.sql import DataFrame
 
 
 def drop_late(df: DataFrame, ts_col: str, delay: str = "0 seconds") -> DataFrame:
-    """Apply the engine's late-data policy: events older than the max seen
-    event time (minus ``delay``) are dropped by downstream stateful ops."""
+    """Apply the engine's late-data policy via a watermark.
+
+    What the watermark actually enforces differs by operator (ADVICE r2):
+    built-in stateful ops (windowed aggregation, stream-stream joins,
+    dropDuplicatesWithinWatermark) DO drop rows older than the watermark,
+    but ``applyInPandasWithState`` delivers late rows to the processor —
+    there the watermark only drives event-time timeouts and state-cleanup
+    timing. Our keyed processors therefore implement the reference's
+    late-data stance themselves: the fraud detector processes by event
+    time (late rows re-enter the timeline deterministically), and the CEP
+    generator drains due watches against the watermark at end-of-batch so
+    a late row can never leave a stale timer armed."""
     return df.withWatermark(ts_col, delay)

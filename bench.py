@@ -2,12 +2,20 @@
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
 JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...}.
+
+Each query runs $SPARK_GRAFT_BENCH_RUNS times (default 3); "queries"
+carries the per-query MIN (the best estimate of the plan's cost on this
+box, which has ±2x scheduling noise) and "queries_median" the median (the
+noise indicator). Round-over-round comparisons should use the min.
+Timing is a noop-format write — count() lets Catalyst skip computing
+final projections, which made round-1 numbers up to 10x optimistic.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -19,29 +27,45 @@ from apache_flink_pratices_spark.session import get_spark
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     spark = get_spark("afp-bench")
     spark.sparkContext.setLogLevel("WARN")
     specs = {n: s for n, s in all_specs().items() if s.bench}
 
     timings: dict[str, float] = {}
+    medians: dict[str, float] = {}
     rows: dict[str, int] = {}
     # warm the JVM/session on the smallest table once
     spark.read.parquet(f"{sf_dir}/region.parquet").count()
     for name, spec in specs.items():
-        # Timed: a noop-format write — materializes every output column
-        # end-to-end (count() lets Catalyst skip final projections).
-        t0 = time.perf_counter()
-        df = spec.fn(spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 4)
-        rows[name] = df.count()  # untimed, recorded for sanity
+        per: list[float] = []
+        for _ in range(n_runs):
+            t0 = time.perf_counter()
+            df = spec.fn(spark, sf_dir)
+            # Timed: a noop-format write — materializes every output column
+            # end-to-end (count() lets Catalyst skip final projections).
+            df.write.format("noop").mode("overwrite").save()
+            per.append(time.perf_counter() - t0)
+            # drop any persist() the query made so repeats stay independent
+            spark.catalog.clearCache()
+        timings[name] = round(min(per), 4)
+        medians[name] = round(statistics.median(per), 4)
+        rows[name] = spec.fn(spark, sf_dir).count()  # untimed, for sanity
+        spark.catalog.clearCache()
 
     out = {
         "metric": "headline_queries_total_wall",
         "value": round(sum(timings.values()), 4),
         "unit": "sec",
         "queries": timings,
+        "queries_median": medians,
+        "runs": n_runs,
+        "schema_note": (
+            "queries/value = per-query min over `runs` noop-write executions "
+            "(cache cleared between runs); queries_median = per-query median, "
+            "the box-noise indicator"
+        ),
         "rows": rows,
         "sf": sf,
     }

@@ -34,7 +34,10 @@ from apache_flink_pratices_spark.streaming.signal_generator import (
     unify_streams,
 )
 
-BASE = datetime.datetime(2021, 1, 1)
+BASE = datetime.datetime(2021, 1, 1, tzinfo=datetime.timezone.utc)
+#: ts_us is the absolute unix_micros(ts) — the same domain the watermark
+#: lives in, so watch deadlines survive micro-batch boundaries (ADVICE r2)
+BASE_US = int(BASE.timestamp()) * 1_000_000
 CODE = "KRW-BTC"
 
 
@@ -42,23 +45,27 @@ def _ts(sec: float) -> datetime.datetime:
     return BASE + datetime.timedelta(seconds=sec)
 
 
+def _us(sec: float) -> int:
+    return BASE_US + int(sec * 1_000_000)
+
+
 def _ob(sec, total_ask, total_bid, levels):
     return (
-        CODE, _ts(sec), int(sec * 1_000_000), "orderbook",
+        CODE, _ts(sec), _us(sec), "orderbook",
         None, None, total_ask, total_bid, levels, None, None, None, None,
     )
 
 
 def _trade(sec, price, volume):
     return (
-        CODE, _ts(sec), int(sec * 1_000_000), "trade",
+        CODE, _ts(sec), _us(sec), "trade",
         price, volume, None, None, None, None, None, None, None,
     )
 
 
 def _restore(sec, signal_id, entry_price):
     return (
-        CODE, _ts(sec), int(sec * 1_000_000), "restore",
+        CODE, _ts(sec), _us(sec), "restore",
         None, None, None, None, None, signal_id, None, P_WAVE_REASON, entry_price,
     )
 
@@ -117,7 +124,7 @@ def _run(spark, tmpdir, rows, chunks, name):
 
 def test_full_lifecycle(spark, tmp_path):
     signals = _run(spark, tmp_path, _scenario(), chunks=3, name="sigs")
-    shape = [(r.side, r.reason, r.ts_us // 1_000_000) for r in signals]
+    shape = [(r.side, r.reason, (r.ts_us - BASE_US) // 1_000_000) for r in signals]
     assert shape == [
         ("BUY", P_WAVE_REASON, 58),
         ("SELL", P_WAVE_REASON, 65),
@@ -129,6 +136,24 @@ def test_full_lifecycle(spark, tmp_path):
     # ref price is the last trade price seen before the signal
     assert buy.ref_price == 50_000.0
     assert signals[1].ref_price == 50_300.0
+
+
+def test_rechunking_invariance(spark, tmp_path):
+    """Micro-batch boundaries must not change the output — including a
+    chunking that splits the arm(t=56)/fire(t=58.2) rows so an armed watch
+    spans a batch boundary (the case that crashed setTimeoutTimestamp when
+    ts_us was scenario-relative, and that exercises both the event-time
+    timeout path and the end-of-batch drain)."""
+    rows = _scenario()
+    base = None
+    for chunks in (1, 2, 5, len(rows)):
+        got = _run(spark, tmp_path / f"c{chunks}", rows, chunks=chunks, name=f"sig_c{chunks}")
+        shaped = [(r.side, r.reason, r.ts_us, r.signal_id, r.ref_price) for r in got]
+        if base is None:
+            base = shaped
+        else:
+            assert shaped == base, f"chunks={chunks} diverged: {shaped} vs {base}"
+    assert [s[0] for s in base] == ["BUY", "SELL", "SELL"]
 
 
 def test_no_buy_without_spoof(spark, tmp_path):
@@ -151,7 +176,7 @@ def test_feedback_failure_removes_position(spark, tmp_path):
         _trade(2, 100.0, 1.0),
         _trade(3, 100.0, 1.0),
         (
-            CODE, _ts(5), 5_000_000, "feedback",
+            CODE, _ts(5), _us(5), "feedback",
             None, None, None, None, None, "sid-x", "FAILED", P_WAVE_REASON, None,
         ),
         _ob(6, 900, 300, _stable_levels(90)),
@@ -167,7 +192,7 @@ def test_feedback_filled_keeps_position(spark, tmp_path):
         _trade(2, 100.0, 1.0),
         _trade(3, 100.0, 1.0),
         (
-            CODE, _ts(5), 5_000_000, "feedback",
+            CODE, _ts(5), _us(5), "feedback",
             None, None, None, None, None, "sid-y", "FILLED", P_WAVE_REASON, None,
         ),
         _ob(6, 900, 300, _stable_levels(90)),

@@ -61,3 +61,15 @@ def test_salt_actually_spreads_hot_key(spark):
     assert len(buckets) == 8, "hot key must spread across all salt buckets"
     counts = [r["count"] for r in buckets]
     assert max(counts) < 5000 * 0.25  # no bucket holds the bulk
+
+
+def test_salted_join_rejects_outer_types(spark):
+    """right/full would emit unmatched small-side rows once per salt
+    replica — the helper must refuse rather than silently duplicate."""
+    import pytest
+
+    big = spark.createDataFrame([(1, "a")], "k int, payload string")
+    small = spark.createDataFrame([(1, "x"), (2, "y")], "k int, name string")
+    for how in ("right", "full", "full_outer", "left_anti"):
+        with pytest.raises(ValueError, match="result-preserving"):
+            salted_join(big, small, "k", how=how)
