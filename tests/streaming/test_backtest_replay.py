@@ -1,0 +1,125 @@
+"""Backtest replay gate — makes BASELINE.md's last untranslated row
+measurable: "one day of market data processed in minutes" (reference
+architecture goal, ``docs/project docs/호가창 분석 스캘퍼: 시스템
+아키텍처.md:106``).
+
+Replays a full-fidelity 15-minute slice of an 8-market feed (2 orderbooks/s
++ 1 trade/s per market, with periodic spoof episodes so the CEP state
+machine does real work) through the REAL streaming path — file source →
+watermark → keyed ``applyInPandasWithState`` SignalGenerator → sink — and
+extrapolates the measured rate to the 24 h corpus. The gate asserts the
+extrapolated day fits in 30 minutes; the measured rate and day-replay
+minutes are printed for the bench record.
+
+Linear extrapolation is sound here because per-key state is bounded (TTL'd
+MapState, fixed-depth trailing windows): throughput does not degrade with
+stream length, only with per-batch volume, which the slice reproduces at
+full fidelity.
+"""
+
+from __future__ import annotations
+
+import datetime
+import os
+import time
+
+from apache_flink_pratices_spark.sources.collection import stream_from_collection
+from apache_flink_pratices_spark.streaming.signal_generator import (
+    UNIFIED_SCHEMA,
+    signal_stream,
+)
+
+SLICE_S = 900  # 15 min of feed at full fidelity
+DAY_S = 86_400
+N_CODES = 8
+BASE = datetime.datetime(2021, 1, 1, tzinfo=datetime.timezone.utc)
+BASE_US = int(BASE.timestamp()) * 1_000_000
+DAY_MINUTES_GATE = 30.0
+
+
+def _ts(sec: float) -> datetime.datetime:
+    return BASE + datetime.timedelta(seconds=sec)
+
+
+def _us(sec: float) -> int:
+    return BASE_US + int(sec * 1_000_000)
+
+
+def _ob(code, sec, ask, bid, levels):
+    return (code, _ts(sec), _us(sec), "orderbook",
+            None, None, int(ask), int(bid), levels, None, None, None, None)
+
+
+def _trade(code, sec, price, vol):
+    return (code, _ts(sec), _us(sec), "trade",
+            float(price), float(vol), None, None, None, None, None, None, None)
+
+
+def _stable_levels(size=100):
+    return [(100 + i, size) for i in range(10)]
+
+
+def _day_slice_rows():
+    """2 books/s + 1 trade/s per market; a spoof episode (density drop +
+    vanishing wall -> armed watch -> BUY) every 300 s per market."""
+    rows = []
+    episode_at = {300, 600}
+    for c in range(N_CODES):
+        code = f"KRW-C{c:02d}"
+        for s in range(SLICE_S):
+            in_episode = any(e <= s < e + 4 for e in episode_at)
+            if not in_episode:
+                rows.append(_ob(code, s, 1000, 1000, _stable_levels(100)))
+                rows.append(_ob(code, s + 0.5, 1000, 1000, _stable_levels(100)))
+                rows.append(_trade(code, s + 0.25, 50_000.0 + c, 5.0))
+        for e in episode_at:
+            # density drop + spoof wall appears, wall vanishes, then a book
+            # after the watch deadline fires the BUY
+            rows.append(_ob(code, e, 600, 1000,
+                            [(100 + i, 30) for i in range(10)] + [(999, 300)]))
+            rows.append(_ob(code, e + 1, 600, 1000, [(100 + i, 60) for i in range(10)]))
+            rows.append(_ob(code, e + 2.2, 600, 1000, [(100 + i, 60) for i in range(10)]))
+            rows.append(_trade(code, e + 3, 50_000.0 + c, 5.0))
+    rows.sort(key=lambda r: r[2])
+    return rows
+
+
+def test_day_replay_in_minutes(spark, tmp_path):
+    rows = _day_slice_rows()
+    src = stream_from_collection(
+        spark, rows, UNIFIED_SCHEMA, os.path.join(str(tmp_path), "in"), chunks=4
+    )
+    q = (
+        signal_stream(src)
+        .writeStream.format("memory")
+        .queryName("replay_sigs")
+        .option("checkpointLocation", os.path.join(str(tmp_path), "ckpt"))
+        .outputMode("append")
+        .start()
+    )
+    t0 = time.perf_counter()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    wall = time.perf_counter() - t0
+
+    n_signals = spark.sql("SELECT COUNT(*) AS n FROM replay_sigs").collect()[0].n
+    assert n_signals >= N_CODES, (
+        f"replay must exercise the signal path: {n_signals} signals "
+        f"< {N_CODES} (one per market's spoof episodes)"
+    )
+
+    rate = len(rows) / wall
+    day_minutes = (DAY_S / SLICE_S) * wall / 60.0
+    day_events = int(len(rows) * DAY_S / SLICE_S)
+    print(
+        f"\nbacktest replay: {len(rows)} events in {wall:.1f}s "
+        f"({rate:,.0f} ev/s) -> a {day_events:,}-event day in "
+        f"{day_minutes:.1f} min across {N_CODES} markets"
+    )
+    assert day_minutes <= DAY_MINUTES_GATE, (
+        f"extrapolated day replay {day_minutes:.1f} min exceeds the "
+        f"'day in minutes' gate ({DAY_MINUTES_GATE:.0f} min) — "
+        f"rate was {rate:,.0f} ev/s"
+    )
