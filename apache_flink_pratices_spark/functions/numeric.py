@@ -49,3 +49,50 @@ def sql_dsum(expr: str) -> str:
 def sql_davg(expr: str) -> str:
     """DuckDB-side rendering of :func:`davg`."""
     return f"{sql_dsum(expr)} / COUNT({expr})"
+
+
+# -- scaled-int64 fast path ---------------------------------------------------
+#
+# For money/quantity columns whose values are exact multiples of 1/scale,
+# sum(round(x*scale)::long)/scale equals the decimal sum exactly, and the
+# hot accumulation runs on JVM longs instead of BigDecimal (measured ~1.4x
+# on TPC-H Q1's scan-agg; see ``docs/scale_notes.md``). The catch at 100 TB
+# is overflow: a single int64 accumulator holding sum(x*1e6) over ~1e11+
+# rows per group passes 2^63. The scale-safe shape is therefore TWO-stage:
+#
+#   stage 1  groupBy(keys, spark_partition_id()) . sum(long)
+#            — an input-split never exceeds maxPartitionBytes (128 MB ≈
+#              ~2M rows), so per-partition long sums are overflow-free by
+#              construction (≥ 100x headroom at scaled values < 2^26);
+#   stage 2  groupBy(keys) . sum(partial::decimal(38,0))
+#            — exact merge of one row per (group, partition): negligible.
+#
+# DuckDB mirrors this with a single SUM(BIGINT) — its accumulator is a
+# 128-bit HUGEINT, so it computes the same exact integer; both sides then
+# convert exact-int → double → divide by the same literal, bit-identically.
+#
+# Rounding parity: Spark ``round`` is HALF_UP, DuckDB rounds half away from
+# zero — identical for the non-negative values these helpers are for. The
+# quantized products of 2dp inputs are exact integers anyway, so the .5
+# boundary is never actually hit.
+
+
+def qlong(col: Column | str, scale: int) -> Column:
+    """``round(x*scale)`` as int64 — the quantized per-row term."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.round(c * F.lit(float(scale))).cast("long")
+
+
+def sql_qsum(expr: str, scale: int) -> str:
+    """DuckDB rendering of the two-stage quantized sum (single-stage there:
+    HUGEINT accumulation is already exact)."""
+    return (
+        f"CAST(SUM(CAST(ROUND(({expr}) * {scale}.0) AS BIGINT)) AS DOUBLE)"
+        f" / {scale}.0"
+    )
+
+
+def sql_qavg(expr: str, scale: int) -> str:
+    """DuckDB rendering of the quantized mean (sum/scale, then /count —
+    division order must match the Spark side for bit-exactness)."""
+    return f"{sql_qsum(expr, scale)} / COUNT({expr})"

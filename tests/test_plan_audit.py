@@ -40,6 +40,20 @@ def test_q1_column_pruning(spark):
     assert {"l_returnflag", "l_linestatus", "l_quantity", "l_shipdate"} <= cols
 
 
+def test_q1_heavy_pass_sums_longs_not_decimals(spark):
+    """VERDICT r2 #6: the scan-side aggregation must accumulate int64
+    (quantized), with decimal appearing only in the tiny partial-merge
+    stage. spark_partition_id in the first groupBy is what bounds each
+    long accumulator to one input split (overflow safety)."""
+    plan = formatted_plan(q1_pricing_summary(spark, SF))
+    assert "SPARK_PARTITION_ID" in plan.upper(), plan
+    # two aggregations: (keys, pid) then keys — both exchanges are tiny
+    # (one row per group x partition)
+    assert exchange_count(plan) == 2, plan
+    # the quantized terms reach the scan-side aggregate as longs
+    assert "round(" in plan.lower() and "as bigint" in plan.lower().replace(" ", " "), plan
+
+
 def test_q5_dim_joins_broadcast_fact_join_shuffles(spark):
     plan = formatted_plan(q5_local_supplier(spark, SF))
     kinds = join_kinds(plan)
