@@ -2,6 +2,7 @@
 query in :mod:`apache_flink_pratices_spark.registry`."""
 
 from apache_flink_pratices_spark.operators import (  # noqa: F401
+    curation,
     dedup,
     fraud,
     market_pipeline,

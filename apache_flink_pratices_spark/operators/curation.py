@@ -1,0 +1,373 @@
+"""Corpus-curation operators: the composition layer of the training-data
+pipeline (superset of the reference — its scope ends at per-stream analytics,
+`src/` has no corpus tooling; these extend SURVEY.md §2's text/dedup suite
+into the end-to-end curation shapes a 100 TB pretraining pipeline needs).
+
+Five operators, each an oracle-checked batch query:
+
+- **dedup_clusters**: connected components over the verified simhash
+  near-dup pairs → one canonical document per duplicate cluster. Iterative
+  min-label propagation: each round is one shuffle of (8-byte, 8-byte)
+  pairs, and the round count is the cluster diameter — near-dup graphs are
+  dense blobs (diameter ≤ ~3), not paths, so this converges in a handful
+  of rounds at any corpus size. Adversarially long chains would want the
+  large-star/small-star variant (Kiveris et al., "Connected Components in
+  MapReduce"), which this plan's join structure extends to directly.
+- **contamination_ngrams**: eval-set leakage check — for every training
+  document, the fraction of its 3-gram shingles that appear anywhere in a
+  held-out eval split. The eval shingle set is tiny by construction
+  (eval splits are fixed-size while training corpora grow), so it is
+  broadcast and the check costs one map-side semi-join over the corpus:
+  no shuffle of training data at all.
+- **stratified_sample**: deterministic per-stratum Bernoulli sampling via
+  portable hash — reproducible across engines, runs, and cluster sizes
+  (no RNG state), pure map work, zero shuffles. The per-type basis-point
+  rates are the knob a data-mixing pipeline tunes per source.
+- **corpus_curation**: the end-to-end keep/drop decision — exact-dedup
+  canonical ∧ language identified ∧ quality score above threshold —
+  composed from the registered operators themselves, so the pipeline's
+  contract is exactly the already-verified pieces.
+- **doc_packing**: contiguous greedy sequence packing — documents are
+  laid out in doc_id order within a shard and cut into fixed token-budget
+  bins (the "concat-and-chunk" layout LLM pretraining uses). Window
+  arithmetic is per-shard, so parallelism scales with the shard count,
+  not the corpus size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+from apache_flink_pratices_spark.functions.hashing import md5_long, sql_md5_long
+from apache_flink_pratices_spark.io import load
+from apache_flink_pratices_spark.operators import text as _text  # registers
+from apache_flink_pratices_spark.operators.dedup import (
+    SQL_SIMHASH_PAIR_CTES,
+    _SQL_SHS,
+    _shingles,
+    dedup_exact,
+    dedup_simhash,
+)
+from apache_flink_pratices_spark.operators.text import lang_id, text_quality
+from apache_flink_pratices_spark.registry import register
+
+# --- connected-component dedup clustering ---------------------------------
+
+#: safety bound on propagation rounds; real near-dup clusters converge in
+#: ≤ ~4 (diameter of a duplicate blob), so hitting this means the edge set
+#: is pathological and the job should fail loudly, not spin.
+CC_MAX_ROUNDS = 25
+
+
+def connected_components(nodes: DataFrame, edges: DataFrame) -> DataFrame:
+    """Min-label propagation: (id) × (src, dst) → (id, label).
+
+    label = smallest node id reachable over the undirected edge set.
+    Each round: one shuffle join of the label table against the edge list
+    plus a min-aggregate — both on 8-byte keys. Convergence is detected
+    with a single scalar action (labels only ever decrease, so the label
+    sum is a strictly decreasing fixpoint metric; no row-level diff join).
+
+    Both inputs and every round's output are lineage-truncated with
+    ``localCheckpoint`` — without it, each iteration stacks the full
+    upstream plan (here the whole simhash pipeline) and the logical plan
+    grows without bound, which kills the driver long before the data
+    does. On a real cluster a reliable ``setCheckpointDir`` checkpoint
+    every ~10 rounds is the durable variant of the same move.
+    """
+    und = edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint()
+    labels = nodes.select(F.col("id"), F.col("id").alias("label")).localCheckpoint()
+    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
+    for _ in range(CC_MAX_ROUNDS):
+        nbr_min = (
+            und.join(labels.withColumnRenamed("id", "src"), "src")
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(nbr_min, "id", "left")
+            .select(
+                "id",
+                F.least("label", F.coalesce("nbr_label", "label")).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        new_sum = new_labels.agg(F.sum("label")).collect()[0][0]
+        labels.unpersist()
+        labels = new_labels
+        if new_sum == prev_sum:
+            und.unpersist()
+            return labels
+        prev_sum = new_sum
+    raise RuntimeError(f"connected_components did not converge in {CC_MAX_ROUNDS} rounds")
+
+
+@register(
+    "dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE {SQL_SIMHASH_PAIR_CTES},
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM sh_pairs
+      UNION ALL
+      SELECT doc_b AS src, doc_a AS dst FROM sh_pairs
+    ),
+    reach(doc_id, label) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.doc_id
+    ),
+    comp AS (SELECT doc_id, MIN(label) AS cluster_id FROM reach GROUP BY doc_id),
+    sizes AS (SELECT cluster_id, COUNT(*) AS cluster_size FROM comp GROUP BY cluster_id)
+    SELECT c.doc_id, c.cluster_id, s.cluster_size,
+           c.doc_id = c.cluster_id AS is_canonical
+    FROM comp c JOIN sizes s ON s.cluster_id = c.cluster_id
+    """,
+    doc="Duplicate clustering: connected components over the verified "
+    "simhash near-dup pairs (same edge set as dedup_simhash, by shared "
+    "CTE); every document gets a cluster_id (= min doc_id in its "
+    "component) and the min member is the canonical keeper. Spark side is "
+    "min-label propagation — O(diameter) rounds of 8-byte-pair shuffles; "
+    "the oracle is the same fixpoint via a recursive CTE.",
+    tags=("dedup", "graph", "curation"),
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = dedup_simhash(spark, sf_dir)
+    edges = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    nodes = load(spark, sf_dir, "documents").select(F.col("doc_id").alias("id"))
+    comp = connected_components(nodes, edges).select(
+        F.col("id").alias("doc_id"), F.col("label").alias("cluster_id")
+    )
+    sizes = comp.groupBy("cluster_id").agg(F.count("*").alias("cluster_size"))
+    return comp.join(sizes, "cluster_id").select(
+        "doc_id",
+        "cluster_id",
+        "cluster_size",
+        (F.col("doc_id") == F.col("cluster_id")).alias("is_canonical"),
+    )
+
+
+# --- eval-set contamination check -----------------------------------------
+
+#: held-out eval split: every 10th document. In production this is the
+#: benchmark/eval corpus — small and fixed while training data grows.
+EVAL_MOD = 10
+
+
+@register(
+    "contamination_ngrams",
+    oracle=f"""
+    WITH {_SQL_SHS},
+    eval_h AS (SELECT DISTINCT h FROM sh WHERE doc_id % {EVAL_MOD} = 0),
+    train AS (SELECT doc_id, h FROM sh WHERE doc_id % {EVAL_MOD} <> 0),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_shingles FROM train GROUP BY doc_id),
+    shared AS (
+      SELECT t.doc_id, COUNT(*) AS n_shared
+      FROM train t JOIN eval_h e ON t.h = e.h
+      GROUP BY t.doc_id
+    )
+    SELECT s.doc_id, s.n_shingles, d.n_shared,
+           CAST(d.n_shared AS DOUBLE) / s.n_shingles AS contamination_ratio
+    FROM sizes s JOIN shared d ON d.doc_id = s.doc_id
+    """,
+    doc=f"Eval-set contamination: per training document, the count and "
+    f"fraction of its distinct 3-gram shingles that occur in the held-out "
+    f"eval split (doc_id % {EVAL_MOD} = 0). The eval shingle set is "
+    "broadcast (eval splits stay small as corpora grow), so the check is "
+    "a map-side semi-join — the 100 TB training side is never shuffled.",
+    tags=("text", "contamination", "curation"),
+)
+def contamination_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = _shingles(spark, sf_dir).persist(StorageLevel.MEMORY_AND_DISK)
+    eval_h = sh.filter(F.col("doc_id") % EVAL_MOD == 0).select("h").distinct()
+    train = sh.filter(F.col("doc_id") % EVAL_MOD != 0)
+    sizes = train.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    shared = (
+        train.join(F.broadcast(eval_h), "h")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_shared"))
+    )
+    return sizes.join(shared, "doc_id").select(
+        "doc_id",
+        "n_shingles",
+        "n_shared",
+        (F.col("n_shared").cast("double") / F.col("n_shingles")).alias(
+            "contamination_ratio"
+        ),
+    )
+
+
+# --- deterministic stratified sampling ------------------------------------
+
+#: per-stratum sampling rates in basis points of 10,000 — the data-mixing
+#: knob: keep every error, most purchases/signups, thin high-volume
+#: click/view streams.
+SAMPLE_RATES_BP = {
+    "click": 500,
+    "view": 1000,
+    "purchase": 5000,
+    "signup": 2500,
+    "error": 10000,
+}
+SAMPLE_DEFAULT_BP = 2000
+SAMPLE_SEED = 7
+
+
+def _sample_rate_col() -> F.Column:
+    c = F.when(F.lit(False), F.lit(0))
+    for etype, bp in SAMPLE_RATES_BP.items():
+        c = c.when(F.col("event_type") == etype, F.lit(bp))
+    return c.otherwise(F.lit(SAMPLE_DEFAULT_BP))
+
+
+def _sql_sample_rate() -> str:
+    whens = "\n             ".join(
+        f"WHEN '{etype}' THEN {bp}" for etype, bp in SAMPLE_RATES_BP.items()
+    )
+    return f"CASE event_type {whens} ELSE {SAMPLE_DEFAULT_BP} END"
+
+
+@register(
+    "stratified_sample",
+    oracle=f"""
+    SELECT event_id, ts, user_id, event_type, value
+    FROM events
+    WHERE {sql_md5_long("CAST(event_id AS VARCHAR)", seed=SAMPLE_SEED)} % 10000
+          < {_sql_sample_rate()}
+    """,
+    doc="Deterministic stratified Bernoulli sample of events: keep a row "
+    "iff hash(event_id) mod 10000 falls under its stratum's basis-point "
+    "rate. Hash-gated, so the sample is identical across engines, runs, "
+    "and partitionings (no RNG state to coordinate) — pure map work, "
+    "zero shuffles, and the predicate composes with any downstream query.",
+    tags=("sampling", "curation"),
+)
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    gate = md5_long(F.col("event_id").cast("string"), seed=SAMPLE_SEED) % 10000
+    return e.filter(gate < _sample_rate_col()).select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+
+
+# --- end-to-end curation decision -----------------------------------------
+
+QUALITY_MIN = 0.3
+
+
+@register(
+    "corpus_curation",
+    oracle=f"""
+    WITH q AS ({{q_oracle}}),
+    l AS ({{l_oracle}}),
+    k AS ({{k_oracle}})
+    SELECT q.doc_id, l.lang, l.pred_lang, q.n_words, q.quality_score
+    FROM q
+      JOIN l ON l.doc_id = q.doc_id
+      JOIN k ON k.keep_doc_id = q.doc_id
+    WHERE l.pred_lang <> 'und' AND q.quality_score >= {QUALITY_MIN}
+    """,
+    doc="The end-to-end curation decision: keep a document iff it is the "
+    "exact-dedup canonical copy, its language is identified, and its "
+    "quality score clears the floor. Composed from the registered "
+    "text_quality / lang_id / dedup_exact operators (Spark side calls "
+    "them; the oracle nests their exact SQL), so curation inherits their "
+    "verified semantics instead of restating them.",
+    tags=("text", "curation"),
+)
+def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    q = text_quality(spark, sf_dir).select("doc_id", "n_words", "quality_score")
+    l = lang_id(spark, sf_dir).select("doc_id", "lang", "pred_lang")
+    keep = dedup_exact(spark, sf_dir).select(F.col("keep_doc_id").alias("doc_id"))
+    return (
+        q.join(l, "doc_id")
+        .join(keep, "doc_id")
+        .filter((F.col("pred_lang") != "und") & (F.col("quality_score") >= QUALITY_MIN))
+        .select("doc_id", "lang", "pred_lang", "n_words", "quality_score")
+    )
+
+
+def _patch_curation_oracle() -> None:
+    """Fill the composed oracle with the component oracles' exact SQL."""
+    from apache_flink_pratices_spark import registry
+
+    spec = registry.get_spec("corpus_curation")
+    filled = spec.oracle.format(
+        q_oracle=registry.get_spec("text_quality").oracle,
+        l_oracle=registry.get_spec("lang_id").oracle,
+        k_oracle=registry.get_spec("dedup_exact").oracle,
+    )
+    registry._REGISTRY["corpus_curation"] = registry.QuerySpec(
+        name=spec.name,
+        fn=spec.fn,
+        oracle=filled,
+        doc=spec.doc,
+        bench=spec.bench,
+        tags=spec.tags,
+    )
+
+
+_patch_curation_oracle()
+
+
+# --- sequence packing ------------------------------------------------------
+
+#: token budget per packed bin (a context-window's worth) and shard count
+#: (the packing parallelism unit — each shard is packed independently).
+PACK_BUDGET = 2048
+PACK_SHARDS = 32
+
+
+@register(
+    "doc_packing",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, doc_id % {PACK_SHARDS} AS shard,
+             len(regexp_extract_all(lower(text), '{_text._BPEISH}')) AS n_tokens
+      FROM documents WHERE length(text) > 0
+    ),
+    pref AS (
+      SELECT doc_id, shard, n_tokens,
+             CAST(COALESCE(SUM(n_tokens) OVER (
+               PARTITION BY shard ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+               AS prefix_tokens
+      FROM toks
+    )
+    SELECT doc_id, shard, n_tokens, prefix_tokens,
+           CAST(prefix_tokens // {PACK_BUDGET} AS BIGINT) AS bin
+    FROM pref
+    """,
+    doc=f"Sequence packing for training: documents are laid out in doc_id "
+    f"order within {PACK_SHARDS} hash shards and cut into {PACK_BUDGET}-"
+    "token bins by exclusive-prefix-sum (concat-and-chunk). The window "
+    "runs per shard, so packing parallelism is the shard count and no "
+    "global sort exists; at 100 TB shards map 1:1 to output files.",
+    tags=("text", "packing", "curation"),
+)
+def doc_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    n_tokens = F.expr(f"size(regexp_extract_all(lower(text), '{_text._BPEISH}', 0))")
+    toks = d.select(
+        "doc_id",
+        (F.col("doc_id") % PACK_SHARDS).alias("shard"),
+        n_tokens.alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    pref = toks.withColumn("prefix_tokens", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)))
+    return pref.select(
+        "doc_id",
+        "shard",
+        "n_tokens",
+        "prefix_tokens",
+        F.expr(f"prefix_tokens div {PACK_BUDGET}").alias("bin"),
+    )

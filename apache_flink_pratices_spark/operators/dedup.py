@@ -469,10 +469,12 @@ def _sql_simhash_bands() -> str:
     return "\n      UNION ALL ".join(selects)
 
 
-@register(
-    "dedup_simhash",
-    oracle=f"""
-    WITH hs AS (
+#: Reusable CTE chain ending in ``sh_pairs(doc_a, doc_b, hamming)`` — the
+#: verified simhash near-dup pairs. Shared by the dedup_simhash oracle and
+#: downstream graph consumers (operators/curation.py's cluster oracle), so
+#: both engines always agree on the exact same edge set.
+SQL_SIMHASH_PAIR_CTES = f"""
+    hs AS (
       SELECT doc_id, {sql_md5_long('w')} % {P31} AS hm, COUNT(*) AS cnt
       FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w FROM documents)
       WHERE w <> ''
@@ -491,13 +493,23 @@ def _sql_simhash_bands() -> str:
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
       FROM bands a JOIN bands b
         ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    ),
+    sh_pairs AS (
+      SELECT c.doc_a, c.doc_b,
+             CAST(bit_count(xor(fa.fp, fb.fp)) AS BIGINT) AS hamming
+      FROM cand c
+        JOIN fp fa ON fa.doc_id = c.doc_a
+        JOIN fp fb ON fb.doc_id = c.doc_b
+      WHERE bit_count(xor(fa.fp, fb.fp)) <= {SIMHASH_HAMMING_MAX}
     )
-    SELECT c.doc_a, c.doc_b,
-           CAST(bit_count(xor(fa.fp, fb.fp)) AS BIGINT) AS hamming
-    FROM cand c
-      JOIN fp fa ON fa.doc_id = c.doc_a
-      JOIN fp fb ON fb.doc_id = c.doc_b
-    WHERE bit_count(xor(fa.fp, fb.fp)) <= {SIMHASH_HAMMING_MAX}
+"""
+
+
+@register(
+    "dedup_simhash",
+    oracle=f"""
+    WITH {SQL_SIMHASH_PAIR_CTES}
+    SELECT doc_a, doc_b, hamming FROM sh_pairs
     """,
     doc=f"SimHash near-dup: {SIMHASH_BITS}-bit term-frequency-weighted "
     f"fingerprint (Charikar), {SIMHASH_BAND_BITS}-bit-band candidates "

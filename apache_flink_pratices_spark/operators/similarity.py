@@ -326,3 +326,198 @@ _SQL_RH_SIGNS = f"""
 )
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_lsh_frame(load(spark, sf_dir, "embeddings"))
+
+
+# --- IVF (inverted-file) ANN ----------------------------------------------
+#: IVF cell count and probe width. Cells partition the corpus by argmax
+#: inner product against K fixed directions; queries probe the NPROBE
+#: nearest cells. Production IVF trains centroids with k-means and loads
+#: them as a small broadcast table (O(K·d) model state — the canonical
+#: broadcast pattern); here the directions are derived deterministically
+#: from md5 so both engines build the identical partition with no trained
+#: artifact to ship. The plan shape — map-side assignment, broadcast
+#: probes, cell-bounded verify — is exactly the trained-centroid plan.
+IVF_CELLS = 16
+IVF_NPROBE = 4
+
+
+def ivf_directions(cells: int = IVF_CELLS, dim: int = DIM) -> list[list[float]]:
+    """±1 direction matrix from md5 of 'afp-ivf-{cell}-{k}' (k 1-based)."""
+    return [
+        [
+            1.0
+            if hashlib.md5(f"afp-ivf-{m}-{k}".encode()).digest()[0] % 2 == 0
+            else -1.0
+            for k in range(1, dim + 1)
+        ]
+        for m in range(cells)
+    ]
+
+
+def _ivf_sims() -> Column:
+    """array<struct<neg_sim, cell>> of exact scaled-int64 direction sims,
+    sorted so element 1 is the argmax cell (ties → smallest cell id)."""
+    dirs = ivf_directions()
+    entries = []
+    for m, d in enumerate(dirs):
+        sgn = F.array(*[F.lit(s) for s in d])
+        total = F.aggregate(
+            _scaled_products(F.col("embedding"), sgn),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+        entries.append(F.struct((-total).alias("neg_sim"), F.lit(m).alias("cell")))
+    return F.array_sort(F.array(*entries))
+
+
+def ivf_assign(vectors: DataFrame) -> DataFrame:
+    """(vec_id, label, embedding, nrm, cell): map-side cell assignment —
+    no shuffle; the embedding never leaves its input partition."""
+    return vectors.select(
+        "vec_id",
+        "label",
+        "embedding",
+        _dot(F.col("embedding"), F.col("embedding")).alias("nrm"),
+        F.element_at(_ivf_sims(), 1)["cell"].alias("cell"),
+    )
+
+
+def ann_ivf_frame(
+    vectors: DataFrame,
+    n_queries: int = N_QUERIES,
+    nprobe: int = IVF_NPROBE,
+    top_k: int = TOP_K,
+) -> DataFrame:
+    """IVF ANN: assign corpus to cells, probe the query's nprobe best
+    cells, exact-cosine verify inside probed cells only, per-query top-k.
+
+    At 100 TB the corpus is written bucketed by cell; a query then reads
+    only nprobe/IVF_CELLS of the data — the probe list is a broadcast of
+    n_queries·nprobe (8-byte, 8-byte) rows, and the verify is
+    partition-local within each probed cell.
+    """
+    from pyspark.sql.window import Window
+
+    assigned = ivf_assign(vectors)
+    probes = (
+        vectors.filter(F.col("vec_id") < n_queries)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.explode(
+                F.transform(
+                    F.slice(_ivf_sims(), 1, nprobe), lambda s: s["cell"]
+                )
+            ).alias("cell"),
+        )
+    )
+    q = assigned.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_embedding"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    cand = (
+        assigned.join(F.broadcast(probes), "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", "label", "embedding", "nrm")
+        .distinct()
+    )
+    scored = cand.join(F.broadcast(q), "query_id").select(
+        "query_id",
+        "vec_id",
+        "label",
+        (
+            _dot(F.col("q_embedding"), F.col("embedding"))
+            / (F.sqrt(F.col("q_nrm")) * F.sqrt(F.col("nrm")))
+        ).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= top_k)
+        .select("query_id", "vec_id", "label", "cosine", "rn")
+    )
+
+
+_SQL_IVF_DIRS = f"""
+    dirs AS (
+      SELECT m, k,
+             CASE WHEN CAST(('0x' || substr(md5('afp-ivf-' || m || '-' || k), 1, 2)) AS INTEGER) % 2 = 0
+                  THEN 1.0 ELSE -1.0 END AS s
+      FROM (SELECT unnest(generate_series(0, {IVF_CELLS - 1})) AS m) mi,
+           (SELECT unnest(generate_series(1, {DIM})) AS k) di
+    )
+"""
+
+
+@register(
+    "ann_ivf_topk",
+    oracle=f"""
+    WITH {_SQL_IVF_DIRS},
+    elems AS (
+      SELECT vec_id, u.k, u.x
+      FROM embeddings,
+           LATERAL (SELECT unnest(embedding) AS x,
+                           generate_subscripts(embedding, 1) AS k) u
+    ),
+    sims AS (
+      SELECT e.vec_id, d.m,
+             SUM(CAST(floor(CAST(e.x AS DOUBLE) * d.s * {_SCALE}) AS BIGINT)) AS sim
+      FROM elems e JOIN dirs d ON d.k = e.k
+      GROUP BY e.vec_id, d.m
+    ),
+    ranked AS (
+      SELECT vec_id, m AS cell,
+             ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, m) AS rk
+      FROM sims
+    ),
+    assigned AS (SELECT vec_id, cell FROM ranked WHERE rk = 1),
+    probes AS (
+      SELECT vec_id AS query_id, cell
+      FROM ranked WHERE vec_id < {N_QUERIES} AND rk <= {IVF_NPROBE}
+    ),
+    cand AS (
+      SELECT DISTINCT p.query_id, a.vec_id
+      FROM probes p JOIN assigned a ON a.cell = p.cell
+      WHERE a.vec_id <> p.query_id
+    ),
+    norms AS (
+      SELECT vec_id, label,
+             {_sql_dot('u.x', 'u.x')} AS nrm
+      FROM embeddings, LATERAL (SELECT unnest(embedding) AS x) u
+      GROUP BY vec_id, label
+    ),
+    dots AS (
+      SELECT qid AS query_id, vid AS vec_id,
+             {_sql_dot('u.qx', 'u.ex')} AS dot
+      FROM (SELECT c.query_id AS qid, c.vec_id AS vid,
+                   q.embedding AS qe, e.embedding AS ee
+            FROM cand c
+              JOIN embeddings q ON q.vec_id = c.query_id
+              JOIN embeddings e ON e.vec_id = c.vec_id) p,
+           LATERAL (SELECT unnest(qe) AS qx, unnest(ee) AS ex) u
+      GROUP BY query_id, vec_id
+    ),
+    scored AS (
+      SELECT d.query_id, d.vec_id, ne.label,
+             d.dot / (sqrt(nq.nrm) * sqrt(ne.nrm)) AS cosine
+      FROM dots d
+        JOIN norms nq ON nq.vec_id = d.query_id
+        JOIN norms ne ON ne.vec_id = d.vec_id
+    )
+    SELECT query_id, vec_id, label, cosine, rn
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY cosine DESC, vec_id) AS rn
+          FROM scored)
+    WHERE rn <= {TOP_K}
+    """,
+    doc=f"IVF ANN: corpus partitioned into {IVF_CELLS} cells by argmax "
+    f"inner product against fixed directions, queries probe their "
+    f"{IVF_NPROBE} best cells, exact-cosine verify inside probed cells "
+    "only. The third ANN tier: brute force (exact baseline), LSH "
+    "(bucket-join candidates), IVF (data-partitioned — at scale the "
+    "corpus is bucketed by cell on disk and a query scans "
+    f"{IVF_NPROBE}/{IVF_CELLS} of it).",
+    tags=("similarity", "ann", "ivf"),
+)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ann_ivf_frame(load(spark, sf_dir, "embeddings"))

@@ -45,6 +45,15 @@ def register(
     return deco
 
 
+def get_spec(name: str) -> QuerySpec:
+    """Spec lookup WITHOUT triggering the full operators-package import.
+
+    For operator modules that compose other operators' oracles at module
+    import time (the caller must import the producing module first);
+    external callers want :func:`all_specs`."""
+    return _REGISTRY[name]
+
+
 def all_specs() -> dict[str, QuerySpec]:
     # Import operator modules for their registration side effects.
     from apache_flink_pratices_spark import operators  # noqa: F401

@@ -1,0 +1,123 @@
+"""Unit tests for the corpus-curation operators (operators/curation.py).
+
+Oracle parity at sf0.001 is covered by test_oracle_parity; these pin the
+algorithmic invariants on controlled inputs — the graph kernel on known
+topologies, packing arithmetic, sampling determinism and stratum rates.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from apache_flink_pratices_spark.operators.curation import (
+    CC_MAX_ROUNDS,
+    EVAL_MOD,
+    PACK_BUDGET,
+    SAMPLE_RATES_BP,
+    connected_components,
+    contamination_ngrams,
+    dedup_clusters,
+    doc_packing,
+    stratified_sample,
+)
+
+from tests.conftest import SF_SMOKE
+
+
+def _cc(spark, node_ids, edge_pairs):
+    nodes = spark.createDataFrame([(n,) for n in node_ids], "id long")
+    edges = spark.createDataFrame(
+        [(a, b) for a, b in edge_pairs], "src long, dst long"
+    )
+    rows = connected_components(nodes, edges).collect()
+    return {r["id"]: r["label"] for r in rows}
+
+
+def test_cc_chain_triangle_singleton(spark):
+    # chain 1-2-3-4 (diameter 3), triangle 10-11-12, singleton 99
+    labels = _cc(
+        spark,
+        [1, 2, 3, 4, 10, 11, 12, 99],
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12)],
+    )
+    assert labels == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 99: 99}
+
+
+def test_cc_propagates_against_edge_direction(spark):
+    # min id at the "sink" end: propagation must flow both ways
+    labels = _cc(spark, [5, 6, 1], [(5, 6), (6, 1)])
+    assert labels == {5: 1, 6: 1, 1: 1}
+
+
+def test_cc_two_merging_chains(spark):
+    # two chains meeting at a hub — worst diameter the corpus graph can
+    # reasonably show; must converge well inside CC_MAX_ROUNDS
+    edges = [(1, 2), (2, 3), (3, 7), (4, 5), (5, 6), (6, 7)]
+    labels = _cc(spark, [1, 2, 3, 4, 5, 6, 7], edges)
+    assert set(labels.values()) == {1}
+    assert CC_MAX_ROUNDS >= 8
+
+
+def test_dedup_clusters_covers_every_doc_once(spark):
+    out = dedup_clusters(spark, SF_SMOKE).collect()
+    docs = [r["doc_id"] for r in out]
+    assert len(docs) == len(set(docs))  # one row per document
+    by_cluster: dict[int, list] = {}
+    for r in out:
+        by_cluster.setdefault(r["cluster_id"], []).append(r)
+    for cid, members in by_cluster.items():
+        # cluster id is the min member, which is the single canonical row
+        assert cid == min(m["doc_id"] for m in members)
+        assert sum(m["is_canonical"] for m in members) == 1
+        assert all(m["cluster_size"] == len(members) for m in members)
+
+
+def test_contamination_excludes_eval_docs(spark):
+    out = contamination_ngrams(spark, SF_SMOKE).collect()
+    assert all(r["doc_id"] % EVAL_MOD != 0 for r in out)
+    for r in out:
+        assert 0 < r["n_shared"] <= r["n_shingles"]
+        assert r["contamination_ratio"] == pytest.approx(r["n_shared"] / r["n_shingles"])
+
+
+def test_stratified_sample_deterministic_and_rate_bounded(spark):
+    a = stratified_sample(spark, SF_SMOKE)
+    b = stratified_sample(spark, SF_SMOKE)
+    ra = sorted(r["event_id"] for r in a.collect())
+    rb = sorted(r["event_id"] for r in b.collect())
+    assert ra == rb  # hash-gated: identical across runs
+
+    totals = {
+        r["event_type"]: r["n"]
+        for r in spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    kept = {
+        r["event_type"]: r["n"]
+        for r in a.groupBy("event_type").agg(F.count("*").alias("n")).collect()
+    }
+    assert kept.get("error", 0) == totals["error"]  # 100% stratum keeps all
+    for etype, bp in SAMPLE_RATES_BP.items():
+        if bp < 10000 and totals.get(etype, 0) >= 100:
+            frac = kept.get(etype, 0) / totals[etype]
+            assert abs(frac - bp / 10000) < 0.15, (etype, frac, bp)
+
+
+def test_doc_packing_bins_are_contiguous_and_budgeted(spark):
+    rows = doc_packing(spark, SF_SMOKE).collect()
+    by_shard: dict[int, list] = {}
+    for r in rows:
+        assert r["shard"] == r["doc_id"] % 32
+        by_shard.setdefault(r["shard"], []).append(r)
+    for members in by_shard.values():
+        members.sort(key=lambda r: r["doc_id"])
+        prefix = 0
+        for r in members:
+            assert r["prefix_tokens"] == prefix
+            assert r["bin"] == prefix // PACK_BUDGET
+            prefix += r["n_tokens"]
+        bins = [r["bin"] for r in members]
+        assert bins == sorted(bins)  # bins fill in doc order, never reopen
