@@ -517,6 +517,7 @@ _SQL_IVF_DIRS = f"""
     "(bucket-join candidates), IVF (data-partitioned — at scale the "
     "corpus is bucketed by cell on disk and a query scans "
     f"{IVF_NPROBE}/{IVF_CELLS} of it).",
+    bench=True,
     tags=("similarity", "ann", "ivf"),
 )
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:

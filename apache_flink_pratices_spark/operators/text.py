@@ -233,3 +233,71 @@ def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         pred = pred.when(scores[lang] == best, lang)
     pred = pred.otherwise("zh")
     return t.select("doc_id", "lang", pred.alias("pred_lang"))
+
+
+# --- TF-IDF top terms ------------------------------------------------------
+
+TFIDF_TOP_K = 5
+
+
+@register(
+    "tfidf_top_terms",
+    oracle=f"""
+    WITH words AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, w AS term, COUNT(*) AS tf
+      FROM words WHERE w <> '' GROUP BY doc_id, term
+    ),
+    df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    scored AS (
+      SELECT t.doc_id, t.term, t.tf, d.df,
+             CAST(t.tf * (SELECT COUNT(*) FROM documents) AS DOUBLE) / d.df
+               AS score
+      FROM tf t JOIN df d ON d.term = t.term
+    )
+    SELECT doc_id, term, tf, df, score, rn
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                       ORDER BY score DESC, term) AS rn
+          FROM scored)
+    WHERE rn <= {TFIDF_TOP_K}
+    """,
+    doc=f"Top-{TFIDF_TOP_K} discriminative terms per document by TF-IDF "
+    "with *linear* IDF (tf·n_docs/df): IEEE division is correctly rounded "
+    "so both engines produce bit-identical scores, whereas libm ln() is "
+    "not and a log-IDF would hash-diverge at the ULP level. The ranking "
+    "for fixed tf is identical (both IDFs are monotone in df). df is a "
+    "broadcast-sized vocabulary table; the per-doc window is "
+    "doc-partitioned, so parallelism scales with the corpus.",
+    bench=True,
+    tags=("text", "tfidf"),
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    d = load(spark, sf_dir, "documents")
+    # corpus-cardinality scalar: one count action, then a plan literal —
+    # the same role as a trained IDF table's row count (model state),
+    # not a per-row driver loop.
+    n_docs = d.count()
+    tf = (
+        d.select("doc_id", F.explode(tokens()).alias("term"))
+        .filter(F.col("term") != "")
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    df = tf.groupBy("term").agg(F.count("*").alias("df"))
+    scored = tf.join(F.broadcast(df), "term").select(
+        "doc_id",
+        "term",
+        "tf",
+        "df",
+        ((F.col("tf") * F.lit(n_docs)).cast("double") / F.col("df")).alias("score"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TFIDF_TOP_K)
+        .select("doc_id", "term", "tf", "df", "score", "rn")
+    )
