@@ -92,3 +92,47 @@ def test_dedup_exact_shuffles_digest_not_body(spark):
     assert exchange_count(plan) <= 1
     # the document body must not survive past the scan projection
     assert "text" not in scan_columns(plan) or "md5" in plan
+
+
+def test_stratified_sample_is_shuffle_free(spark):
+    """The hash gate is a pure map filter — zero exchanges in the plan."""
+    from apache_flink_pratices_spark.operators.curation import stratified_sample
+
+    plan = formatted_plan(stratified_sample(spark, SF))
+    assert exchange_count(plan) == 0, plan
+
+
+def test_doc_packing_single_shard_exchange(spark):
+    """Packing shuffles once (by shard for the window) — no global sort."""
+    from apache_flink_pratices_spark.operators.curation import doc_packing
+
+    plan = formatted_plan(doc_packing(spark, SF))
+    assert exchange_count(plan) == 1, plan
+
+
+def test_contamination_broadcasts_eval_side(spark):
+    """The eval shingle set must broadcast; the training side only
+    shuffles for its own per-doc aggregates, never for the semi-join."""
+    from apache_flink_pratices_spark.operators.curation import contamination_ngrams
+
+    plan = formatted_plan(contamination_ngrams(spark, SF))
+    kinds = join_kinds(plan)
+    assert "BroadcastHashJoin" in kinds, kinds
+
+
+def test_tfidf_broadcasts_vocabulary(spark):
+    from apache_flink_pratices_spark.operators.text import tfidf_top_terms
+
+    plan = formatted_plan(tfidf_top_terms(spark, SF))
+    kinds = join_kinds(plan)
+    assert "BroadcastHashJoin" in kinds, kinds
+    assert "CartesianProduct" not in kinds and "BroadcastNestedLoopJoin" not in kinds
+
+
+def test_ivf_no_cartesian_and_broadcast_probes(spark):
+    from apache_flink_pratices_spark.operators.similarity import ann_ivf_topk
+
+    plan = formatted_plan(ann_ivf_topk(spark, SF))
+    kinds = join_kinds(plan)
+    assert "CartesianProduct" not in kinds and "BroadcastNestedLoopJoin" not in kinds
+    assert "BroadcastHashJoin" in kinds, kinds
