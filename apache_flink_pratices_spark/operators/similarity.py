@@ -522,3 +522,53 @@ _SQL_IVF_DIRS = f"""
 )
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_ivf_frame(load(spark, sf_dir, "embeddings"))
+
+
+# --- per-label centroids ---------------------------------------------------
+@register(
+    "label_centroids",
+    oracle=f"""
+    WITH elems AS (
+      SELECT label, u.k, u.x
+      FROM embeddings,
+           LATERAL (SELECT unnest(embedding) AS x,
+                           generate_subscripts(embedding, 1) AS k) u
+    ),
+    sums AS (
+      SELECT label, k,
+             SUM(CAST(floor(CAST(x AS DOUBLE) * {_SCALE}) AS BIGINT)) AS s,
+             COUNT(*) AS n
+      FROM elems GROUP BY label, k
+    )
+    SELECT label, k,
+           CAST(s AS DOUBLE) / {_SCALE} / n AS centroid,
+           CAST(n AS BIGINT) AS n_vectors
+    FROM sums
+    """,
+    doc="Class prototypes: the exact mean embedding per label, emitted in "
+    "long form (label, dimension k, centroid value). Element sums "
+    "accumulate as quantized int64 (order-independent, bit-identical "
+    "across engines); the groupBy carries (label, k, 8-byte) triples with "
+    "map-side combine, so shuffle volume is labels × dims regardless of "
+    "corpus size — the reduction a prototype classifier or k-means "
+    "iteration runs at 100 TB.",
+    tags=("similarity", "embedding", "centroid"),
+)
+def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    elems = e.select(
+        "label", F.posexplode("embedding").alias("k0", "x")
+    ).select(
+        "label",
+        (F.col("k0") + 1).alias("k"),
+        F.floor(F.col("x").cast("double") * _SCALE).cast("long").alias("sx"),
+    )
+    sums = elems.groupBy("label", "k").agg(
+        F.sum("sx").alias("s"), F.count("*").alias("n")
+    )
+    return sums.select(
+        "label",
+        "k",
+        (F.col("s").cast("double") / F.lit(_SCALE) / F.col("n")).alias("centroid"),
+        F.col("n").alias("n_vectors"),
+    )

@@ -301,3 +301,63 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= TFIDF_TOP_K)
         .select("doc_id", "term", "tf", "df", "score", "rn")
     )
+
+
+# --- BPE merge candidates --------------------------------------------------
+
+BPE_TOP_MERGES = 20
+
+
+@register(
+    "bpe_merge_candidates",
+    oracle=f"""
+    WITH docs AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents
+    ),
+    pairs AS (
+      SELECT ws[i] AS left_tok, ws[i+1] AS right_tok
+      FROM docs, LATERAL (SELECT unnest(generate_series(1, len(ws) - 1)) AS i) g
+      WHERE len(ws) >= 2 AND ws[i] <> '' AND ws[i+1] <> ''
+    ),
+    counted AS (
+      SELECT left_tok, right_tok, COUNT(*) AS pair_count
+      FROM pairs GROUP BY left_tok, right_tok
+    )
+    SELECT left_tok, right_tok, pair_count, rn
+    FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY pair_count DESC,
+                                       left_tok, right_tok) AS rn
+          FROM counted)
+    WHERE rn <= {BPE_TOP_MERGES}
+    """,
+    doc=f"BPE-style merge candidates: the {BPE_TOP_MERGES} most frequent "
+    "adjacent token pairs over the corpus — the statistic one round of "
+    "byte-pair-encoding tokenizer training merges on. The pair explode is "
+    "map work; the count is wordcount-shaped with map-side combine; only "
+    "the final top-k ranks globally, over the (bounded) distinct-pair "
+    "table, with TakeOrdered semantics — no full sort of the corpus.",
+    tags=("text", "tokenizer"),
+)
+def bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    d = load(spark, sf_dir, "documents")
+    ws = tokens()
+    pairs = F.expr(
+        "filter(transform(sequence(1, size(ws) - 1), "
+        "i -> struct(element_at(ws, i) AS left_tok, element_at(ws, i + 1) AS right_tok)), "
+        "p -> p.left_tok <> '' AND p.right_tok <> '')"
+    )
+    counted = (
+        d.select(ws.alias("ws"))
+        .filter(F.size("ws") >= 2)
+        .select(F.explode(pairs).alias("p"))
+        .select("p.left_tok", "p.right_tok")
+        .groupBy("left_tok", "right_tok")
+        .agg(F.count("*").alias("pair_count"))
+    )
+    w = Window.orderBy(F.desc("pair_count"), F.asc("left_tok"), F.asc("right_tok"))
+    return (
+        counted.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= BPE_TOP_MERGES)
+        .select("left_tok", "right_tok", "pair_count", "rn")
+    )
