@@ -3,7 +3,7 @@ pipeline (superset of the reference — its scope ends at per-stream analytics,
 `src/` has no corpus tooling; these extend SURVEY.md §2's text/dedup suite
 into the end-to-end curation shapes a 100 TB pretraining pipeline needs).
 
-Five operators, each an oracle-checked batch query:
+Six operators, each an oracle-checked batch query:
 
 - **dedup_clusters**: connected components over the verified simhash
   near-dup pairs → one canonical document per duplicate cluster. Iterative
@@ -32,6 +32,9 @@ Five operators, each an oracle-checked batch query:
   bins (the "concat-and-chunk" layout LLM pretraining uses). Window
   arithmetic is per-shard, so parallelism scales with the shard count,
   not the corpus size.
+- **funnel_conversion**: batch sequence matching (the batch twin of the
+  streaming CEP patterns) — deepest funnel prefix reached per user, one
+  shuffle by the same key the streaming processor partitions on.
 """
 
 from __future__ import annotations
@@ -384,3 +387,63 @@ def doc_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         "prefix_tokens",
         F.expr(f"prefix_tokens div {PACK_BUDGET}").alias("bin"),
     )
+
+
+# --- batch funnel / sequence match -----------------------------------------
+
+#: the funnel pattern, as ordered event-type initials (types are
+#: click/error/purchase/signup/view — initials are unique)
+FUNNEL_STAGES = ("signup", "click", "purchase")
+
+
+@register(
+    "funnel_conversion",
+    oracle="""
+    WITH seqs AS (
+      SELECT user_id,
+             COUNT(*) AS n_events,
+             string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id) AS seq
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id, n_events,
+           CASE WHEN regexp_matches(seq, 's.*c.*p') THEN 3
+                WHEN regexp_matches(seq, 's.*c') THEN 2
+                WHEN regexp_matches(seq, 's') THEN 1
+                ELSE 0 END AS funnel_stage
+    FROM seqs
+    """,
+    doc="Batch funnel analysis — the batch twin of the reference's CEP "
+    "sequence patterns: per user, the deepest prefix of "
+    "signup -> click -> purchase reached in event-time order (ties broken "
+    "by event_id, so both engines see the same sequence). Per-user event "
+    "sequences are folded into a compact initials string inside one "
+    "groupBy (map-side combine does not apply, but state is bounded by "
+    "events-per-user, the same key bound the streaming CEP state holds); "
+    "the regex subsequence match is then pure map work. At 100 TB this "
+    "is one shuffle by user_id — the partitioning the streaming twin "
+    "already requires.",
+    tags=("events", "funnel", "cep"),
+)
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    seq = F.concat_ws(
+        "",
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.struct("ts", "event_id", F.substring("event_type", 1, 1).alias("c"))
+                )
+            ),
+            lambda s: s["c"],
+        ),
+    )
+    seqs = e.groupBy("user_id").agg(
+        F.count("*").alias("n_events"), seq.alias("seq")
+    )
+    stage = (
+        F.when(F.col("seq").rlike("s.*c.*p"), 3)
+        .when(F.col("seq").rlike("s.*c"), 2)
+        .when(F.col("seq").rlike("s"), 1)
+        .otherwise(0)
+    )
+    return seqs.select("user_id", "n_events", stage.alias("funnel_stage"))
