@@ -1,0 +1,201 @@
+"""Temporal joins — as-of and interval joins over event-time keyed streams.
+
+The reference correlates streams by key and event time throughout (the
+fraud detector pairs a small debit with the next large debit on the same
+account, reference ``src/flink_job/fraud_detector.py``; the CEP signal
+generator reads each trade against the *latest* orderbook state for the
+code, ``signal_generator`` design docs). Batch analytics over the same
+data need the equivalent relational operators, which Spark does not ship:
+
+- **as-of join**: for every left row, the single most recent right row
+  with the same key at-or-before the left row's event time.
+- **interval join**: left rows matched to all right rows with the same
+  key inside a bounded time range (the batch twin of
+  ``tests/streaming/test_stream_stream_join.py``'s stream-stream interval
+  join).
+
+Scale design (100 TB): the naive formulation — join on key then filter by
+time and pick the max — explodes pairwise per key before pruning
+(O(left×right) per key). :func:`asof_join` instead unions both sides and
+runs one keyed window fill:
+
+1. tag rows (left/right), align both sides on a common ``__ts``;
+2. ONE shuffle by key, sort within partitions by (ts, side-tag);
+3. ``last(right_value, ignorenulls=True)`` over rows-unbounded-preceding
+   carries the latest right values forward — O(1) running state per row,
+   never a pairwise product;
+4. keep left rows.
+
+Cost is a single hash partition + per-partition sort — the same shape as
+any keyed window aggregate, so skew/AQE handling applies unchanged. For
+corpora where single keys exceed a partition's sort budget, pre-bucketing
+``__ts`` into coarse ranges and carrying each bucket's closing state
+forward (the standard two-pass "segment + border" refinement) keeps sorts
+bounded; the testdata's per-key volumes (≤ thousands of rows) do not need
+it and the code path stays single-pass.
+
+The interval join keeps its equi-key anchor so Catalyst plans a hash/sort
+join on ``user_id`` with the range predicate as a post-join filter —
+never a broadcast-nested-loop product (asserted in
+``tests/test_plan_audit.py``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from apache_flink_pratices_spark.io import load
+from apache_flink_pratices_spark.registry import register
+
+#: interval-join window: views within this many seconds after an error
+INTERVAL_JOIN_SECONDS = 300
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    right_cols: tuple[str, ...],
+    prefix: str = "asof_",
+) -> DataFrame:
+    """Left as-of join: latest right row per key at-or-before each left row.
+
+    Returns ``left.*`` plus ``{prefix}{c}`` for each ``c`` in
+    ``right_cols`` (NULL when no right row precedes the left row). Ties at
+    identical event times resolve right-before-left, i.e. a right row AT
+    the left timestamp is visible (inclusive as-of, matching DuckDB's
+    ``ASOF JOIN ... ON l.ts >= r.ts``).
+    """
+    carried = [f"__r_{c}" for c in right_cols]
+    l_tagged = left.select(
+        "*",
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__is_left"),
+        *[
+            F.lit(None).cast(right.schema[c].dataType).alias(rc)
+            for c, rc in zip(right_cols, carried)
+        ],
+    )
+    r_tagged = right.select(
+        *[
+            F.lit(None).cast(left.schema[c].dataType).alias(c)
+            if c != key
+            else F.col(key)
+            for c in left.columns
+        ],
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__is_left"),
+        *[F.col(c).alias(rc) for c, rc in zip(right_cols, carried)],
+    )
+    w = (
+        Window.partitionBy(key)
+        .orderBy("__ts", "__is_left")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = l_tagged.unionByName(r_tagged).select(
+        *left.columns,
+        "__is_left",
+        *[
+            F.last(rc, ignorenulls=True).over(w).alias(f"{prefix}{c}")
+            for c, rc in zip(right_cols, carried)
+        ],
+    )
+    return filled.filter(F.col("__is_left") == 1).drop("__is_left")
+
+
+def _events_of(spark, sf_dir: str, event_type: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "events")
+        .filter(F.col("event_type") == event_type)
+        .select("event_id", "user_id", "ts", "value")
+    )
+
+
+@register(
+    "asof_attribution",
+    oracle="""
+    SELECT p.event_id AS purchase_id,
+           p.user_id,
+           p.value AS purchase_value,
+           v.event_id AS view_id,
+           v.value AS view_value,
+           CAST(epoch_us(p.ts) - epoch_us(v.ts) AS BIGINT) AS view_to_purchase_us
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+      ON p.user_id = v.user_id AND p.ts >= v.ts
+    """,
+    doc="Last-touch attribution as-of join: every purchase paired with the "
+    "same user's most recent preceding view (or NULLs when none). The "
+    "oracle uses DuckDB's native ASOF JOIN — an independent formulation, "
+    "not a mirror of the Spark plan — so the union+window construction is "
+    "checked against a reference implementation of the operator itself. "
+    "One shuffle by user_id; no pairwise per-key product (see module "
+    "docstring for the 100 TB design).",
+    bench=True,
+    tags=("events", "temporal", "asof"),
+)
+def asof_attribution(spark, sf_dir: str) -> DataFrame:
+    purchases = _events_of(spark, sf_dir, "purchase")
+    views = _events_of(spark, sf_dir, "view")
+    joined = asof_join(
+        purchases, views, "user_id", "ts", "ts", ("event_id", "ts", "value"), "view_"
+    )
+    return joined.select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("value").alias("purchase_value"),
+        F.col("view_event_id").alias("view_id"),
+        F.col("view_value"),
+        (F.unix_micros("ts") - F.unix_micros("view_ts"))
+        .cast("long")
+        .alias("view_to_purchase_us"),
+    )
+
+
+@register(
+    "interval_join_error_views",
+    oracle=f"""
+    SELECT e.event_id AS error_id,
+           e.user_id,
+           CAST(COUNT(v.event_id) AS BIGINT) AS views_within_5m,
+           CAST(COALESCE(SUM(CAST(v.value * 100 AS BIGINT)), 0) AS BIGINT)
+             AS view_value_c
+    FROM (SELECT * FROM events WHERE event_type = 'error') e
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+      ON e.user_id = v.user_id
+     AND v.ts >= e.ts
+     AND v.ts < e.ts + INTERVAL {INTERVAL_JOIN_SECONDS} SECONDS
+    GROUP BY e.event_id, e.user_id
+    """,
+    doc="Interval join (batch twin of the stream-stream interval join "
+    "test): for each error event, how many views the same user produced "
+    "in the following 5 minutes and their summed value (cents-scaled "
+    "int64 so both engines aggregate exactly). The equi-key on user_id "
+    "anchors a hash join; the time range is a post-join filter — the "
+    "plan audit asserts no nested-loop product.",
+    tags=("events", "temporal", "interval-join"),
+)
+def interval_join_error_views(spark, sf_dir: str) -> DataFrame:
+    errors = _events_of(spark, sf_dir, "error")
+    views = _events_of(spark, sf_dir, "view")
+    e, v = errors.alias("e"), views.alias("v")
+    cond = (
+        (F.col("e.user_id") == F.col("v.user_id"))
+        & (F.col("v.ts") >= F.col("e.ts"))
+        & (
+            F.col("v.ts")
+            < F.col("e.ts") + F.expr(f"INTERVAL {INTERVAL_JOIN_SECONDS} SECONDS")
+        )
+    )
+    value_c: Column = (F.col("v.value") * 100).cast("long")
+    return (
+        e.join(v, cond, "left")
+        .groupBy(F.col("e.event_id").alias("error_id"), F.col("e.user_id").alias("user_id"))
+        .agg(
+            F.count(F.col("v.event_id")).alias("views_within_5m"),
+            F.coalesce(F.sum(value_c), F.lit(0)).cast("long").alias("view_value_c"),
+        )
+    )

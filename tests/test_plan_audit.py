@@ -136,3 +136,26 @@ def test_ivf_no_cartesian_and_broadcast_probes(spark):
     kinds = join_kinds(plan)
     assert "CartesianProduct" not in kinds and "BroadcastNestedLoopJoin" not in kinds
     assert "BroadcastHashJoin" in kinds, kinds
+
+
+def test_asof_is_one_window_shuffle_no_join(spark):
+    """The as-of join must compile to a keyed window fill — one hash
+    exchange, zero join operators — never a per-key pairwise product."""
+    from apache_flink_pratices_spark.operators.temporal import asof_attribution
+
+    plan = formatted_plan(asof_attribution(spark, SF))
+    assert join_kinds(plan) == [], join_kinds(plan)
+    assert exchange_count(plan) == 1, plan
+
+
+def test_interval_join_is_hash_anchored(spark):
+    """The range predicate must ride on the user_id equi-join — a
+    nested-loop/cartesian product here is quadratic per key at scale."""
+    from apache_flink_pratices_spark.operators.temporal import (
+        interval_join_error_views,
+    )
+
+    kinds = join_kinds(formatted_plan(interval_join_error_views(spark, SF)))
+    assert "CartesianProduct" not in kinds
+    assert "BroadcastNestedLoopJoin" not in kinds
+    assert kinds, "expected an equi-join in the plan"
