@@ -615,3 +615,55 @@ def q_top_customers_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 3)
         .select("c_mktsegment", "c_custkey", "c_acctbal", "rn")
     )
+
+
+#: discrete quantiles computed exactly: p/100 percentages, integer-exact
+QUANTILE_P100 = (50, 90, 99)
+
+
+@register(
+    "q_price_quantiles",
+    oracle="""
+    SELECT o_orderpriority,
+           quantile_disc(o_totalprice, 0.50) AS p50,
+           quantile_disc(o_totalprice, 0.90) AS p90,
+           quantile_disc(o_totalprice, 0.99) AS p99
+    FROM orders GROUP BY o_orderpriority
+    """,
+    doc="Exact per-group discrete quantiles (SQL-standard percentile_disc "
+    "semantics: smallest value whose cumulative distribution reaches p) "
+    "without holding any group's values in one aggregation buffer — the "
+    "trap in the built-in exact percentile, whose per-group state is "
+    "O(group size). This plan compresses to (group, distinct value, "
+    "count) first (map-side combinable), then one keyed window builds "
+    "cumulative counts and a threshold pick selects each quantile. The "
+    "p-comparison is integer arithmetic (cum*100 >= p100*n), immune to "
+    "float-rounding disagreement between engines. The oracle is DuckDB's "
+    "native quantile_disc — an independent implementation, not a mirror. "
+    "Window parallelism is bounded by group count (5 priorities here — a "
+    "data property); at 100 TB with high-cardinality groups the same "
+    "plan spreads across the cluster by the group key.",
+    tags=("relational", "quantiles", "window_fn"),
+)
+def q_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    o = load(spark, sf_dir, "orders").select("o_orderpriority", "o_totalprice")
+    counts = o.groupBy("o_orderpriority", "o_totalprice").agg(F.count("*").alias("c"))
+    w = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy("o_totalprice")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ranked = counts.select(
+        "*",
+        F.sum("c").over(w).alias("cum"),
+        F.sum("c").over(Window.partitionBy("o_orderpriority")).alias("n"),
+    )
+    aggs = [
+        F.min(
+            F.when(F.col("cum") * 100 >= p100 * F.col("n"), F.col("o_totalprice"))
+        ).alias(f"p{p100}")
+        for p100 in QUANTILE_P100
+    ]
+    return ranked.groupBy("o_orderpriority").agg(*aggs)
