@@ -667,3 +667,129 @@ def q_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         for p100 in QUANTILE_P100
     ]
     return ranked.groupBy("o_orderpriority").agg(*aggs)
+
+
+@register(
+    "q7_nation_pair_revenue",
+    oracle=f"""
+    SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+           CAST(year(o_orderdate) AS INT) AS o_year,
+           {sql_dsum(_REVENUE)} AS revenue
+    FROM lineitem
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation sn ON s_nationkey = sn.n_nationkey
+      JOIN nation cn ON c_nationkey = cn.n_nationkey
+    WHERE sn.n_name <> cn.n_name
+    GROUP BY 1, 2, 3
+    """,
+    doc="TPC-H Q7-shaped cross-nation trade flow: revenue between every "
+    "(supplier nation, customer nation) pair per order year. The two "
+    "nation lookups and supplier are fixed-size broadcast dims; the only "
+    "shuffle joins are the SF-scaling lineitem ⋈ orders ⋈ customer "
+    "chain, left to AQE. The non-equi pair filter (supp <> cust) rides "
+    "on broadcast-resolved columns — never a nested-loop join.",
+    tags=("relational", "join"),
+)
+def q7_nation_pair_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sn = dim(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    cn = dim(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    s = dim(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    l = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    supp_side = s.join(sn, s.s_nationkey == sn.sn_key)
+    cust_side = c.join(cn, c.c_nationkey == cn.cn_key)
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(cust_side, o.o_custkey == cust_side.c_custkey)
+        .join(F.broadcast(supp_side), l.l_suppkey == supp_side.s_suppkey)
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(dsum(revenue).alias("revenue"))
+    )
+
+
+@register(
+    "q19_disjunctive_revenue",
+    oracle=f"""
+    SELECT {sql_dsum(_REVENUE)} AS revenue, CAST(COUNT(*) AS BIGINT) AS n
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE (p_brand = 'Brand#12' AND l_quantity BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#23' AND l_quantity BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#34' AND l_quantity BETWEEN 20 AND 30)
+    """,
+    doc="TPC-H Q19-shaped disjunctive join filter: three OR'd "
+    "(brand, quantity-range) branches across both join sides. Catalyst "
+    "extracts the per-side implications (brand IN (...) on part, "
+    "quantity BETWEEN 1 AND 30 on lineitem) and pushes them into the "
+    "scans, so both inputs shrink before the equi-join on partkey; the "
+    "full disjunction then filters post-join. part scales with SF — its "
+    "join is AQE-selected, not force-broadcast.",
+    tags=("relational", "filter", "join"),
+)
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    p = load(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    q = F.col("l_quantity")
+    branch = (
+        ((F.col("p_brand") == "Brand#12") & q.between(1, 11))
+        | ((F.col("p_brand") == "Brand#23") & q.between(10, 20))
+        | ((F.col("p_brand") == "Brand#34") & q.between(20, 30))
+    )
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        l.join(p, l.l_partkey == p.p_partkey)
+        .filter(branch)
+        .agg(dsum(revenue).alias("revenue"), F.count("*").alias("n"))
+    )
+
+
+@register(
+    "q16_supplier_variety",
+    oracle="""
+    SELECT p_type, p_size,
+           CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM lineitem
+      JOIN part ON l_partkey = p_partkey
+    WHERE p_size IN (1, 9, 19, 29, 49)
+      AND l_suppkey NOT IN (
+        SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+      )
+    GROUP BY p_type, p_size
+    """,
+    doc="TPC-H Q16-shaped supplier variety: distinct suppliers per "
+    "(type, size) slice, excluding a supplier blacklist. The blacklist "
+    "is dimension-sized, so the NOT IN becomes a broadcast anti-join — "
+    "no shuffle added; p_size IN (...) prunes part before its join; the "
+    "count-distinct is Spark's two-stage partial-distinct aggregate.",
+    tags=("relational", "join", "anti_join"),
+)
+def q16_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    p = load(spark, sf_dir, "part").filter(
+        F.col("p_size").isin(1, 9, 19, 29, 49)
+    ).select("p_partkey", "p_type", "p_size")
+    bad = dim(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select(
+        F.col("s_suppkey").alias("bad_suppkey")
+    )
+    return (
+        l.join(bad, l.l_suppkey == bad.bad_suppkey, "left_anti")
+        .join(p, l.l_partkey == p.p_partkey)
+        .groupBy("p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+    )

@@ -159,3 +159,29 @@ def test_interval_join_is_hash_anchored(spark):
     assert "CartesianProduct" not in kinds
     assert "BroadcastNestedLoopJoin" not in kinds
     assert kinds, "expected an equi-join in the plan"
+
+
+def test_q19_disjunction_pushes_per_side_implications(spark):
+    """The OR'd (brand, quantity) branches must reach BOTH scans as
+    per-side implications — quantity ranges on lineitem, brand-IN on
+    part — not evaluate only post-join."""
+    from apache_flink_pratices_spark.operators.relational import (
+        q19_disjunctive_revenue,
+    )
+
+    plan = formatted_plan(q19_disjunctive_revenue(spark, SF))
+    pushed = " ".join(pushed_filters(plan))
+    assert "l_quantity" in pushed, pushed
+    assert "p_brand" in pushed, pushed
+
+
+def test_q7_pair_filter_never_nested_loop(spark):
+    """The supp<>cust nation filter must ride on equi-join outputs, not
+    turn the plan into a nested-loop pair product."""
+    from apache_flink_pratices_spark.operators.relational import (
+        q7_nation_pair_revenue,
+    )
+
+    kinds = join_kinds(formatted_plan(q7_nation_pair_revenue(spark, SF)))
+    assert "BroadcastNestedLoopJoin" not in kinds
+    assert "CartesianProduct" not in kinds
