@@ -47,7 +47,9 @@ _FRAUD_TXS = [
 ]
 
 
-def _run_memory_stream(spark: SparkSession, rows, schema, build, name: str) -> DataFrame:
+def _run_memory_stream(
+    spark: SparkSession, rows, schema, build, name: str, chunks: int = 2
+) -> DataFrame:
     # A handful of golden rows doesn't need the session's (often 200)
     # shuffle partitions — each micro-batch would schedule that many state
     # tasks. Narrow the setting for the run and restore it after. Pin UTC
@@ -59,7 +61,7 @@ def _run_memory_stream(spark: SparkSession, rows, schema, build, name: str) -> D
     try:
         with tempfile.TemporaryDirectory(prefix="afp-golden-") as d:
             src = stream_from_collection(
-                spark, rows, schema, os.path.join(d, "in"), chunks=2
+                spark, rows, schema, os.path.join(d, "in"), chunks=chunks
             )
             q = (
                 build(src)
@@ -189,4 +191,72 @@ def _cep_oracle() -> str:
 def stream_cep_signals_golden(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_memory_stream(
         spark, _cep_scenario(), UNIFIED_SCHEMA, signal_stream, "afp_cep_golden"
+    )
+
+
+#: watermarked-window golden corpus: 4 replay files of 2 rows each. The
+#: shape pins THREE behaviors at once: (1) append-mode windows emit only
+#: once the watermark passes their end; (2) a late row that arrives while
+#: its window's state is still live is MERGED (Spark evicts at
+#: end-of-batch, after input merge); (3) a late row arriving after its
+#: window was emitted is DROPPED (batch 3's numRowsDroppedByWatermark=1)
+#: — the reference's drop-late stance (W3) at the exact operator where
+#: Spark enforces it. Rows 70s/2s ride in the last file: the 70s row
+#: advances the watermark to 60s so the final no-data batch flushes the
+#: [30,60) window; its own [60,90) window never finalizes (wm stops at
+#: 60) and is absent from the golden.
+_WINDOW_ROWS = [
+    ("a", 1, 10), ("a", 5, 20),
+    ("b", 20, 30), ("b", 45, 50),
+    ("a", 35, 40), ("b", 50, 60),
+    ("a", 70, 70), ("a", 2, 99),  # 99 is late-after-emit: dropped
+]
+
+
+@register(
+    "stream_window_golden",
+    oracle=f"""
+    SELECT * FROM (VALUES
+      ('a', CAST({_BASE_US} AS BIGINT), CAST(2 AS BIGINT), CAST(30 AS BIGINT)),
+      ('b', CAST({_BASE_US} AS BIGINT), CAST(1 AS BIGINT), CAST(30 AS BIGINT)),
+      ('a', CAST({_BASE_US + 30_000_000} AS BIGINT), CAST(1 AS BIGINT), CAST(40 AS BIGINT)),
+      ('b', CAST({_BASE_US + 30_000_000} AS BIGINT), CAST(2 AS BIGINT), CAST(110 AS BIGINT))
+    ) AS t(key, win_start_us, cnt, total)
+    """,
+    doc="A2/A6/W3 streaming: watermarked tumbling-window aggregation in "
+    "append mode through a real readStream — pins window finalization "
+    "timing, in-state late-row merge, and the post-emission late-row "
+    "DROP (the one place Spark's engine enforces the reference's "
+    "drop-late watermark policy on its own).",
+    tags=("streaming", "window", "golden"),
+)
+def stream_window_golden(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from apache_flink_pratices_spark.streaming.windows import tumbling_agg
+
+    rows = [
+        (
+            key,
+            datetime.datetime.fromtimestamp(
+                _BASE_US / 1_000_000 + off, datetime.timezone.utc
+            ),
+            v,
+        )
+        for key, off, v in _WINDOW_ROWS
+    ]
+    return _run_memory_stream(
+        spark,
+        rows,
+        "key string, ts timestamp, v long",
+        lambda src: tumbling_agg(
+            src,
+            "ts",
+            ["key"],
+            [F.count("*").alias("cnt"), F.sum("v").alias("total")],
+            size="30 seconds",
+            delay="10 seconds",
+        ),
+        "afp_window_golden",
+        chunks=4,
     )

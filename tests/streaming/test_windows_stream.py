@@ -83,3 +83,50 @@ def test_tumbling_stream_matches_batch(spark, tmp_path):
         (t0, "view"): (1, 5.0),
         (t0 + 10_000_000, "click"): (1, 7.0),
     }
+
+
+def test_window_golden_drops_exactly_the_post_emission_late_row(spark):
+    """W3: the golden corpus's last-file late row must be dropped BY THE
+    ENGINE (numRowsDroppedByWatermark), not merely absent from output —
+    and the in-state late merge means no other row may be dropped."""
+    import datetime
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from apache_flink_pratices_spark.operators.streaming_golden import _WINDOW_ROWS
+    from apache_flink_pratices_spark.sources.collection import stream_from_collection
+    from apache_flink_pratices_spark.streaming.windows import tumbling_agg
+
+    base = datetime.datetime(2021, 1, 1, tzinfo=datetime.timezone.utc)
+    rows = [
+        (k, base + datetime.timedelta(seconds=off), v) for k, off, v in _WINDOW_ROWS
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        src = stream_from_collection(
+            spark, rows, "key string, ts timestamp, v long",
+            os.path.join(d, "in"), chunks=4,
+        )
+        agg = tumbling_agg(
+            src, "ts", ["key"],
+            [F.count("*").alias("cnt"), F.sum("v").alias("total")],
+            size="30 seconds", delay="10 seconds",
+        )
+        q = (
+            agg.writeStream.format("memory")
+            .queryName("wm_drop_probe")
+            .option("checkpointLocation", os.path.join(d, "ckpt"))
+            .outputMode("append")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        dropped = sum(
+            op.get("numRowsDroppedByWatermark", 0)
+            for p in q.recentProgress
+            for op in p.get("stateOperators", [])
+        )
+        assert dropped == 1, dropped
