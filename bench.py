@@ -49,6 +49,10 @@ def main() -> None:
             per.append(time.perf_counter() - t0)
             # drop any persist() the query made so repeats stay independent
             spark.catalog.clearCache()
+        # collect the previous query's garbage OUTSIDE the timed window:
+        # accumulated heap pressure otherwise leaks GC pauses into later
+        # queries' timings (observed 2-5x inflation late in a full run)
+        spark._jvm.System.gc()
         timings[name] = round(min(per), 4)
         medians[name] = round(statistics.median(per), 4)
         rows[name] = spec.fn(spark, sf_dir).count()  # untimed, for sanity
