@@ -260,3 +260,67 @@ def stream_window_golden(spark: SparkSession, sf_dir: str) -> DataFrame:
         "afp_window_golden",
         chunks=4,
     )
+
+
+#: session-window golden corpus (2 replay files of 4 rows). Pins: gap
+#: extension (0s+8s merge into [0,18)), cross-batch session growth
+#: (40s in file 1, 44s in file 2 -> [40,54)), in-state late merge (u2's
+#: 5s row arrives after the watermark passed its session end but the
+#: state is still live in that batch, so it merges -> [3,15)x2), append
+#: finalization order, and the never-finalized open session (u9@200s is
+#: absent: the watermark stops at 200s, its session ends 210s).
+_SESSION_ROWS = [
+    (1, 0), (1, 8), (2, 3), (1, 40),
+    (1, 44), (2, 5), (1, 100), (9, 200),
+]
+
+
+@register(
+    "stream_session_golden",
+    oracle=f"""
+    SELECT * FROM (VALUES
+      (CAST(1 AS BIGINT), CAST({_BASE_US} AS BIGINT), CAST({_BASE_US + 18_000_000} AS BIGINT), CAST(2 AS BIGINT)),
+      (CAST(2 AS BIGINT), CAST({_BASE_US + 3_000_000} AS BIGINT), CAST({_BASE_US + 15_000_000} AS BIGINT), CAST(2 AS BIGINT)),
+      (CAST(1 AS BIGINT), CAST({_BASE_US + 40_000_000} AS BIGINT), CAST({_BASE_US + 54_000_000} AS BIGINT), CAST(2 AS BIGINT)),
+      (CAST(1 AS BIGINT), CAST({_BASE_US + 100_000_000} AS BIGINT), CAST({_BASE_US + 110_000_000} AS BIGINT), CAST(1 AS BIGINT))
+    ) AS t(user_id, start_us, end_us, n_events)
+    """,
+    doc="A2/W3 streaming: native session windows (10s gap) in append mode "
+    "through a real readStream — pins gap-merge, cross-batch session "
+    "growth, in-state late merge, and that open sessions never emit.",
+    tags=("streaming", "window", "session", "golden"),
+)
+def stream_session_golden(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    rows = [
+        (
+            uid,
+            datetime.datetime.fromtimestamp(
+                _BASE_US / 1_000_000 + off, datetime.timezone.utc
+            ),
+        )
+        for uid, off in _SESSION_ROWS
+    ]
+
+    def build(src):
+        return (
+            src.withWatermark("ts", "0 seconds")
+            .groupBy(F.session_window("ts", "10 seconds").alias("w"), "user_id")
+            .agg(F.count("*").alias("n_events"))
+            .select(
+                "user_id",
+                F.unix_micros(F.col("w.start")).alias("start_us"),
+                F.unix_micros(F.col("w.end")).alias("end_us"),
+                "n_events",
+            )
+        )
+
+    return _run_memory_stream(
+        spark,
+        rows,
+        "user_id long, ts timestamp",
+        build,
+        "afp_session_golden",
+        chunks=2,
+    )
