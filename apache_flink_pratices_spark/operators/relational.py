@@ -793,3 +793,113 @@ def q16_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("p_type", "p_size")
         .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
     )
+
+
+# --- count-min sketch heavy hitters -----------------------------------------
+
+from apache_flink_pratices_spark.functions.hashing import sql_md5_long  # noqa: E402
+from apache_flink_pratices_spark.operators.dedup import P31  # noqa: E402
+
+#: CMS geometry: depth (independent hash rows) × width (cells per row).
+#: Error bound: est - true <= N * e/width with prob 1 - (1/e)^depth — at
+#: any corpus size the sketch stays depth*width counters, mergeable by
+#: cell-wise addition across partitions, executors, or days of data.
+CMS_DEPTH = 4
+CMS_WIDTH = 1024
+#: heavy-hitter candidates probed against the sketch
+CMS_CANDIDATES = 10
+
+
+def _cms_coeffs() -> list[tuple[int, int]]:
+    import hashlib
+
+    out = []
+    for j in range(CMS_DEPTH):
+        d = hashlib.md5(f"afp-cms-{j}".encode()).digest()
+        a = int.from_bytes(d[:4], "big") % (P31 - 1) + 1
+        b = int.from_bytes(d[4:8], "big") % P31
+        out.append((a, b))
+    return out
+
+
+CMS_COEFFS = _cms_coeffs()
+
+
+@register(
+    "sketch_cms_heavy_hitters",
+    oracle=f"""
+    WITH hashed AS (
+      SELECT ({sql_md5_long("CAST(user_id AS VARCHAR)")}) % {P31} AS hm, user_id
+      FROM events
+    ),
+    cells AS (
+      {" UNION ALL ".join(
+          f"SELECT {j} AS j, (({a} * hm + {b}) % {P31}) % {CMS_WIDTH} AS cell, user_id FROM hashed"
+          for j, (a, b) in enumerate(CMS_COEFFS)
+      )}
+    ),
+    sketch AS (
+      SELECT j, cell, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM cells GROUP BY j, cell
+    ),
+    cand_cells AS (
+      SELECT DISTINCT j, cell, user_id FROM cells WHERE user_id < {CMS_CANDIDATES}
+    ),
+    est AS (
+      SELECT c.user_id, MIN(s.cnt) AS cms_estimate
+      FROM cand_cells c JOIN sketch s ON s.j = c.j AND s.cell = c.cell
+      GROUP BY c.user_id
+    ),
+    exact AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS exact_cnt
+      FROM events WHERE user_id < {CMS_CANDIDATES} GROUP BY user_id
+    )
+    SELECT e.user_id, est.cms_estimate, e.exact_cnt
+    FROM exact e JOIN est ON est.user_id = e.user_id
+    """,
+    doc=f"Count-min sketch heavy hitters: a {CMS_DEPTH}x{CMS_WIDTH} "
+    "counter sketch over events.user_id built in ONE map-side-combinable "
+    "groupBy (the shuffle carries at most depth*width occupied cells per "
+    "partition — fixed size at ANY corpus scale, and cell-wise additive, "
+    "so per-day/per-partition sketches merge by summing). Candidate "
+    "frequencies are then estimated as the min over each candidate's "
+    f"{CMS_DEPTH} cells and emitted next to the exact count, so the "
+    "one-sided overestimate guarantee (est >= exact) is visible in the "
+    "gate-checked output. Same universal-hash family as the MinHash/KMV "
+    "tiers — exact integer arithmetic, bit-identical across engines.",
+    tags=("sketch", "events", "heavy_hitters"),
+)
+def sketch_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from apache_flink_pratices_spark.functions.hashing import md5_long
+
+    e = load(spark, sf_dir, "events").select(
+        "user_id",
+        (md5_long(F.col("user_id").cast("string")) % P31).alias("hm"),
+    )
+    cell_structs = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("j"),
+                (((F.lit(a) * F.col("hm") + F.lit(b)) % P31) % CMS_WIDTH).alias(
+                    "cell"
+                ),
+            )
+            for j, (a, b) in enumerate(CMS_COEFFS)
+        ]
+    )
+    cells = e.select("user_id", F.explode(cell_structs).alias("c")).select(
+        "user_id", "c.j", "c.cell"
+    )
+    sketch = cells.groupBy("j", "cell").agg(F.count("*").alias("cnt"))
+    cand_cells = cells.filter(F.col("user_id") < CMS_CANDIDATES).distinct()
+    est = (
+        sketch.join(F.broadcast(cand_cells), ["j", "cell"])
+        .groupBy("user_id")
+        .agg(F.min("cnt").alias("cms_estimate"))
+    )
+    exact = (
+        e.filter(F.col("user_id") < CMS_CANDIDATES)
+        .groupBy("user_id")
+        .agg(F.count("*").alias("exact_cnt"))
+    )
+    return exact.join(est, "user_id").select("user_id", "cms_estimate", "exact_cnt")
