@@ -60,6 +60,7 @@ def asof_join(
     right_ts: str,
     right_cols: tuple[str, ...],
     prefix: str = "asof_",
+    right_tiebreak: str | None = None,
 ) -> DataFrame:
     """Left as-of join: latest right row per key at-or-before each left row.
 
@@ -67,8 +68,14 @@ def asof_join(
     ``right_cols`` (NULL when no right row precedes the left row). Ties at
     identical event times resolve right-before-left, i.e. a right row AT
     the left timestamp is visible (inclusive as-of, matching DuckDB's
-    ``ASOF JOIN ... ON l.ts >= r.ts``).
+    ``ASOF JOIN ... ON l.ts >= r.ts``). When several RIGHT rows share a
+    (key, ts), pass ``right_tiebreak`` (a right column name; highest value
+    wins) to make the pick deterministic.
     """
+    if right_tiebreak is not None and right_tiebreak not in right_cols:
+        raise ValueError(
+            f"right_tiebreak {right_tiebreak!r} must be one of right_cols"
+        )
     carried = [f"__r_{c}" for c in right_cols]
     l_tagged = left.select(
         "*",
@@ -90,9 +97,14 @@ def asof_join(
         F.lit(0).alias("__is_left"),
         *[F.col(c).alias(rc) for c, rc in zip(right_cols, carried)],
     )
+    order = [F.col("__ts").asc(), F.col("__is_left").asc()]
+    if right_tiebreak is not None:
+        # right-vs-right ties at one (key, ts): highest tiebreak wins
+        # (left rows carry NULL here; nulls_first keeps them inert)
+        order.append(F.col(f"__r_{right_tiebreak}").asc_nulls_first())
     w = (
         Window.partitionBy(key)
-        .orderBy("__ts", "__is_left")
+        .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     filled = l_tagged.unionByName(r_tagged).select(
@@ -141,7 +153,14 @@ def asof_attribution(spark, sf_dir: str) -> DataFrame:
     purchases = _events_of(spark, sf_dir, "purchase")
     views = _events_of(spark, sf_dir, "view")
     joined = asof_join(
-        purchases, views, "user_id", "ts", "ts", ("event_id", "ts", "value"), "view_"
+        purchases,
+        views,
+        "user_id",
+        "ts",
+        "ts",
+        ("event_id", "ts", "value"),
+        "view_",
+        right_tiebreak="event_id",
     )
     return joined.select(
         F.col("event_id").alias("purchase_id"),

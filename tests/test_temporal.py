@@ -59,3 +59,51 @@ def test_asof_right_only_keys_do_not_leak(spark):
     joined = asof_join(left, extra, "k", "ts", "rts", ("rid",))
     assert joined.filter(F.col("k") == "zz").count() == 0
     assert joined.count() == 3
+
+
+# --- property: kernel vs an independent Python model ------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_row = st.tuples(
+    st.integers(min_value=0, max_value=2),    # key
+    st.integers(min_value=0, max_value=20),   # ts (seconds)
+    st.integers(min_value=0, max_value=99),   # id / tiebreak
+)
+
+
+def _python_asof(left_rows, right_rows):
+    """For each left row: among right rows with the same key and
+    rts <= ts, the one with max (rts, rid) — None if there is none."""
+    out = {}
+    for k, lts, lid in left_rows:
+        best = None
+        for rk, rts, rid in right_rows:
+            if rk == k and rts <= lts:
+                cand = (rts, rid)
+                if best is None or cand > best:
+                    best = cand
+        out[(k, lts, lid)] = best[1] if best is not None else None
+    return out
+
+
+@given(
+    left=st.lists(_row, min_size=1, max_size=8, unique=True),
+    right=st.lists(_row, min_size=0, max_size=8, unique=True),
+)
+@settings(max_examples=12, deadline=None)
+def test_asof_matches_python_model(spark, left, right):
+    ldf = spark.createDataFrame(
+        [(k, _ts(t), i) for k, t, i in left], "k long, ts timestamp, lid long"
+    )
+    rdf = spark.createDataFrame(
+        [(k, _ts(t), i) for k, t, i in right], "k long, rts timestamp, rid long"
+    )
+    got = {
+        (r["k"], int(r["ts"].timestamp() - _ts(0).timestamp()), r["lid"]): r["asof_rid"]
+        for r in asof_join(
+            ldf, rdf, "k", "ts", "rts", ("rid",), right_tiebreak="rid"
+        ).collect()
+    }
+    assert got == _python_asof(left, right)
