@@ -324,3 +324,89 @@ def stream_session_golden(spark: SparkSession, sf_dir: str) -> DataFrame:
         "afp_session_golden",
         chunks=2,
     )
+
+
+#: stream-stream interval-join golden corpus (orders ⋈ payments within
+#: 30s). Matches are batch-boundary-invariant for an inner join — a pair
+#: emits once both sides have arrived regardless of chunking — so the
+#: VALUES oracle pins content, not timing. Non-matches cover: payment
+#: outside the bound (order 2), never-paid order (3), orphan payment (4).
+_JOIN_ORDERS = [(1, 0, 100.0), (2, 10, 250.0), (3, 20, 75.0), (9, 1000, 1.0)]
+_JOIN_PAYMENTS = [(1, 5, "card"), (2, 45, "wire"), (4, 6, "card"), (9, 1000, "card")]
+
+
+@register(
+    "stream_join_golden",
+    oracle=f"""
+    SELECT * FROM (VALUES
+      (CAST(1 AS BIGINT), CAST(100.0 AS DOUBLE), 'card',
+       CAST({_BASE_US} AS BIGINT), CAST({_BASE_US + 5_000_000} AS BIGINT)),
+      (CAST(9 AS BIGINT), CAST(1.0 AS DOUBLE), 'card',
+       CAST({_BASE_US + 1_000_000_000} AS BIGINT), CAST({_BASE_US + 1_000_000_000} AS BIGINT))
+    ) AS t(order_id, amount, method, o_us, p_us)
+    """,
+    doc="J2 streaming: watermarked stream-stream interval join (payments "
+    "within 30s of their order) through two real readStreams — both "
+    "sides' buffers watermark-evicted, only in-bound pairs emitted.",
+    tags=("streaming", "join", "golden"),
+)
+def stream_join_golden(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from apache_flink_pratices_spark.streaming.watermarks import drop_late
+
+    def ts(sec):
+        return datetime.datetime.fromtimestamp(
+            _BASE_US / 1_000_000 + sec, datetime.timezone.utc
+        )
+
+    orders = [(i, ts(s), a) for i, s, a in _JOIN_ORDERS]
+    payments = [(i, ts(s), m) for i, s, m in _JOIN_PAYMENTS]
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        with tempfile.TemporaryDirectory(prefix="afp-golden-") as d:
+            o = drop_late(
+                stream_from_collection(
+                    spark, orders, "order_id long, o_ts timestamp, amount double",
+                    os.path.join(d, "o"), chunks=2,
+                ),
+                "o_ts",
+                delay="5 seconds",
+            )
+            p = drop_late(
+                stream_from_collection(
+                    spark, payments, "order_id long, p_ts timestamp, method string",
+                    os.path.join(d, "p"), chunks=2,
+                ),
+                "p_ts",
+                delay="5 seconds",
+            )
+            joined = o.join(
+                p,
+                (o.order_id == p.order_id)
+                & (p.p_ts >= o.o_ts)
+                & (p.p_ts <= o.o_ts + F.expr("INTERVAL 30 SECONDS")),
+            ).select(
+                o.order_id,
+                "amount",
+                "method",
+                F.unix_micros("o_ts").alias("o_us"),
+                F.unix_micros("p_ts").alias("p_us"),
+            )
+            q = (
+                joined.writeStream.format("memory")
+                .queryName("afp_join_golden")
+                .option("checkpointLocation", os.path.join(d, "ckpt"))
+                .outputMode("append")
+                .start()
+            )
+            try:
+                q.processAllAvailable()
+            finally:
+                q.stop()
+            out = spark.table("afp_join_golden")
+            return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
