@@ -268,6 +268,80 @@ def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- domain-mix resampling --------------------------------------------------
+
+#: target mix over source domains, in basis points of the output corpus.
+#: Tiers are keyed on the numeric source suffix mod 4 (5 sources per tier,
+#: 5*(800+600+400+200) = 10000 bp). In production this is the data-mixing
+#: table a pretraining run tunes (e.g. upweight curated sources, downweight
+#: crawl) — here a deterministic function of the source name.
+MIX_TIER_BP = (800, 600, 400, 200)
+MIX_SEED = 11
+
+_SQL_MIX_BP = (
+    "CASE CAST(substr(source, 4) AS INT) % 4 "
+    + " ".join(f"WHEN {i} THEN {bp}" for i, bp in enumerate(MIX_TIER_BP))
+    + " END"
+)
+
+
+@register(
+    "domain_mix_resample",
+    oracle=f"""
+    WITH counts AS (
+      SELECT source, {_SQL_MIX_BP} AS share_bp, COUNT(*) AS cnt
+      FROM documents GROUP BY source
+    ),
+    cap AS (SELECT MIN(cnt * 10000 // share_bp) AS n_out FROM counts),
+    rates AS (
+      SELECT c.source, c.share_bp,
+             least(10000, x.n_out * c.share_bp // c.cnt) AS accept_bp
+      FROM counts c CROSS JOIN cap x
+    )
+    SELECT d.doc_id, d.source, r.share_bp, r.accept_bp
+    FROM documents d JOIN rates r ON r.source = d.source
+    WHERE {sql_md5_long("CAST(d.doc_id AS VARCHAR)", seed=MIX_SEED)} % 10000
+          < r.accept_bp
+    """,
+    doc="Domain-mix resampling: downsample each source so the kept corpus "
+    "matches a target share table, at the largest total the scarcest "
+    "source allows (accept_rate_s = n_out * share_s / count_s, n_out = "
+    "min_s count_s/share_s). Per-source counts are a tiny broadcast "
+    "aggregate; the acceptance test is the same deterministic hash gate "
+    "as stratified_sample, so the big table is never shuffled and the "
+    "kept set is reproducible across engines, runs and partitionings. "
+    "All rate arithmetic is integer (basis points), so both engines "
+    "compute identical gates.",
+    tags=("sampling", "curation", "mixing"),
+)
+def domain_mix_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    tier = F.col("src_num") % 4
+    share_bp = F.when(F.lit(False), F.lit(0))
+    for i, bp in enumerate(MIX_TIER_BP):
+        share_bp = share_bp.when(tier == i, F.lit(bp))
+    counts = (
+        d.select(F.col("source"), F.substring("source", 4, 16).cast("int").alias("src_num"))
+        .groupBy("source", "src_num")
+        .agg(F.count("*").alias("cnt"))
+        .select("source", share_bp.otherwise(None).alias("share_bp"), "cnt")
+    )
+    cap = counts.agg(
+        F.min(F.expr("cnt * 10000 div share_bp")).alias("n_out")
+    )
+    rates = counts.crossJoin(F.broadcast(cap)).select(
+        "source",
+        "share_bp",
+        F.least(F.lit(10000), F.expr("n_out * share_bp div cnt")).alias("accept_bp"),
+    )
+    gate = md5_long(F.col("doc_id").cast("string"), seed=MIX_SEED) % 10000
+    return (
+        d.join(F.broadcast(rates), "source")
+        .filter(gate < F.col("accept_bp"))
+        .select("doc_id", "source", "share_bp", "accept_bp")
+    )
+
+
 # --- end-to-end curation decision -----------------------------------------
 
 QUALITY_MIN = 0.3

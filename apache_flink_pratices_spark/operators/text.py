@@ -303,6 +303,169 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- repetition-based quality filters (Gopher-style) -----------------------
+
+#: keep thresholds for the repetition filter (Rae et al., "Scaling Language
+#: Models: ... Gopher" §A1.1-style repetition signals, re-tuned to the
+#: synthetic corpus so the filter splits it non-trivially: keeps ~43%)
+REP_MIN_DISTINCT_RATIO = 0.45
+REP_MAX_TOP_WORD_FRAC = 0.18
+REP_MAX_DUP_BIGRAM_FRAC = 0.05
+
+
+@register(
+    "quality_repetition",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, list_filter(string_split(lower(text), ' '), w -> w <> '') AS ws
+      FROM documents
+    ),
+    m AS (
+      SELECT doc_id, len(ws) AS n_words,
+             len(list_distinct(ws)) AS n_distinct,
+             list_max(list_transform(list_distinct(ws),
+                                     d -> len(list_filter(ws, w -> w = d)))) AS top_word_cnt,
+             CASE WHEN len(ws) >= 2
+                  THEN len(ws) - 1 - len(list_distinct(list_transform(
+                         generate_series(1, len(ws) - 1), i -> ws[i] || ' ' || ws[i+1])))
+                  ELSE 0 END AS n_dup_bigrams
+      FROM t WHERE len(ws) > 0
+    )
+    SELECT doc_id, n_words,
+           CAST(n_distinct AS DOUBLE) / n_words AS distinct_word_ratio,
+           CAST(top_word_cnt AS DOUBLE) / n_words AS top_word_frac,
+           CASE WHEN n_words >= 2
+                THEN CAST(n_dup_bigrams AS DOUBLE) / (n_words - 1)
+                ELSE CAST(0 AS DOUBLE) END AS dup_bigram_frac,
+           (CAST(n_distinct AS DOUBLE) / n_words >= {REP_MIN_DISTINCT_RATIO}
+            AND CAST(top_word_cnt AS DOUBLE) / n_words <= {REP_MAX_TOP_WORD_FRAC}
+            AND (CASE WHEN n_words >= 2
+                      THEN CAST(n_dup_bigrams AS DOUBLE) / (n_words - 1)
+                      ELSE CAST(0 AS DOUBLE) END) <= {REP_MAX_DUP_BIGRAM_FRAC}) AS keep
+    FROM m
+    """,
+    doc="Gopher-style repetition quality filters: distinct-word ratio, "
+    "most-frequent-word fraction, duplicate-bigram fraction, and the "
+    "composite keep/drop verdict. Computed entirely with array "
+    "higher-order functions on each row — JVM map work, ZERO shuffles, so "
+    "at 100 TB it is embarrassingly parallel. Per-row cost is "
+    "O(n_words x n_distinct) from the top-word scan; for heavy-tailed "
+    "real corpora with huge single documents the explode + "
+    "groupBy(doc_id, word) variant (one shuffle, linear) is the fallback.",
+    bench=True,
+    tags=("text", "quality", "repetition", "curation"),
+)
+def quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id",
+        F.expr("filter(split(lower(text), ' '), w -> w <> '')").alias("ws"),
+    ).filter(F.size("ws") > 0)
+    m = t.select(
+        "doc_id",
+        F.size("ws").alias("n_words"),
+        F.size(F.array_distinct("ws")).alias("n_distinct"),
+        F.expr(
+            "array_max(transform(array_distinct(ws), "
+            "d -> size(filter(ws, w -> w = d))))"
+        ).alias("top_word_cnt"),
+        F.expr(
+            "CASE WHEN size(ws) >= 2 THEN size(ws) - 1 - size(array_distinct("
+            "transform(sequence(1, size(ws) - 1), "
+            "i -> concat(element_at(ws, i), ' ', element_at(ws, i + 1))))) "
+            "ELSE 0 END"
+        ).alias("n_dup_bigrams"),
+    )
+    distinct_ratio = F.col("n_distinct").cast("double") / F.col("n_words")
+    top_frac = F.col("top_word_cnt").cast("double") / F.col("n_words")
+    dup_bg = F.when(
+        F.col("n_words") >= 2,
+        F.col("n_dup_bigrams").cast("double") / (F.col("n_words") - 1),
+    ).otherwise(F.lit(0.0))
+    return m.select(
+        "doc_id",
+        "n_words",
+        distinct_ratio.alias("distinct_word_ratio"),
+        top_frac.alias("top_word_frac"),
+        dup_bg.alias("dup_bigram_frac"),
+        (
+            (distinct_ratio >= REP_MIN_DISTINCT_RATIO)
+            & (top_frac <= REP_MAX_TOP_WORD_FRAC)
+            & (dup_bg <= REP_MAX_DUP_BIGRAM_FRAC)
+        ).alias("keep"),
+    )
+
+
+# --- context-window chunking ------------------------------------------------
+
+#: chunking geometry: each chunk holds CHUNK_TOKENS BPE-ish tokens and
+#: consecutive chunks overlap by CHUNK_TOKENS - CHUNK_STRIDE tokens (the
+#: sliding-context layout retrieval/embedding pipelines feed models with)
+CHUNK_TOKENS = 32
+CHUNK_STRIDE = 24
+
+
+@register(
+    "doc_chunking",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             len(regexp_extract_all(lower(text), '{_BPEISH}')) AS n_tokens
+      FROM documents WHERE length(text) > 0
+    ),
+    chunked AS (
+      SELECT doc_id, n_tokens,
+             unnest(generate_series(0,
+               CASE WHEN n_tokens <= {CHUNK_TOKENS} THEN 0
+                    ELSE (n_tokens - {CHUNK_TOKENS} + {CHUNK_STRIDE} - 1) // {CHUNK_STRIDE}
+               END)) AS chunk_id
+      FROM toks
+    )
+    SELECT doc_id, n_tokens, chunk_id,
+           chunk_id * {CHUNK_STRIDE} AS tok_start,
+           least(chunk_id * {CHUNK_STRIDE} + {CHUNK_TOKENS}, n_tokens) AS tok_end,
+           least(chunk_id * {CHUNK_STRIDE} + {CHUNK_TOKENS}, n_tokens)
+             - chunk_id * {CHUNK_STRIDE} AS chunk_tokens
+    FROM chunked
+    """,
+    doc=f"Context-window chunking: split each document into "
+    f"{CHUNK_TOKENS}-token chunks with stride {CHUNK_STRIDE} (overlap "
+    f"{CHUNK_TOKENS - CHUNK_STRIDE}) over the BPE-ish token stream — the "
+    "retrieval/embedding-pipeline layout. Pure map + explode with integer "
+    "arithmetic only, zero shuffles; chunk count per doc is "
+    "ceil((n-W)/S)+1 so output size is linear in corpus tokens.",
+    tags=("text", "chunking", "curation"),
+)
+def doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    n_tokens = F.expr(f"size(regexp_extract_all(lower(text), '{_BPEISH}', 0))")
+    toks = d.filter(F.length("text") > 0).select(
+        "doc_id", n_tokens.alias("n_tokens")
+    )
+    last_chunk = F.when(
+        F.col("n_tokens") <= CHUNK_TOKENS, F.lit(0)
+    ).otherwise(
+        F.expr(
+            f"(n_tokens - {CHUNK_TOKENS} + {CHUNK_STRIDE} - 1) div {CHUNK_STRIDE}"
+        )
+    )
+    chunked = toks.select(
+        "doc_id",
+        "n_tokens",
+        F.explode(F.sequence(F.lit(0), last_chunk)).alias("chunk_id"),
+    )
+    tok_start = F.col("chunk_id") * CHUNK_STRIDE
+    tok_end = F.least(tok_start + CHUNK_TOKENS, F.col("n_tokens"))
+    return chunked.select(
+        "doc_id",
+        "n_tokens",
+        "chunk_id",
+        tok_start.alias("tok_start"),
+        tok_end.alias("tok_end"),
+        (tok_end - tok_start).alias("chunk_tokens"),
+    )
+
+
 # --- BPE merge candidates --------------------------------------------------
 
 BPE_TOP_MERGES = 20

@@ -185,3 +185,26 @@ def test_q7_pair_filter_never_nested_loop(spark):
     kinds = join_kinds(formatted_plan(q7_nation_pair_revenue(spark, SF)))
     assert "BroadcastNestedLoopJoin" not in kinds
     assert "CartesianProduct" not in kinds
+
+
+def test_repetition_and_chunking_zero_shuffle(spark):
+    """The docstrings claim pure map work — hold them to it."""
+    from apache_flink_pratices_spark.operators.text import (
+        doc_chunking,
+        quality_repetition,
+    )
+
+    for op in (quality_repetition, doc_chunking):
+        plan = formatted_plan(op(spark, SF))
+        assert exchange_count(plan) == 0, plan
+
+
+def test_domain_mix_big_side_never_shuffles(spark):
+    """Rates join to documents via broadcast only; the only exchanges sit
+    under the tiny per-source aggregate."""
+    from apache_flink_pratices_spark.operators.curation import domain_mix_resample
+
+    plan = formatted_plan(domain_mix_resample(spark, SF))
+    kinds = join_kinds(plan)
+    assert set(kinds) <= {"BroadcastHashJoin", "BroadcastNestedLoopJoin"}, kinds
+    assert "SortMergeJoin" not in kinds and "CartesianProduct" not in kinds

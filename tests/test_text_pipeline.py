@@ -1,0 +1,127 @@
+"""Unit tests for the repetition filter, chunking, and domain-mix operators.
+
+Oracle parity at sf0.01 is the driver gate; these pin the algorithmic
+invariants on controlled inputs — metric arithmetic on hand-built texts,
+chunk-geometry edge cases, and the mix solver's share/feasibility math.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from apache_flink_pratices_spark.operators.curation import (
+    MIX_TIER_BP,
+    domain_mix_resample,
+)
+from apache_flink_pratices_spark.operators.text import (
+    CHUNK_STRIDE,
+    CHUNK_TOKENS,
+    doc_chunking,
+    quality_repetition,
+)
+
+from tests.conftest import SF_SMOKE
+
+
+# --- quality_repetition -----------------------------------------------------
+
+
+def _rep_metrics(spark, text, tmp_path):
+    df = spark.createDataFrame([(0, text)], "doc_id long, text string")
+    path = str(tmp_path / "docs")
+    df.withColumn("lang", F.lit("en")).withColumn("source", F.lit("src0")).withColumn(
+        "n_chars", F.length("text")
+    ).write.mode("overwrite").parquet(f"{path}/documents.parquet")
+    return quality_repetition(spark, path).collect()[0]
+
+
+def test_repetition_all_same_word(spark, tmp_path):
+    r = _rep_metrics(spark, "x x x x", tmp_path)
+    assert r["n_words"] == 4
+    assert r["distinct_word_ratio"] == 0.25
+    assert r["top_word_frac"] == 1.0
+    # bigrams: 3 total, 1 distinct -> 2/3 duplicated
+    assert r["dup_bigram_frac"] == pytest.approx(2 / 3)
+    assert not r["keep"]
+
+
+def test_repetition_all_distinct(spark, tmp_path):
+    r = _rep_metrics(spark, "a b c d e", tmp_path)
+    assert r["distinct_word_ratio"] == 1.0
+    assert r["top_word_frac"] == 0.2
+    assert r["dup_bigram_frac"] == 0.0
+
+
+def test_repetition_single_word_doc(spark, tmp_path):
+    # the n_words == 1 branch: no bigrams, dup fraction defined as 0
+    r = _rep_metrics(spark, "solo", tmp_path)
+    assert r["n_words"] == 1
+    assert r["dup_bigram_frac"] == 0.0
+
+
+def test_repetition_splits_corpus(spark):
+    rows = quality_repetition(spark, SF_SMOKE).collect()
+    kept = sum(1 for r in rows if r["keep"])
+    assert 0 < kept < len(rows)
+
+
+# --- doc_chunking -----------------------------------------------------------
+
+
+def test_chunking_geometry(spark):
+    rows = doc_chunking(spark, SF_SMOKE).collect()
+    assert rows
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for doc_id, chunks in by_doc.items():
+        chunks.sort(key=lambda r: r["chunk_id"])
+        n = chunks[0]["n_tokens"]
+        # contiguous ids, stride geometry, full coverage, bounded size
+        assert [c["chunk_id"] for c in chunks] == list(range(len(chunks)))
+        for c in chunks:
+            assert c["tok_start"] == c["chunk_id"] * CHUNK_STRIDE
+            assert c["tok_end"] - c["tok_start"] == c["chunk_tokens"] <= CHUNK_TOKENS
+        assert chunks[-1]["tok_end"] == n
+        # every chunk except possibly the last is full or ends at n
+        for c in chunks[:-1]:
+            assert c["chunk_tokens"] == CHUNK_TOKENS
+        # one more chunk would start past the end
+        assert len(chunks) * CHUNK_STRIDE >= n - CHUNK_TOKENS + 1 or len(chunks) == 1
+
+
+def test_chunking_short_doc_single_chunk(spark, tmp_path):
+    df = spark.createDataFrame([(0, "a b c")], "doc_id long, text string")
+    path = str(tmp_path / "short")
+    df.write.mode("overwrite").parquet(f"{path}/documents.parquet")
+    rows = doc_chunking(spark, path).collect()
+    assert len(rows) == 1
+    assert rows[0]["chunk_id"] == 0 and rows[0]["chunk_tokens"] == rows[0]["n_tokens"]
+
+
+# --- domain_mix_resample ----------------------------------------------------
+
+
+def test_mix_rates_match_target_shares(spark):
+    kept = domain_mix_resample(spark, SF_SMOKE)
+    rates = kept.select("source", "share_bp", "accept_bp").distinct().collect()
+    assert rates
+    for r in rates:
+        tier = int(r["source"][3:]) % 4
+        assert r["share_bp"] == MIX_TIER_BP[tier]
+        assert 0 < r["accept_bp"] <= 10000
+    # higher target share must not get a lower acceptance rate when counts
+    # are uniform (they are in the synthetic corpus)
+    by_share = {}
+    for r in rates:
+        by_share.setdefault(r["share_bp"], set()).add(r["accept_bp"])
+    shares = sorted(by_share)
+    for lo, hi in zip(shares, shares[1:]):
+        assert max(by_share[lo]) <= min(by_share[hi])
+
+
+def test_mix_is_deterministic(spark):
+    a = sorted(r["doc_id"] for r in domain_mix_resample(spark, SF_SMOKE).collect())
+    b = sorted(r["doc_id"] for r in domain_mix_resample(spark, SF_SMOKE).collect())
+    assert a == b and a
