@@ -592,6 +592,116 @@ def sketch_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- HyperLogLog distinct sketch -------------------------------------------
+
+#: HLL geometry: p=10 -> m=1024 registers; the 56-bit portable hash splits
+#: into a 10-bit bucket and a 46-bit tail whose trailing-zero run feeds the
+#: register (Flajolet-Martin rho; statistically equivalent to the
+#: leading-zero formulation). rho in [1, 47], 47 = all-zero tail.
+HLL_M = 1024
+_HLL_TAIL_BITS = 46
+#: per-register denominator unit: 2^-rho expressed in exact 2^-47 units,
+#: so the harmonic-mean denominator is an INTEGER sum (max m·2^47 = 2^57,
+#: inside int64) — bit-identical across engines, unlike a float sum whose
+#: value depends on accumulation order.
+_HLL_UNIT_SHIFT = 47
+#: alpha_m · m² · 2^47 for m=1024, as a literal both engines parse to the
+#: same IEEE double; the estimate is this single constant over the integer
+#: denominator — one correctly-rounded division, hash-stable.
+_HLL_NUMERATOR = 0.7213 / (1 + 1.079 / HLL_M) * HLL_M * HLL_M * 2**_HLL_UNIT_SHIFT
+
+_SQL_HLL_RHO = (
+    f"CASE WHEN tail = 0 THEN {_HLL_TAIL_BITS + 1} "
+    "ELSE CAST(round(log2(tail & -tail)) AS INTEGER) + 1 END"
+)
+
+
+@register(
+    "sketch_hll_distinct",
+    oracle=f"""
+    WITH hashed AS (
+      SELECT DISTINCT event_type,
+             CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 14)) AS BIGINT) AS h
+      FROM events
+    ),
+    exact AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS exact_distinct
+      FROM hashed GROUP BY event_type
+    ),
+    regs AS (
+      SELECT event_type, bucket, MAX({_SQL_HLL_RHO}) AS rho
+      FROM (SELECT event_type, h % {HLL_M} AS bucket, h // {HLL_M} AS tail FROM hashed)
+      GROUP BY event_type, bucket
+    ),
+    agg AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n_buckets_used,
+             CAST(SUM(CAST(1 AS BIGINT) << ({_HLL_UNIT_SHIFT} - rho)) AS BIGINT)
+               AS used_units
+      FROM regs GROUP BY event_type
+    )
+    SELECT a.event_type, e.exact_distinct, a.n_buckets_used,
+           a.used_units
+             + ({HLL_M} - a.n_buckets_used) * CAST({2**_HLL_UNIT_SHIFT} AS BIGINT)
+             AS denom_units,
+           {_HLL_NUMERATOR!r} / CAST(a.used_units
+             + ({HLL_M} - a.n_buckets_used) * CAST({2**_HLL_UNIT_SHIFT} AS BIGINT)
+             AS DOUBLE) AS hll_estimate
+    FROM agg a JOIN exact e ON e.event_type = a.event_type
+    """,
+    doc=f"HyperLogLog distinct-count sketch (m={HLL_M}) over portable "
+    "56-bit hashes, fully deterministic and bit-identical across engines: "
+    "registers are MAX-merged per (key, bucket) — a two-stage hash "
+    "aggregate with map-side combine, the textbook mergeable-sketch plan "
+    "(register arrays merge with elementwise MAX across partitions, "
+    "streams, or days) — and the harmonic-mean denominator is summed as "
+    "exact integer 2^-47 units so no float accumulation order can leak "
+    "into the estimate. The raw estimator only (no small-range linear-"
+    "counting branch: it needs ln(), whose libm rounding differs across "
+    "engines); exact_distinct rides a separate hash-agg count for the "
+    "accuracy comparison; consumers apply the correction client-side from "
+    "the emitted state: m*ln(m/(m - n_buckets_used)) when the raw "
+    "estimate is under 2.5m — see tests/test_hll.py. At 100 TB state is "
+    "m registers per key — bytes — versus KMV's k hashes; both shuffle "
+    "only (key, bucket, rho).",
+    tags=("sketch", "distinct", "hll"),
+)
+def sketch_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from apache_flink_pratices_spark.functions.hashing import md5_long
+
+    e = load(spark, sf_dir, "events")
+    hashed = e.select(
+        "event_type", md5_long(F.col("user_id").cast("string")).alias("h")
+    ).distinct()
+    exact = hashed.groupBy("event_type").agg(
+        F.count("*").alias("exact_distinct")
+    )
+    split = hashed.select(
+        "event_type",
+        (F.col("h") % HLL_M).alias("bucket"),
+        F.expr(f"h div {HLL_M}").alias("tail"),
+    )
+    regs = split.groupBy("event_type", "bucket").agg(
+        F.max(F.expr(_SQL_HLL_RHO)).alias("rho")
+    )
+    agg = regs.groupBy("event_type").agg(
+        F.count("*").alias("n_buckets_used"),
+        F.sum(
+            F.expr(f"shiftleft(CAST(1 AS BIGINT), {_HLL_UNIT_SHIFT} - rho)")
+        ).alias("used_units"),
+    )
+    denom = F.col("used_units") + (F.lit(HLL_M) - F.col("n_buckets_used")) * F.lit(
+        2**_HLL_UNIT_SHIFT
+    )
+    return agg.join(F.broadcast(exact), "event_type").select(
+        "event_type",
+        "exact_distinct",
+        "n_buckets_used",
+        denom.alias("denom_units"),
+        (F.lit(_HLL_NUMERATOR) / denom.cast("double")).alias("hll_estimate"),
+    )
+
+
 @register(
     "q_top_customers_per_segment",
     oracle="""
