@@ -396,6 +396,85 @@ def quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- PII detection / redaction ----------------------------------------------
+
+#: detector patterns — plain character classes and bounded repeats only, so
+#: Java regex (Spark) and RE2 (DuckDB) agree exactly. Replacement order is
+#: email -> phone -> ip: earlier replacements insert no digits/dots, so
+#: later patterns cannot match inside a placeholder.
+PII_EMAIL = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z][a-z]+"
+PII_PHONE = "\\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}"
+PII_IPV4 = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+
+_SQL_PII_ENRICH = (
+    "text || ' contact user' || doc_id || '@' || source || "
+    "'.example.com tel +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || "
+    "' ip 10.' || CAST(doc_id % 200 AS VARCHAR) || '.' || "
+    "CAST(doc_id % 250 AS VARCHAR) || '.7'"
+)
+
+
+@register(
+    "pii_redaction",
+    oracle=f"""
+    WITH enriched AS (
+      SELECT doc_id, {_SQL_PII_ENRICH} AS body FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(body, '{PII_EMAIL}')) AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(body, '{PII_PHONE}')) AS BIGINT) AS n_phones,
+           CAST(len(regexp_extract_all(body, '{PII_IPV4}')) AS BIGINT) AS n_ips,
+           regexp_replace(regexp_replace(regexp_replace(
+             body, '{PII_EMAIL}', '<EMAIL>', 'g'),
+                   '{PII_PHONE}', '<PHONE>', 'g'),
+                   '{PII_IPV4}', '<IP>', 'g') AS redacted
+    FROM enriched
+    """,
+    doc="PII detection and redaction: per-document counts and masked text "
+    "for email / phone / IPv4 patterns. The synthetic corpus carries no "
+    "PII, so each document is first deterministically enriched with "
+    "key-derived contact strings (making detection verifiable); the "
+    "detector regexes use only character classes and bounded repeats so "
+    "Java regex and RE2 agree. Pure per-row JVM map work, zero shuffles "
+    "— at 100 TB this is the same embarrassingly parallel scrub pass a "
+    "real pipeline runs before training.",
+    tags=("text", "pii", "curation"),
+)
+def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    body = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@"),
+        F.col("source"),
+        F.lit(".example.com tel +1-555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.lit(" ip 10."),
+        (F.col("doc_id") % 200).cast("string"),
+        F.lit("."),
+        (F.col("doc_id") % 250).cast("string"),
+        F.lit(".7"),
+    )
+    enriched = d.select("doc_id", body.alias("body"))
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("body"), PII_EMAIL, "<EMAIL>"),
+            PII_PHONE,
+            "<PHONE>",
+        ),
+        PII_IPV4,
+        "<IP>",
+    )
+    return enriched.select(
+        "doc_id",
+        F.regexp_count(F.col("body"), F.lit(PII_EMAIL)).alias("n_emails"),
+        F.regexp_count(F.col("body"), F.lit(PII_PHONE)).alias("n_phones"),
+        F.regexp_count(F.col("body"), F.lit(PII_IPV4)).alias("n_ips"),
+        redacted.alias("redacted"),
+    )
+
+
 # --- context-window chunking ------------------------------------------------
 
 #: chunking geometry: each chunk holds CHUNK_TOKENS BPE-ish tokens and

@@ -125,3 +125,25 @@ def test_mix_is_deterministic(spark):
     a = sorted(r["doc_id"] for r in domain_mix_resample(spark, SF_SMOKE).collect())
     b = sorted(r["doc_id"] for r in domain_mix_resample(spark, SF_SMOKE).collect())
     assert a == b and a
+
+
+# --- pii_redaction ----------------------------------------------------------
+
+
+def test_pii_redaction_masks_and_counts(spark, tmp_path):
+    from apache_flink_pratices_spark.operators.text import pii_redaction
+
+    text = "reach me at bob.smith+x@corp.io or +82-555-1234 from 192.168.0.1 ok"
+    df = spark.createDataFrame(
+        [(7, text, "src1")], "doc_id long, text string, source string"
+    )
+    path = str(tmp_path / "pii")
+    df.write.mode("overwrite").parquet(f"{path}/documents.parquet")
+    r = pii_redaction(spark, path).collect()[0]
+    # 1 organic + 1 injected of each class
+    assert r["n_emails"] == 2 and r["n_phones"] == 2 and r["n_ips"] == 2
+    red = r["redacted"]
+    assert "bob.smith" not in red and "192.168" not in red and "555-1234" not in red
+    assert red.count("<EMAIL>") == 2 and red.count("<PHONE>") == 2 and red.count("<IP>") == 2
+    # non-PII text survives
+    assert red.startswith("reach me at <EMAIL> or <PHONE> from <IP> ok")
