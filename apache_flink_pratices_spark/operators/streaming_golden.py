@@ -326,6 +326,74 @@ def stream_session_golden(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: streaming-dedup golden corpus: 4 replay files of 2 rows each, delay 10s.
+#: Pins FOUR dropDuplicatesWithinWatermark behaviors: (1) first occurrence
+#: emits immediately with ITS payload (first-wins: 1@2s/"b" is dropped);
+#: (2) batch 2 ends with wm = 30s-10s = 20s, but eviction runs at end of
+#: a batch AFTER its input is merged (same timing as window state), so
+#: key 1 (expires 0+10) is only really gone after the batch-3 spacer
+#: rows; (3) the 1@25s replay in batch 4 is then re-admitted and emits
+#: AGAIN — the documented bounded-state tradeoff of watermark-scoped
+#: dedup (exact global dedup at 100 TB is the batch dedup_exact path);
+#: (4) 3@32s lands inside key 3's still-live window (expires 40 > wm 20)
+#: and is dropped even though it crosses a batch boundary.
+_DEDUP_ROWS = [
+    (1, 0, "a"), (1, 2, "b"),
+    (2, 5, "c"), (3, 30, "d"),
+    (9, 21, "x"), (9, 22, "y"),
+    (1, 25, "e"), (3, 32, "f"),
+]
+
+
+@register(
+    "stream_dedup_golden",
+    oracle=f"""
+    SELECT * FROM (VALUES
+      (CAST(1 AS BIGINT), CAST({_BASE_US} AS BIGINT), 'a'),
+      (CAST(2 AS BIGINT), CAST({_BASE_US + 5_000_000} AS BIGINT), 'c'),
+      (CAST(3 AS BIGINT), CAST({_BASE_US + 30_000_000} AS BIGINT), 'd'),
+      (CAST(9 AS BIGINT), CAST({_BASE_US + 21_000_000} AS BIGINT), 'x'),
+      (CAST(1 AS BIGINT), CAST({_BASE_US + 25_000_000} AS BIGINT), 'e')
+    ) AS t(event_id, ts_us, v)
+    """,
+    doc="W3-adjacent streaming: watermark-scoped stream deduplication "
+    "(dropDuplicatesWithinWatermark, 10s delay) through a real readStream "
+    "— pins first-wins payload, in-state duplicate drop across batches, "
+    "watermark eviction, and post-eviction re-admission (the bounded-"
+    "state contract that makes streaming dedup viable at 100 TB).",
+    tags=("streaming", "dedup", "golden"),
+)
+def stream_dedup_golden(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    rows = [
+        (
+            eid,
+            datetime.datetime.fromtimestamp(
+                _BASE_US / 1_000_000 + off, datetime.timezone.utc
+            ),
+            v,
+        )
+        for eid, off, v in _DEDUP_ROWS
+    ]
+
+    def build(src):
+        return (
+            src.withWatermark("ts", "10 seconds")
+            .dropDuplicatesWithinWatermark(["event_id"])
+            .select("event_id", F.unix_micros("ts").alias("ts_us"), "v")
+        )
+
+    return _run_memory_stream(
+        spark,
+        rows,
+        "event_id long, ts timestamp, v string",
+        build,
+        "afp_dedup_golden",
+        chunks=4,
+    )
+
+
 #: stream-stream interval-join golden corpus (orders ⋈ payments within
 #: 30s). Matches are batch-boundary-invariant for an inner join — a pair
 #: emits once both sides have arrived regardless of chunking — so the
