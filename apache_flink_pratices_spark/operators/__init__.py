@@ -13,6 +13,7 @@ from apache_flink_pratices_spark.operators import (  # noqa: F401
     row_transforms,
     similarity,
     streaming_golden,
+    subqueries,
     temporal,
     text,
     windows,
