@@ -478,3 +478,94 @@ def stream_join_golden(spark: SparkSession, sf_dir: str) -> DataFrame:
             return spark.createDataFrame(out.collect(), out.schema)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
+#: Trending top-k corpus: two finalized 10s windows plus LATE replays.
+#: 18 rows under chunks=5 split evenly at 4/4/4/4/2. Timing is the subtle
+#: part (measured, not assumed): a window's state is evicted at the end of
+#: the first batch that RUNS with watermark > window end, and a late row
+#: arriving in that same batch still merges into the live state. So batch
+#: 4 (watermark 28s) is the one that closes both windows, and the replays
+#: sit in batch 5 — 20+s behind the watermark with their state already
+#: gone — where the built-in aggregate drops them outright (no
+#: re-admission; contrast dropDuplicatesWithinWatermark's documented
+#: re-admission in _DEDUP_ROWS, and applyInPandasWithState, which always
+#: delivers late rows — see streaming/watermarks.py). Admitted, they
+#: would flip window 0 to a=4 and window 1's ranking. The spacers' own
+#: never-closed windows are filtered out of the result by the cutoff.
+_TOPK_ROWS = [
+    # batches 1-2: window 0 gets a×3/b×2, window 1 gets c×2/b×1
+    ("a", 1), ("a", 2), ("b", 4), ("b", 11),
+    ("a", 3), ("b", 5), ("c", 13), ("c", 14),
+    # batch 3: spacers advance the watermark past both window ends
+    ("zz", 30), ("zz", 31), ("zz", 32), ("zz", 33),
+    # batch 4: runs with wm=28s -> evicts + emits both content windows
+    ("zz", 40), ("zz", 41), ("zz", 42), ("zz", 43),
+    # batch 5: late replays into the already-evicted windows -> dropped
+    ("a", 7), ("c", 8),
+]
+
+
+@register(
+    "stream_topk_golden",
+    oracle=f"""
+    SELECT * FROM (VALUES
+      (CAST({_BASE_MS * 1000} AS BIGINT), 'a', CAST(3 AS BIGINT)),
+      (CAST({_BASE_MS * 1000} AS BIGINT), 'b', CAST(2 AS BIGINT)),
+      (CAST({(_BASE_MS + 10_000) * 1000} AS BIGINT), 'c', CAST(2 AS BIGINT)),
+      (CAST({(_BASE_MS + 10_000) * 1000} AS BIGINT), 'b', CAST(1 AS BIGINT))
+    ) AS t(ws_us, item, cnt)
+    """,
+    doc="A6/W3 streaming: trending top-k — watermarked tumbling-window "
+    "counts through a real readStream (append mode: a window emits only "
+    "once the watermark passes its end), ranked top-2 per window "
+    "downstream of the sink. Pins the built-in aggregate's drop-late "
+    "contract: a replay 18s behind the watermark does NOT reopen its "
+    "window. At scale the streaming stage shuffles only (window, item) "
+    "partial counts; the rank runs over the already-aggregated, "
+    "window-partitioned output.",
+    tags=("streaming", "golden", "window", "heavy_hitters"),
+)
+def stream_topk_golden(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    flat = [
+        (
+            item,
+            datetime.datetime.fromtimestamp(
+                _BASE_MS / 1000 + off, datetime.timezone.utc
+            ),
+        )
+        for item, off in _TOPK_ROWS
+    ]
+
+    cutoff = datetime.datetime.fromtimestamp(
+        _BASE_MS / 1000 + 20, datetime.timezone.utc
+    )
+
+    def build(src):
+        return (
+            src.withWatermark("ts", "5 seconds")
+            .groupBy(F.window("ts", "10 seconds"), "item")
+            .count()
+            .filter(F.col("window.start") < F.lit(cutoff))
+            .select(
+                F.unix_micros("window.start").alias("ws_us"),
+                "item",
+                F.col("count").alias("cnt"),
+            )
+        )
+
+    counts = _run_memory_stream(
+        spark,
+        flat,
+        "item string, ts timestamp",
+        build,
+        "afp_topk_golden",
+        chunks=5,
+    )
+    rank = F.row_number().over(
+        Window.partitionBy("ws_us").orderBy(F.col("cnt").desc(), "item")
+    )
+    return counts.withColumn("rk", rank).filter(F.col("rk") <= 2).drop("rk")
