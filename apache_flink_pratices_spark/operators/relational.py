@@ -1013,3 +1013,95 @@ def sketch_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("exact_cnt"))
     )
     return exact.join(est, "user_id").select("user_id", "cms_estimate", "exact_cnt")
+
+
+# --- histogram quantile sketch ----------------------------------------------
+
+#: Fixed-bucket histogram geometry for the quantile sketch: $1000-wide
+#: buckets in exact integer cents. The sketch is |buckets| counters per key
+#: regardless of row count — additive across partitions/executors/days —
+#: and every step (bucketing, cumulation, rank targets) is exact integer
+#: arithmetic, so the estimate is bit-identical across engines. Error is
+#: bounded by the bucket width (estimates snap to a bucket's lower edge);
+#: the exact-quantile path (q_price_quantiles) is the no-error alternative
+#: when a full shuffle of distinct values is acceptable.
+HISTO_WIDTH_CENTS = 100_000
+
+
+@register(
+    "sketch_histogram_quantiles",
+    oracle=f"""
+    WITH hist AS (
+      SELECT o_orderpriority AS priority,
+             CAST(ROUND(o_totalprice * 100.0) AS BIGINT) // {HISTO_WIDTH_CENTS}
+               AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM orders
+      GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT priority, bucket, cnt,
+             SUM(cnt) OVER (PARTITION BY priority ORDER BY bucket) AS cum,
+             SUM(cnt) OVER (PARTITION BY priority) AS n
+      FROM hist
+    )
+    SELECT priority,
+           CAST(n AS BIGINT) AS n,
+           CAST(MIN(CASE WHEN cum >= (n + 1) // 2 THEN bucket END)
+                * {HISTO_WIDTH_CENTS} AS DOUBLE) / 100.0 AS p50_est,
+           CAST(MIN(CASE WHEN cum >= (9 * n + 9) // 10 THEN bucket END)
+                * {HISTO_WIDTH_CENTS} AS DOUBLE) / 100.0 AS p90_est,
+           CAST(MIN(CASE WHEN cum >= (99 * n + 99) // 100 THEN bucket END)
+                * {HISTO_WIDTH_CENTS} AS DOUBLE) / 100.0 AS p99_est
+    FROM cum
+    GROUP BY priority, n
+    """,
+    doc="Mergeable histogram quantile sketch (the deterministic stand-in "
+    "for t-digest/KLL, whose buffers are order-sensitive and so not "
+    "cross-engine-checkable): fixed $1000 buckets in exact integer cents, "
+    "one groupBy to |keys|x|buckets| counters (map-side combined, "
+    "additive merge), then a per-key cumulative walk over the BOUNDED "
+    "bucket axis — never over rows — picks the bucket where the integer "
+    "rank target ceil(q*n) lands. Estimates snap to bucket lower edges; "
+    "completes the sketch family (KMV/HLL distinct, CMS heavy hitters, "
+    "histogram quantiles).",
+    tags=("relational", "sketch", "quantiles"),
+)
+def sketch_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = load(spark, sf_dir, "orders").select("o_orderpriority", "o_totalprice")
+    hist = (
+        o.select(
+            F.col("o_orderpriority").alias("priority"),
+            F.expr(
+                f"CAST(ROUND(o_totalprice * 100.0) AS BIGINT) div {HISTO_WIDTH_CENTS}"
+            ).alias("bucket"),
+        )
+        .groupBy("priority", "bucket")
+        .agg(F.count("*").alias("cnt"))
+    )
+    wcum = (
+        Window.partitionBy("priority")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = hist.withColumn("cum", F.sum("cnt").over(wcum)).withColumn(
+        "n", F.sum("cnt").over(Window.partitionBy("priority"))
+    )
+
+    def pick(target_expr: str) -> F.Column:
+        return (
+            F.min(F.when(F.col("cum") >= F.expr(target_expr), F.col("bucket")))
+            * HISTO_WIDTH_CENTS
+        ).cast("double") / 100.0
+
+    return (
+        cum.groupBy("priority", "n")
+        .agg(
+            pick("(n + 1) div 2").alias("p50_est"),
+            pick("(9 * n + 9) div 10").alias("p90_est"),
+            pick("(99 * n + 99) div 100").alias("p99_est"),
+        )
+        .select("priority", "n", "p50_est", "p90_est", "p99_est")
+    )
