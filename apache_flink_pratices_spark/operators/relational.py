@@ -1105,3 +1105,91 @@ def sketch_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("priority", "n", "p50_est", "p90_est", "p99_est")
     )
+
+
+# --- Q8-shaped market share & LAG momentum ----------------------------------
+
+
+@register(
+    "q8_market_share",
+    oracle=f"""
+    SELECT CAST(YEAR(o_orderdate) AS BIGINT) AS o_year,
+           {sql_qsum("CASE WHEN n_name = 'NATION_3' THEN l_extendedprice * (1 - l_discount) ELSE 0 END", 10_000)}
+             / {sql_qsum('l_extendedprice * (1 - l_discount)', 10_000)} AS mkt_share
+    FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+    GROUP BY YEAR(o_orderdate)
+    """,
+    doc="TPC-H Q8-shaped market share: one nation's revenue share within "
+    "its region per order year — a conditional aggregate divided by the "
+    "group total, both computed in ONE aggregation pass (no self-join, "
+    "no second scan). nation ⋈ region collapses to a broadcast dim "
+    "filter; customer is SF-scaling so its join is AQE-selected; both "
+    "quantized sums are exact, so the share is one deterministic double "
+    "division per group.",
+    tags=("relational", "conditional_agg", "join"),
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = dim(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    r = dim(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA").select(
+        "r_regionkey"
+    )
+    asia_nations = F.broadcast(
+        n.join(r, n.n_regionkey == r.r_regionkey).select("n_nationkey", "n_name")
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    national = F.when(F.col("n_name") == "NATION_3", rev).otherwise(F.lit(0.0))
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(asia_nations, c.c_nationkey == F.col("n_nationkey"))
+        .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(
+            (
+                F.sum(qlong(national, 10_000)).cast("double") / 10_000.0
+                / (F.sum(qlong(rev, 10_000)).cast("double") / 10_000.0)
+            ).alias("mkt_share")
+        )
+    )
+
+
+@register(
+    "q_daily_momentum",
+    oracle="""
+    WITH d AS (
+      SELECT event_type,
+             CAST(epoch_us(DATE_TRUNC('day', ts)) AS BIGINT) AS day_us,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    )
+    SELECT event_type, day_us, n,
+           n - LAG(n) OVER (PARTITION BY event_type ORDER BY day_us) AS dod
+    FROM d
+    """,
+    doc="Day-over-day momentum: daily counts per event type with a LAG "
+    "window delta (NULL on each key's first day). The window runs over "
+    "the aggregated |types|x|days| rows, never raw events; partitioning "
+    "by event_type keeps each sort local to a key's bounded day axis. "
+    "Day buckets use epoch-aligned F.window starts (UTC, tz-independent) "
+    "emitted as unix_micros, matching the suite's window convention.",
+    tags=("relational", "window_fn", "events"),
+)
+def q_daily_momentum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = load(spark, sf_dir, "events").select("event_type", "ts")
+    d = e.groupBy(
+        "event_type",
+        F.unix_micros(F.window("ts", "1 day").start).alias("day_us"),
+    ).agg(F.count("*").alias("n"))
+    w = Window.partitionBy("event_type").orderBy("day_us")
+    return d.withColumn("dod", F.col("n") - F.lag("n").over(w))
