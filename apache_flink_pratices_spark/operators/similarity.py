@@ -419,8 +419,13 @@ def ann_ivf_frame(
         assigned.join(F.broadcast(probes), "cell")
         .filter(F.col("vec_id") != F.col("query_id"))
         .select("query_id", "vec_id", "label", "embedding", "nrm")
-        .distinct()
     )
+    # No dedup needed: ivf_assign puts each corpus vector in exactly ONE
+    # cell (argmax) and `probes` holds unique (query_id, cell) pairs, so
+    # the broadcast join cannot duplicate a (query_id, vec_id). A distinct
+    # here would wide-shuffle the 64-dim embeddings for nothing; if a
+    # multi-cell assignment is ever added, dedup on (query_id, vec_id)
+    # BEFORE attaching embeddings instead.
     scored = cand.join(F.broadcast(q), "query_id").select(
         "query_id",
         "vec_id",

@@ -208,3 +208,23 @@ def test_domain_mix_big_side_never_shuffles(spark):
     kinds = join_kinds(plan)
     assert set(kinds) <= {"BroadcastHashJoin", "BroadcastNestedLoopJoin"}, kinds
     assert "SortMergeJoin" not in kinds and "CartesianProduct" not in kinds
+
+
+def test_kmeans_assign_map_only(spark):
+    """The docstring claims the Lloyd assignment is a zero-shuffle pass
+    (seeds inlined as literals) — hold it to that."""
+    from apache_flink_pratices_spark.operators.kmeans import kmeans_assign
+
+    plan = formatted_plan(kmeans_assign(spark, SF))
+    assert exchange_count(plan) == 0, plan
+
+
+def test_kmeans_update_single_bounded_exchange(spark):
+    """Update computes cluster ids map-side in the same pass as the
+    element explosion: the only exchange is the (cluster, k) partial-sum
+    merge, and there is no join back to the vectors."""
+    from apache_flink_pratices_spark.operators.kmeans import kmeans_update
+
+    plan = formatted_plan(kmeans_update(spark, SF))
+    assert exchange_count(plan) == 1, plan
+    assert join_kinds(plan) == [], plan
