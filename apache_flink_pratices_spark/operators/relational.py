@@ -286,35 +286,6 @@ def q_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "q_inactive_customers_1996",
-    oracle="""
-    SELECT c_mktsegment, COUNT(*) AS n_inactive
-    FROM customer
-    WHERE NOT EXISTS (SELECT 1 FROM orders
-                      WHERE o_custkey = c_custkey
-                        AND o_orderdate >= TIMESTAMP '1996-01-01'
-                        AND o_orderdate <  TIMESTAMP '1997-01-01')
-    GROUP BY c_mktsegment
-    """,
-    doc="NOT EXISTS → left-anti join + aggregate: customers with no 1996 "
-    "orders per segment (superset join coverage; the date filter is pushed "
-    "below the anti join).",
-    tags=("relational", "antijoin"),
-)
-def q_inactive_customers_1996(spark: SparkSession, sf_dir: str) -> DataFrame:
-    c = load(spark, sf_dir, "customer")
-    o = load(spark, sf_dir, "orders").filter(
-        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
-        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
-    )
-    return (
-        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
-        .groupBy("c_mktsegment")
-        .agg(F.count("*").alias("n_inactive"))
-    )
-
-
-@register(
     "q_customer_order_profile",
     oracle=f"""
     SELECT c_custkey, c_mktsegment,
@@ -336,41 +307,6 @@ def q_customer_order_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("o_orderkey").alias("n_orders"),
             dsum(F.coalesce(F.col("o_totalprice"), F.lit(0.0))).alias("total_spend"),
-        )
-    )
-
-
-@register(
-    "q_big_orders",
-    oracle=f"""
-    SELECT c_custkey, o_orderkey,
-           CAST(epoch_us(o_orderdate) AS BIGINT) AS o_orderdate_us,
-           {sql_dsum('l_quantity')} AS total_qty
-    FROM customer
-      JOIN orders ON c_custkey = o_custkey
-      JOIN lineitem ON l_orderkey = o_orderkey
-    GROUP BY c_custkey, o_orderkey, o_orderdate_us
-    HAVING {sql_dsum('l_quantity')} > 300
-    """,
-    doc="TPC-H Q18-shaped large-volume orders: join + group + HAVING over "
-    "an aggregate (the having predicate cannot push below the aggregation).",
-    tags=("relational", "having"),
-)
-def q_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    c = load(spark, sf_dir, "customer")
-    o = load(spark, sf_dir, "orders")
-    l = load(spark, sf_dir, "lineitem")
-    return (
-        l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(c, o.o_custkey == c.c_custkey)
-        .groupBy("c_custkey", "o_orderkey", "o_orderdate")
-        .agg(dsum("l_quantity").alias("total_qty"))
-        .filter(F.col("total_qty") > 300)
-        .select(
-            "c_custkey",
-            "o_orderkey",
-            F.unix_micros("o_orderdate").alias("o_orderdate_us"),
-            "total_qty",
         )
     )
 

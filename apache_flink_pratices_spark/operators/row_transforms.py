@@ -45,60 +45,6 @@ def p_filter_even_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "p_json_props",
-    oracle="""
-    SELECT event_type,
-           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
-           COUNT(json_extract_string(props, '$.k')) AS k_cnt
-    FROM events
-    GROUP BY event_type
-    """,
-    doc="P4: parse the raw JSON payload column, extract typed field, aggregate. "
-    "Mirrors the reference's raw_data dict carried alongside typed fields "
-    "(market_data.py:82,138-145).",
-    tags=("transform", "json"),
-)
-def p_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load(spark, sf_dir, "events")
-    k = F.from_json(F.col("props"), T.StructType([T.StructField("k", T.LongType())]))["k"]
-    return e.withColumn("k", k).groupBy("event_type").agg(
-        F.sum("k").alias("k_sum"), F.count("k").alias("k_cnt")
-    )
-
-
-@register(
-    "p_normalize_validate",
-    oracle="""
-    SELECT upper(trim(source)) AS source_code, lang, COUNT(*) AS n_docs,
-           CAST(SUM(n_chars) AS BIGINT) AS total_chars
-    FROM documents
-    WHERE text IS NOT NULL AND length(text) > 0
-      AND lang IN ('en', 'de', 'es', 'fr', 'zh')
-      AND n_chars = length(text)
-    GROUP BY source_code, lang
-    """,
-    doc="P6/P7: validation predicates (non-empty payload, enum membership, "
-    "declared-length consistency) + code normalization (upper/trim), as in "
-    "market_data.py:114-239. Invalid rows are filtered, valid rows aggregated.",
-    tags=("transform", "validate"),
-)
-def p_normalize_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load(spark, sf_dir, "documents")
-    valid = (
-        F.col("text").isNotNull()
-        & (F.length("text") > 0)
-        & F.col("lang").isin("en", "de", "es", "fr", "zh")
-        & (F.col("n_chars") == F.length("text"))
-    )
-    return (
-        d.filter(valid)
-        .withColumn("source_code", F.upper(F.trim(F.col("source"))))
-        .groupBy("source_code", "lang")
-        .agg(F.count("*").alias("n_docs"), F.sum("n_chars").alias("total_chars"))
-    )
-
-
-@register(
     "w7_signal_ids",
     oracle=f"""
     SELECT event_id,
