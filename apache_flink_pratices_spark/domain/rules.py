@@ -63,3 +63,90 @@ def is_small(amount: float, small: float = SMALL_AMOUNT) -> bool:
 
 def is_large(amount: float, large: float = LARGE_AMOUNT) -> bool:
     return amount >= large
+
+
+class FraudMachine:
+    """The FraudDetector keyed state machine, framework-free.
+
+    Exact transition semantics of reference
+    ``src/pyflink_examples/fraud_detection/fraud_detector.py:39-149``
+    including its stale-timer quirks (see ``docs/fraud_semantics.md``).
+    Shared verbatim by BOTH streaming backends: the
+    ``applyInPandasWithState`` fallback keeps ``armed`` inside its state
+    tuple; the native ``transformWithStateInPandas`` processor mirrors
+    ``armed`` into real per-key timers by diffing
+    :attr:`initial_armed` against :attr:`armed` after the batch.
+
+    State: ``flag`` (bool | None), ``latest`` (last registered timer ms,
+    ``fraud_detector.py:53-62``), ``armed`` (every registered, unfired
+    timer — Flink's timer service holds many per key).
+    """
+
+    def __init__(
+        self,
+        flag: bool | None,
+        latest: int | None,
+        armed: list[int] | None,
+        small: float = REF_SMALL_AMOUNT,
+        large: float = REF_LARGE_AMOUNT,
+        window_ms: int = REF_WINDOW_MS,
+    ) -> None:
+        self.flag = flag
+        self.latest = latest
+        self.armed: list[int] = sorted(armed or [])
+        self.initial_armed: tuple[int, ...] = tuple(self.armed)
+        self.small = small
+        self.large = large
+        self.window_ms = window_ms
+        #: (account_id-free) alert event times collected this batch
+        self.alerts: list[tuple[int, float]] = []
+
+    def on_timer(self, t: int) -> None:
+        """fraud_detector.py:116-133 — clear flag AND timer_state,
+        unconditionally (even when ``latest`` points at a later timer)."""
+        if t in self.armed:
+            self.armed.remove(t)
+        self.flag = None
+        self.latest = None
+
+    def clean_up(self) -> None:
+        """fraud_detector.py:135-149 — delete only the LATEST timer;
+        earlier stale timers stay registered."""
+        if self.latest is not None and self.latest in self.armed:
+            self.armed.remove(self.latest)
+        self.flag = None
+        self.latest = None
+
+    def fire_due(self, bound_ms: int, inclusive: bool = True) -> None:
+        """Fire every armed timer the watermark has reached. Flink fires
+        all timers ≤ watermark; before an event at t the watermark trails
+        strictly below t, so in-batch interleaving uses inclusive=False."""
+        while self.armed and (
+            self.armed[0] <= bound_ms if inclusive else self.armed[0] < bound_ms
+        ):
+            self.on_timer(self.armed[0])
+
+    def on_event(self, ts_ms: int, ts_us: int, amount: float) -> None:
+        """Process one transaction (fraud_detector.py:64-114), firing
+        timers the event-time watermark would have fired first."""
+        self.fire_due(ts_ms, inclusive=False)
+
+        last_was_small = bool(self.flag)
+        if last_was_small and amount >= self.large:
+            self.alerts.append((ts_us, amount))
+            self.clean_up()
+            return  # reference returns right after the alert
+
+        if amount <= self.small:
+            self.flag = True
+            t = ts_ms + self.window_ms
+            self.latest = t
+            if t not in self.armed:
+                self.armed.append(t)
+                self.armed.sort()
+        elif not last_was_small:
+            self.clean_up()
+
+    @property
+    def empty(self) -> bool:
+        return self.flag is None and self.latest is None and not self.armed

@@ -50,6 +50,7 @@ from apache_flink_pratices_spark.domain.rules import (
     REF_LARGE_AMOUNT,
     REF_SMALL_AMOUNT,
     REF_WINDOW_MS,
+    FraudMachine,
 )
 from apache_flink_pratices_spark.streaming.watermarks import drop_late
 
@@ -76,80 +77,35 @@ def make_detector(
         flag, latest, armed = (
             state.get if state.exists else (None, None, [])
         )
-        armed = sorted(armed or [])
-
-        def on_timer(t: int) -> None:
-            # fraud_detector.py:116-133 — clear flag AND timer_state.
-            nonlocal flag, latest
-            if t in armed:
-                armed.remove(t)
-            flag = None
-            latest = None
-
-        def clean_up() -> None:
-            # fraud_detector.py:135-149 — delete only the LATEST timer.
-            nonlocal flag, latest
-            if latest is not None and latest in armed:
-                armed.remove(latest)
-            flag = None
-            latest = None
-
-        alerts: list[tuple[int, int, float]] = []
+        m = FraudMachine(flag, latest, list(armed or []), small, large, window_ms)
+        account_id = int(key[0])
 
         if state.hasTimedOut:
             # Watermark passed the earliest armed timer: fire every timer
             # the watermark has reached (Flink fires all timers ≤ WM).
-            wm = state.getCurrentWatermarkMs()
-            while armed and armed[0] <= wm:
-                on_timer(armed[0])
+            m.fire_due(state.getCurrentWatermarkMs())
         else:
             rows = pd.concat(list(pdfs), ignore_index=True)
             rows = rows.sort_values("ts_us", kind="mergesort")
-            account_id = int(key[0])
             for row in rows.itertuples(index=False):
-                ts_us = int(row.ts_us)
-                ts_ms = ts_us // 1000
-                amount = float(row.amount)
-
-                # Interleave timer firings in event-time order: Flink's
-                # watermark trails the current event, so a timer at exactly
-                # the event's timestamp fires after the event.
-                while armed and armed[0] < ts_ms:
-                    on_timer(armed[0])
-
-                last_was_small = bool(flag)
-
-                if last_was_small and amount >= large:
-                    alerts.append((account_id, ts_us, amount))
-                    clean_up()
-                    continue  # reference returns right after the alert
-
-                if amount <= small:
-                    flag = True
-                    t = ts_ms + window_ms
-                    latest = t
-                    if t not in armed:
-                        armed.append(t)
-                        armed.sort()
-                elif not last_was_small:
-                    clean_up()
-
+                m.on_event(int(row.ts_us) // 1000, int(row.ts_us), float(row.amount))
             # Timers the watermark already passed fire before the batch ends
             # (they would have been timeout callbacks had no rows arrived).
-            wm = state.getCurrentWatermarkMs()
-            while armed and armed[0] <= wm:
-                on_timer(armed[0])
+            m.fire_due(state.getCurrentWatermarkMs())
 
-        if flag is None and latest is None and not armed:
+        if m.empty:
             if state.exists:
                 state.remove()
         else:
-            state.update((flag, latest, armed))
-            if armed:
-                state.setTimeoutTimestamp(armed[0])
+            state.update((m.flag, m.latest, m.armed))
+            if m.armed:
+                state.setTimeoutTimestamp(m.armed[0])
 
-        if alerts:
-            yield pd.DataFrame(alerts, columns=["account_id", "alert_ts_us", "amount"])
+        if m.alerts:
+            yield pd.DataFrame(
+                [(account_id, ts_us, amt) for ts_us, amt in m.alerts],
+                columns=["account_id", "alert_ts_us", "amount"],
+            )
 
     return detect
 
@@ -162,12 +118,31 @@ def fraud_alert_stream(
     small: float = REF_SMALL_AMOUNT,
     large: float = REF_LARGE_AMOUNT,
     window_ms: int = REF_WINDOW_MS,
+    impl: str = "auto",
 ) -> DataFrame:
     """Wire a streaming transactions DataFrame through the detector.
 
     ``transactions`` must be a streaming DataFrame with an event-time
     timestamp column. Late data is dropped (reference stance, see
     :mod:`.watermarks`); state shuffles once on account_id.
+
+    ``impl`` picks the stateful backend:
+
+    - ``"native"`` — ``transformWithStateInPandas`` (Spark 4): separate
+      named ValueState/ListState variables and REAL per-key event-time
+      timers, the 1:1 Flink mapping. Each state var is read/written
+      independently, so at 100× state size a batch touches only what it
+      changes instead of rewriting one monolithic tuple per key.
+    - ``"pandas_state"`` — ``applyInPandasWithState`` (Spark 3.4+
+      fallback): one state tuple per key, single timeout timestamp parked
+      on the earliest armed timer.
+    - ``"auto"`` — native when the runtime supports it (requires the
+      google-protobuf wheel in the Python workers), else fallback.
+
+    Both backends drive the SAME framework-free
+    :class:`~apache_flink_pratices_spark.domain.rules.FraudMachine`, so
+    transition semantics (including the reference's stale-timer quirks)
+    are identical by construction.
     """
     # The watermarked timestamp column must survive projection for the
     # event-time timeout to bind; ts_us is what the processor consumes.
@@ -177,6 +152,18 @@ def fraud_alert_stream(
         F.unix_micros(F.col(ts_col)).alias("ts_us"),
         F.col(amount_col).cast("double").alias("amount"),
     )
+    if impl == "auto":
+        from apache_flink_pratices_spark.streaming.native_state import (
+            native_state_available,
+        )
+
+        impl = "native" if native_state_available() else "pandas_state"
+    if impl == "native":
+        from apache_flink_pratices_spark.streaming.native_state import (
+            fraud_alert_stream_native,
+        )
+
+        return fraud_alert_stream_native(src, small, large, window_ms)
     return src.groupBy("account_id").applyInPandasWithState(
         make_detector(small, large, window_ms),
         outputStructType=ALERT_SCHEMA,
