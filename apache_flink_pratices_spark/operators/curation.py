@@ -405,17 +405,65 @@ _patch_curation_oracle()
 
 # --- sequence packing ------------------------------------------------------
 
-#: token budget per packed bin (a context-window's worth) and shard count
-#: (the packing parallelism unit — each shard is packed independently).
+#: token budget per packed bin (a context-window's worth)
 PACK_BUDGET = 2048
-PACK_SHARDS = 32
+#: documents per shard target: bounds each shard's window sort. Shard
+#: count = ceil(n_docs / this), so packing parallelism SCALES WITH INPUT
+#: (VERDICT r3 #4: a fixed 32 meant ~3 TB of window sort per task at
+#: 100 TB); each task sorts ~PACK_DOCS_PER_SHARD docs regardless of
+#: corpus size, and shards map 1:1 to output files.
+PACK_DOCS_PER_SHARD = 1024
 
 
-@register(
-    "doc_packing",
-    oracle=f"""
+def doc_packing_frame(d: DataFrame, shards: int | None = None) -> DataFrame:
+    """Pack `(doc_id, text)` rows into PACK_BUDGET-token bins.
+
+    ``shards=None`` derives the shard count from the input row count
+    (ceil(n/PACK_DOCS_PER_SHARD) — one tiny count aggregation whose
+    result broadcasts back); a fixed ``shards`` keeps the plan fully
+    static for callers that know their layout."""
+    from pyspark.sql import Window
+
+    n_tokens = F.expr(f"size(regexp_extract_all(lower(text), '{_text._BPEISH}', 0))")
+    if shards is None:
+        n_sh = d.agg(
+            F.greatest(
+                F.lit(1).cast("long"),
+                F.ceil(F.count("*") / float(PACK_DOCS_PER_SHARD)).cast("long"),
+            ).alias("shards")
+        )
+        toks = d.crossJoin(F.broadcast(n_sh)).select(
+            "doc_id",
+            (F.col("doc_id") % F.col("shards")).alias("shard"),
+            n_tokens.alias("n_tokens"),
+        )
+    else:
+        toks = d.select(
+            "doc_id",
+            (F.col("doc_id") % shards).alias("shard"),
+            n_tokens.alias("n_tokens"),
+        )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    pref = toks.withColumn("prefix_tokens", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)))
+    return pref.select(
+        "doc_id",
+        "shard",
+        "n_tokens",
+        "prefix_tokens",
+        F.expr(f"prefix_tokens div {PACK_BUDGET}").alias("bin"),
+    )
+
+
+def _pack_oracle(shards_sql: str) -> str:
+    """DuckDB twin, parameterized on the shard-count expression so tests
+    can pin it to any fixed constant the Spark side uses."""
+    return f"""
     WITH toks AS (
-      SELECT doc_id, doc_id % {PACK_SHARDS} AS shard,
+      SELECT doc_id, doc_id % ({shards_sql}) AS shard,
              len(regexp_extract_all(lower(text), '{_text._BPEISH}')) AS n_tokens
       FROM documents WHERE length(text) > 0
     ),
@@ -430,37 +478,32 @@ PACK_SHARDS = 32
     SELECT doc_id, shard, n_tokens, prefix_tokens,
            CAST(prefix_tokens // {PACK_BUDGET} AS BIGINT) AS bin
     FROM pref
-    """,
-    doc=f"Sequence packing for training: documents are laid out in doc_id "
-    f"order within {PACK_SHARDS} hash shards and cut into {PACK_BUDGET}-"
-    "token bins by exclusive-prefix-sum (concat-and-chunk). The window "
-    "runs per shard, so packing parallelism is the shard count and no "
-    "global sort exists; at 100 TB shards map 1:1 to output files.",
+    """
+
+
+#: the input-scaled shard count, as SQL (exact in both engines: the
+#: double division n/1024.0 is exact-rounded identically for n < 2^53)
+_SHARDS_SQL = (
+    f"SELECT GREATEST(1, CAST(CEIL(COUNT(*) / {float(PACK_DOCS_PER_SHARD)}) AS BIGINT)) "
+    "FROM documents WHERE length(text) > 0"
+)
+
+
+@register(
+    "doc_packing",
+    oracle=_pack_oracle(_SHARDS_SQL),
+    doc="Sequence packing for training: documents are laid out in doc_id "
+    f"order within ceil(n_docs/{PACK_DOCS_PER_SHARD}) hash shards and cut "
+    f"into {PACK_BUDGET}-token bins by exclusive-prefix-sum "
+    "(concat-and-chunk). The window runs per shard and the shard count "
+    "scales with the input, so each task sorts a bounded "
+    f"~{PACK_DOCS_PER_SHARD} docs at any corpus size; no global sort "
+    "exists and shards map 1:1 to output files.",
     tags=("text", "packing", "curation"),
 )
 def doc_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
     d = load(spark, sf_dir, "documents").filter(F.length("text") > 0)
-    n_tokens = F.expr(f"size(regexp_extract_all(lower(text), '{_text._BPEISH}', 0))")
-    toks = d.select(
-        "doc_id",
-        (F.col("doc_id") % PACK_SHARDS).alias("shard"),
-        n_tokens.alias("n_tokens"),
-    )
-    w = (
-        Window.partitionBy("shard")
-        .orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    pref = toks.withColumn("prefix_tokens", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)))
-    return pref.select(
-        "doc_id",
-        "shard",
-        "n_tokens",
-        "prefix_tokens",
-        F.expr(f"prefix_tokens div {PACK_BUDGET}").alias("bin"),
-    )
+    return doc_packing_frame(d)
 
 
 # --- batch funnel / sequence match -----------------------------------------

@@ -14,11 +14,13 @@ from apache_flink_pratices_spark.operators.curation import (
     CC_MAX_ROUNDS,
     EVAL_MOD,
     PACK_BUDGET,
+    PACK_DOCS_PER_SHARD,
     SAMPLE_RATES_BP,
     connected_components,
     contamination_ngrams,
     dedup_clusters,
     doc_packing,
+    doc_packing_frame,
     stratified_sample,
 )
 
@@ -107,10 +109,13 @@ def test_stratified_sample_deterministic_and_rate_bounded(spark):
 
 
 def test_doc_packing_bins_are_contiguous_and_budgeted(spark):
+    import math
+
     rows = doc_packing(spark, SF_SMOKE).collect()
+    n_shards = max(1, math.ceil(len(rows) / PACK_DOCS_PER_SHARD))
     by_shard: dict[int, list] = {}
     for r in rows:
-        assert r["shard"] == r["doc_id"] % 32
+        assert r["shard"] == r["doc_id"] % n_shards
         by_shard.setdefault(r["shard"], []).append(r)
     for members in by_shard.values():
         members.sort(key=lambda r: r["doc_id"])
@@ -121,3 +126,27 @@ def test_doc_packing_bins_are_contiguous_and_budgeted(spark):
             prefix += r["n_tokens"]
         bins = [r["bin"] for r in members]
         assert bins == sorted(bins)  # bins fill in doc order, never reopen
+
+
+@pytest.mark.parametrize("shards", [4, 32])
+def test_doc_packing_oracle_green_at_fixed_shard_counts(spark, shards):
+    """VERDICT r3 #4 done-criterion: the parameterized packing matches its
+    DuckDB twin at two different shard counts (the registered query uses
+    the input-scaled count; this pins the shared parameterization)."""
+    import duckdb
+
+    from apache_flink_pratices_spark.io import load, table_path
+    from apache_flink_pratices_spark.operators.curation import _pack_oracle
+
+    d = load(spark, SF_SMOKE, "documents").filter(F.length("text") > 0)
+    got = sorted(
+        (r["doc_id"], r["shard"], r["n_tokens"], r["prefix_tokens"], r["bin"])
+        for r in doc_packing_frame(d, shards=shards).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{table_path(SF_SMOKE, 'documents')}')"
+    )
+    want = sorted(tuple(r) for r in con.execute(_pack_oracle(str(shards))).fetchall())
+    con.close()
+    assert got == want

@@ -102,12 +102,16 @@ def test_stratified_sample_is_shuffle_free(spark):
     assert exchange_count(plan) == 0, plan
 
 
-def test_doc_packing_single_shard_exchange(spark):
-    """Packing shuffles once (by shard for the window) — no global sort."""
+def test_doc_packing_two_bounded_exchanges(spark):
+    """Packing shuffles the data once (by shard for the window) — no
+    global sort; the only other exchange is the one-row shard-count
+    aggregation that broadcasts back (input-scaled parallelism). The
+    window sort must key on (shard, doc_id), never a global order."""
     from apache_flink_pratices_spark.operators.curation import doc_packing
 
     plan = formatted_plan(doc_packing(spark, SF))
-    assert exchange_count(plan) == 1, plan
+    assert exchange_count(plan) == 2, plan
+    assert "BroadcastNestedLoopJoin" in join_kinds(plan), plan  # 1-row scalar attach
 
 
 def test_contamination_broadcasts_eval_side(spark):
