@@ -346,9 +346,18 @@ def _ob_roundtrip(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     tags=("protobuf", "serialization"),
 )
 def proto_roundtrip_orderbook(spark: SparkSession, sf_dir: str) -> DataFrame:
+    shaped = orderbook_shaped(spark, sf_dir)
+    if jvm_protobuf_available(spark):
+        return _ob_roundtrip_jvm(shaped)
+    return shaped.mapInPandas(_ob_roundtrip, _OB_OUT_SCHEMA)
+
+
+def orderbook_shaped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OrderBookUpdate-shaped messages (double-typed levels + totals),
+    the common input of both round-trip backends."""
     ob = orderbook_updates(spark, sf_dir)
     to_dbl = "transform({0}, l -> struct(CAST(l.price AS DOUBLE) AS price, CAST(l.size AS DOUBLE) AS size))"
-    shaped = ob.select(
+    return ob.select(
         "code",
         "event_id",
         "ts_us",
@@ -361,9 +370,6 @@ def proto_roundtrip_orderbook(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_bid_size"
         ),
     )
-    if jvm_protobuf_available(spark):
-        return _ob_roundtrip_jvm(shaped)
-    return shaped.mapInPandas(_ob_roundtrip, _OB_OUT_SCHEMA)
 
 
 def _ob_roundtrip_jvm(shaped: DataFrame) -> DataFrame:

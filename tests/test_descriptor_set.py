@@ -62,26 +62,48 @@ def test_descriptor_covers_every_codec_field():
     assert all(f["label"] == 3 for f in lvl_fields)  # repeated
 
 
-def test_probe_reports_unavailable_and_is_cached(spark):
+def test_probe_result_is_cached(spark):
+    """The one-row probe runs once per process and its verdict sticks;
+    in an environment without the connector it must report False (not
+    raise), and with it, True — either way subsequent calls are cached."""
     from apache_flink_pratices_spark.operators import protobuf_codec as pc
 
     pc._JVM_PROTO_AVAILABLE = None
     first = pc.jvm_protobuf_available(spark)
-    assert first is False  # no jar in this sandbox
-    assert pc._JVM_PROTO_AVAILABLE is False  # cached, no re-probe
+    assert isinstance(first, bool)
+    assert pc._JVM_PROTO_AVAILABLE is first  # cached, no re-probe
+    assert pc.jvm_protobuf_available(spark) is first
 
 
-@pytest.mark.skipif(True, reason="spark-protobuf jar not present in sandbox")
 def test_jvm_path_matches_python_path(spark):
-    """On a cluster with the connector: both paths must agree row-for-row."""
+    """Where the spark-protobuf connector is on the classpath, the JVM
+    to_protobuf/from_protobuf path must agree row-for-row with the Python
+    wire codec on the same descriptor set (VERDICT r3 #7: the branch that
+    runs on a real cluster must not stay permanently untested). Skips
+    only when the live probe says the connector is absent."""
     from apache_flink_pratices_spark.operators.protobuf_codec import (
         _TRADE_OUT_SCHEMA,
         _trade_roundtrip,
         _trade_roundtrip_jvm,
+        jvm_protobuf_available,
         trade_messages,
     )
 
+    if not jvm_protobuf_available(spark):
+        pytest.skip("spark-protobuf connector not on the classpath")
     msgs = trade_messages(spark, "/root/testdata/sf0.001")
     jvm = sorted(_trade_roundtrip_jvm(msgs).collect())
     py = sorted(msgs.mapInPandas(_trade_roundtrip, _TRADE_OUT_SCHEMA).collect())
+    assert jvm == py
+
+
+def test_jvm_orderbook_path_matches_python_path(spark):
+    """Companion parity gate for the repeated-levels message shape."""
+    from apache_flink_pratices_spark.operators import protobuf_codec as pc
+
+    if not pc.jvm_protobuf_available(spark):
+        pytest.skip("spark-protobuf connector not on the classpath")
+    shaped = pc.orderbook_shaped(spark, "/root/testdata/sf0.001")
+    jvm = sorted(pc._ob_roundtrip_jvm(shaped).collect())
+    py = sorted(shaped.mapInPandas(pc._ob_roundtrip, pc._OB_OUT_SCHEMA).collect())
     assert jvm == py
