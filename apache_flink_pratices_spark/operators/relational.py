@@ -1129,3 +1129,98 @@ def q_daily_momentum(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(F.count("*").alias("n"))
     w = Window.partitionBy("event_type").orderBy("day_us")
     return d.withColumn("dod", F.col("n") - F.lag("n").over(w))
+
+
+@register(
+    "q9_product_type_profit",
+    oracle=f"""
+    SELECT n_name AS nation,
+           CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+           {sql_dsum("l_extendedprice * (1 - l_discount) - 0.8 * p_retailprice * l_quantity")} AS profit
+    FROM lineitem
+      JOIN part ON p_partkey = l_partkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation ON n_nationkey = s_nationkey
+      JOIN orders ON o_orderkey = l_orderkey
+    WHERE p_name LIKE '%bolt%'
+    GROUP BY 1, 2
+    """,
+    doc="TPC-H Q9-shaped product-type profit by (nation, order year). The "
+    "schema has no partsupp, so supply cost is proxied as 80% of "
+    "p_retailprice (adaptation noted; plan pattern is the point): a "
+    "5-way star join where the name-filtered part side and the "
+    "supplier->nation dim chain attach without shuffling the fact table "
+    "more than once, then an expression aggregate on a derived profit "
+    "term. Catalyst/AQE pick the part join strategy from the filtered "
+    "size (~1/8 of parts) - no forced broadcast, so the plan stays legal "
+    "when part scales to hundreds of millions of rows.",
+    tags=("relational", "starjoin"),
+)
+def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load(spark, sf_dir, "lineitem")
+    p = (
+        load(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("%bolt%"))
+        .select("p_partkey", "p_retailprice")
+    )
+    s = dim(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = dim(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    profit = (
+        F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+        - F.lit(0.8) * F.col("p_retailprice") * F.col("l_quantity")
+    )
+    return (
+        l.join(p, l.l_partkey == p.p_partkey)
+        .join(s, l.l_suppkey == s.s_suppkey)
+        .join(n, s.s_nationkey == n.n_nationkey)
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        .agg(dsum(profit).alias("profit"))
+    )
+
+
+@register(
+    "q15_top_supplier",
+    oracle=f"""
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             {sql_dsum(_REVENUE)} AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate <  TIMESTAMP '1996-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+    """,
+    doc="TPC-H Q15-shaped top supplier: quarterly per-supplier revenue "
+    "(date filter pushed to the scan), then the scalar MAX re-joined as a "
+    "1-row broadcast filter - the view-plus-scalar-subquery pattern. The "
+    "revenue aggregate is computed once and reused for both the scalar "
+    "and the output (cheap reuse; each side is post-aggregation size). "
+    "Revenue uses the exact decimal sum, so the equality against MAX is "
+    "deterministic across engines.",
+    tags=("relational", "scalar-subquery"),
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    revenue = l.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        dsum(F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))).alias(
+            "total_revenue"
+        )
+    )
+    top = revenue.agg(F.max("total_revenue").alias("max_revenue"))
+    s = dim(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        revenue.join(F.broadcast(top), F.col("total_revenue") == F.col("max_revenue"))
+        .join(s, F.col("supplier_no") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )

@@ -40,8 +40,6 @@ CRITICAL = (
     "dedup_simhash",
     "ann_ivf_topk",
     "sketch_kmv_distinct",
-    "mm_image_stats",  # §2.8 mapInPandas surface
-    "doc_packing",
 )
 
 
