@@ -232,3 +232,30 @@ def test_kmeans_update_single_bounded_exchange(spark):
     plan = formatted_plan(kmeans_update(spark, SF))
     assert exchange_count(plan) == 1, plan
     assert join_kinds(plan) == [], plan
+
+
+def test_q9_star_join_no_cartesian_fact_shuffled_bounded(spark):
+    """Q9 shape: dims (supplier, nation) broadcast; no cartesian or
+    nested-loop anywhere; the shipdate-free fact scan reads only the
+    referenced columns."""
+    from apache_flink_pratices_spark.operators.relational import (
+        q9_product_type_profit,
+    )
+
+    plan = formatted_plan(q9_product_type_profit(spark, SF))
+    kinds = join_kinds(plan)
+    assert "CartesianProduct" not in kinds and "BroadcastNestedLoopJoin" not in kinds
+    assert "BroadcastHashJoin" in kinds, kinds
+    cols = scan_columns(plan)
+    assert "l_comment" not in cols and "p_name" in cols
+
+
+def test_q15_scalar_max_broadcasts(spark):
+    """The 1-row MAX side must broadcast into the filter join; the
+    lineitem date filter must reach the scan."""
+    from apache_flink_pratices_spark.operators.relational import q15_top_supplier
+
+    plan = formatted_plan(q15_top_supplier(spark, SF))
+    assert "BroadcastHashJoin" in join_kinds(plan) or "BroadcastNestedLoopJoin" in join_kinds(plan), plan
+    pushed = " ".join(pushed_filters(plan))
+    assert "l_shipdate" in pushed, plan
