@@ -122,7 +122,9 @@ def update_frame(vectors: DataFrame, seeds: list[list[int]]) -> DataFrame:
         vectors.select("vec_id", _quantized().alias("qe"))
         .select(F.col("qe"), _best_cluster(seeds)["cluster"].alias("cluster"))
         .select("cluster", F.posexplode("qe").alias("k0", "x"))
-        .select("cluster", (F.col("k0") + 1).alias("k"), "x")
+        # k as BIGINT: DuckDB's generate_subscripts yields int64 and the
+        # driver's schema check is width-sensitive
+        .select("cluster", (F.col("k0") + 1).cast("long").alias("k"), "x")
     )
     return elems.groupBy("cluster", "k").agg(
         (F.sum("x").cast("double") / Q / F.count("*")).alias("centroid"),
