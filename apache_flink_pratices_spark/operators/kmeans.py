@@ -75,28 +75,24 @@ def _seed_arrays(spark: SparkSession, sf_dir: str) -> list[list[int]]:
 def _best_cluster(seeds: list[list[int]]) -> Column:
     """struct<dist2 long, cluster long>: nearest seed for the `qe` column.
 
-    Pure column arithmetic over inlined literals — evaluating it adds no
-    exchange to whatever plan it is projected into."""
-    dists = [
-        F.aggregate(
-            F.zip_with(
-                F.col("qe"),
-                F.array(*[F.lit(v).cast("long") for v in seed]),
-                lambda a, b: (a - b) * (a - b),
-            ),
-            F.lit(0).cast("long"),
-            lambda acc, v: acc + v,
-        )
-        for seed in seeds
-    ]
-    return F.array_min(
-        F.array(
-            *[
-                F.struct(d.alias("dist2"), F.lit(k).cast("long").alias("cluster"))
-                for k, d in enumerate(dists)
-            ]
-        )
+    Pure column arithmetic over an inlined literal — evaluating it adds no
+    exchange to whatever plan it is projected into. The K×dims seed matrix
+    is ONE nested-array literal looped by an indexed transform (data, not
+    K unrolled aggregate expressions), so codegen emits a single tight
+    loop; each seed is referenced exactly once, so nothing re-evaluates
+    (see docs/scale_notes.md on literal matrices vs codegen)."""
+    entries = F.transform(
+        F.lit([[int(v) for v in seed] for seed in seeds]),
+        lambda s, i: F.struct(
+            F.aggregate(
+                F.zip_with(F.col("qe"), s, lambda a, b: (a - b) * (a - b)),
+                F.lit(0).cast("long"),
+                lambda acc, v: acc + v,
+            ).alias("dist2"),
+            i.cast("long").alias("cluster"),
+        ),
     )
+    return F.array_min(entries)
 
 
 def assign_frame(vectors: DataFrame, seeds: list[list[int]]) -> DataFrame:
@@ -179,6 +175,7 @@ _SQL_ASSIGN = f"""
     "lowest cluster id. Seeds inline as literals so the pass is map-only "
     "(zero shuffles, asserted in test_plan_audit) — the shape that scans "
     "100 TB once per k-means round.",
+    bench=True,
     tags=("clustering", "embedding", "kmeans"),
 )
 def kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1154,6 +1154,7 @@ def q_daily_momentum(spark: SparkSession, sf_dir: str) -> DataFrame:
     "term. Catalyst/AQE pick the part join strategy from the filtered "
     "size (~1/8 of parts) - no forced broadcast, so the plan stays legal "
     "when part scales to hundreds of millions of rows.",
+    bench=True,
     tags=("relational", "starjoin"),
 )
 def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
