@@ -1225,3 +1225,86 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(s, F.col("supplier_no") == F.col("s_suppkey"))
         .select("s_suppkey", "s_name", "total_revenue")
     )
+
+
+#: orders columns profiled by profile_orders_columns: (name, kind)
+_PROFILE_COLS = (
+    ("o_orderkey", "num"),
+    ("o_custkey", "num"),
+    ("o_totalprice", "num"),
+    ("o_orderdate", "ts"),
+    ("o_orderstatus", "str"),
+    ("o_orderpriority", "str"),
+)
+
+
+def _profile_oracle() -> str:
+    parts = []
+    for c, kind in _PROFILE_COLS:
+        if kind == "num":
+            mn, mx = f"CAST(MIN({c}) AS DOUBLE)", f"CAST(MAX({c}) AS DOUBLE)"
+            ms, xs = "CAST(NULL AS VARCHAR)", "CAST(NULL AS VARCHAR)"
+        elif kind == "ts":
+            mn = f"CAST(epoch_us(MIN({c})) AS DOUBLE)"
+            mx = f"CAST(epoch_us(MAX({c})) AS DOUBLE)"
+            ms, xs = "CAST(NULL AS VARCHAR)", "CAST(NULL AS VARCHAR)"
+        else:
+            mn, mx = "CAST(NULL AS DOUBLE)", "CAST(NULL AS DOUBLE)"
+            ms, xs = f"MIN({c})", f"MAX({c})"
+        parts.append(
+            f"SELECT '{c}' AS column_name, CAST(COUNT(*) AS BIGINT) AS n_rows, "
+            f"CAST(COUNT(*) - COUNT({c}) AS BIGINT) AS n_nulls, "
+            f"CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct, "
+            f"{mn} AS min_num, {mx} AS max_num, {ms} AS min_str, {xs} AS max_str "
+            "FROM orders"
+        )
+    return " UNION ALL ".join(parts)
+
+
+@register(
+    "profile_orders_columns",
+    oracle=_profile_oracle(),
+    doc="Single-scan data profiling of the orders table: per column, row "
+    "count, null count, EXACT distinct count, and typed min/max (numerics "
+    "and timestamps as double - epoch micros for timestamps, exact below "
+    "2^53 - strings as strings). All metrics compute in ONE aggregate over "
+    "one scan (Spark's Expand handles the multi-distinct), then unpivot "
+    "via stack - the profile-your-corpus-before-training step, where a "
+    "second scan of 100 TB is the cost that matters. The oracle UNION "
+    "ALLs per-column aggregates (DuckDB may rescan; only the engine under "
+    "test needs the one-scan plan).",
+    tags=("relational", "profiling"),
+)
+def profile_orders_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    aggs = [F.count("*").cast("long").alias("n_rows")]
+    for c, kind in _PROFILE_COLS:
+        aggs.append((F.count("*") - F.count(c)).cast("long").alias(f"{c}__nulls"))
+        aggs.append(F.countDistinct(c).cast("long").alias(f"{c}__dist"))
+        if kind == "num":
+            aggs.append(F.min(c).cast("double").alias(f"{c}__min_num"))
+            aggs.append(F.max(c).cast("double").alias(f"{c}__max_num"))
+        elif kind == "ts":
+            aggs.append(F.unix_micros(F.min(c)).cast("double").alias(f"{c}__min_num"))
+            aggs.append(F.unix_micros(F.max(c)).cast("double").alias(f"{c}__max_num"))
+        else:
+            aggs.append(F.min(c).cast("string").alias(f"{c}__min_str"))
+            aggs.append(F.max(c).cast("string").alias(f"{c}__max_str"))
+    row = o.agg(*aggs)
+    stacks = []
+    for c, kind in _PROFILE_COLS:
+        if kind in ("num", "ts"):
+            mn, mx = f"{c}__min_num", f"{c}__max_num"
+            ms, xs = "CAST(NULL AS STRING)", "CAST(NULL AS STRING)"
+        else:
+            mn, mx = "CAST(NULL AS DOUBLE)", "CAST(NULL AS DOUBLE)"
+            ms, xs = f"{c}__min_str", f"{c}__max_str"
+        stacks.append(f"'{c}', {c}__nulls, {c}__dist, {mn}, {mx}, {ms}, {xs}")
+    return row.selectExpr(
+        "n_rows",
+        f"stack({len(_PROFILE_COLS)}, {', '.join(stacks)}) AS "
+        "(column_name, n_nulls, n_distinct, min_num, max_num, min_str, max_str)",
+    ).select(
+        "column_name", "n_rows", "n_nulls", "n_distinct",
+        "min_num", "max_num", "min_str", "max_str",
+    )

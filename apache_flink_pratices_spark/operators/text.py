@@ -603,3 +603,58 @@ def bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= BPE_TOP_MERGES)
         .select("left_tok", "right_tok", "pair_count", "rn")
     )
+
+
+# --- unigram-LM rarity score (perplexity proxy) ----------------------------
+
+
+@register(
+    "quality_token_rarity",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS word
+      FROM documents
+    ),
+    toks2 AS (SELECT doc_id, word FROM toks WHERE word <> ''),
+    freq AS (
+      SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt FROM toks2 GROUP BY word
+    ),
+    total AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM toks2)
+    SELECT t.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(CAST(CAST(total.n AS DOUBLE) / f.cnt
+                         AS DECIMAL(25,6))) AS DOUBLE) / COUNT(*) AS mean_rarity
+    FROM toks2 t JOIN freq f USING (word) CROSS JOIN total
+    GROUP BY t.doc_id
+    """,
+    doc="Unigram-LM quality score (perplexity proxy) with exact cross-"
+    "engine arithmetic: rarity of token w = total_tokens / count(w) (an "
+    "int64/int64 division — IEEE-identical in both engines, unlike a "
+    "transcendental log-prob), and a document scores the decimal-summed "
+    "mean rarity of its tokens. Two passes over the token stream: corpus "
+    "frequencies (bounded by vocabulary, broadcast back) then a per-doc "
+    "aggregate - the same shape a trained unigram LM scorer runs at "
+    "100 TB, with the model table as the broadcast side.",
+    tags=("text", "quality", "lm"),
+)
+def quality_token_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    toks = (
+        d.select("doc_id", F.explode(tokens()).alias("word"))
+        .filter(F.col("word") != "")
+    )
+    freq = toks.groupBy("word").agg(F.count("*").cast("long").alias("cnt"))
+    # corpus token total: one scalar action inlined as a literal (model
+    # metadata, same role as tfidf's n_docs)
+    total = toks.count()
+    rarity = F.lit(float(total)) / F.col("cnt")
+    return (
+        toks.join(F.broadcast(freq), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            (F.sum(rarity.cast("decimal(25,6)")).cast("double") / F.count("*")).alias(
+                "mean_rarity"
+            ),
+        )
+    )

@@ -35,8 +35,6 @@ CRITICAL = (
     "proto_roundtrip_orderbook",  # P8
     "q_distinct_users",  # A6 counters
     "q1_pricing_summary",  # flagship TPC-H shape (entry())
-    "dedup_exact",
-    "dedup_minhash_lsh",
     "dedup_simhash",
     "ann_ivf_topk",
     "sketch_kmv_distinct",
