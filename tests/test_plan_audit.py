@@ -259,3 +259,29 @@ def test_q15_scalar_max_broadcasts(spark):
     assert "BroadcastHashJoin" in join_kinds(plan) or "BroadcastNestedLoopJoin" in join_kinds(plan), plan
     pushed = " ".join(pushed_filters(plan))
     assert "l_shipdate" in pushed, plan
+
+
+def test_profile_is_single_scan(spark):
+    """All per-column metrics (including the 6 exact distincts) must
+    compute over ONE scan of orders — Expand, not repeated scans."""
+    from apache_flink_pratices_spark.operators.relational import (
+        profile_orders_columns,
+    )
+
+    import re
+
+    plan = formatted_plan(profile_orders_columns(spark, SF))
+    # count operator-detail headers, not tree-render repeats
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
+    assert "Expand" in plan, plan
+
+
+def test_token_rarity_broadcasts_frequency_table(spark):
+    """The vocabulary-bounded frequency table must broadcast back onto
+    the token stream (tfidf's shape) — no fact-side shuffle for the join."""
+    from apache_flink_pratices_spark.operators.text import quality_token_rarity
+
+    plan = formatted_plan(quality_token_rarity(spark, SF))
+    kinds = join_kinds(plan)
+    assert "BroadcastHashJoin" in kinds, kinds
+    assert "SortMergeJoin" not in kinds and "CartesianProduct" not in kinds
