@@ -648,8 +648,12 @@ def quality_token_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     # metadata, same role as tfidf's n_docs)
     total = toks.count()
     rarity = F.lit(float(total)) / F.col("cnt")
+    # no forced broadcast: at this SF Catalyst auto-broadcasts the small
+    # frequency table (plan-audited), but a 100 TB corpus vocabulary can
+    # exceed broadcast size — AQE then legally falls back to a shuffle
+    # join, which a hint would forbid
     return (
-        toks.join(F.broadcast(freq), "word")
+        toks.join(freq, "word")
         .groupBy("doc_id")
         .agg(
             F.count("*").cast("long").alias("n_tokens"),
