@@ -288,7 +288,10 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("tf"))
     )
     df = tf.groupBy("term").agg(F.count("*").alias("df"))
-    scored = tf.join(F.broadcast(df), "term").select(
+    # optimizer-chosen join: auto-broadcast at this SF (plan-audited), but
+    # an open-vocabulary 100 TB corpus can outgrow the broadcast threshold
+    # and must be allowed to fall back to a shuffle join
+    scored = tf.join(df, "term").select(
         "doc_id",
         "term",
         "tf",
