@@ -47,12 +47,13 @@ def main() -> None:
             # end-to-end (count() lets Catalyst skip final projections).
             df.write.format("noop").mode("overwrite").save()
             per.append(time.perf_counter() - t0)
-            # drop any persist() the query made so repeats stay independent
+            # drop any persist() the query made so repeats stay independent,
+            # and collect garbage OUTSIDE the timed window: heap pressure
+            # from a query's own first (codegen/JIT) run otherwise leaks GC
+            # pauses into its later runs — observed inflating even the MIN
+            # of persist-heavy queries 2-3x late in a full session
             spark.catalog.clearCache()
-        # collect the previous query's garbage OUTSIDE the timed window:
-        # accumulated heap pressure otherwise leaks GC pauses into later
-        # queries' timings (observed 2-5x inflation late in a full run)
-        spark._jvm.System.gc()
+            spark._jvm.System.gc()
         timings[name] = round(min(per), 4)
         medians[name] = round(statistics.median(per), 4)
         rows[name] = spec.fn(spark, sf_dir).count()  # untimed, for sanity
