@@ -35,6 +35,7 @@ vec = st.lists(
 @settings(max_examples=12, deadline=None)
 @given(vecs=st.lists(vec, min_size=3, max_size=8), n_seeds=st.integers(2, 4))
 def test_assignment_matches_brute_force(spark, vecs, n_seeds):
+    n_seeds = min(n_seeds, len(vecs))  # seeds are drawn from the vectors
     rows = [(i, v) for i, v in enumerate(vecs)]
     df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
     # quantize seeds exactly as the operator does (float32 round-trip first)
