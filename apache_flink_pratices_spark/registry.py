@@ -22,10 +22,29 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 #: §2-critical queries that must stay inside the driver's checked window
-#: even when they already have a recent green row (the driver checks the
-#: FIRST N entries of ``queries()``; everything §2-anchoring belongs
-#: there every round, not just on rotation).
+#: EVERY round, even when they already have a recent green row (the driver
+#: checks the FIRST N entries of ``queries()``; everything §2-anchoring
+#: belongs there every round, not just on rotation). Superset of the
+#: ``S2_ANCHORS`` guard in ``tests/test_registry_order.py`` (VERDICT r4 #1:
+#: anchors must sort into the window UNCONDITIONALLY, not as a same-round
+#: tie-breaker, or a fresh driver row rotates them out).
 CRITICAL = (
+    # -- streaming goldens (W1-W8 flagship hard signals) --
+    "stream_fraud_golden",  # W1/W2 keyed state machine + timers
+    "stream_cep_signals_golden",  # J1/W4-W6 4-stream co-process
+    "stream_window_golden",  # W3/A2 watermark + drop-late
+    "stream_session_golden",
+    "stream_dedup_golden",  # W8 dedup stance
+    "stream_join_golden",
+    "stream_topk_golden",
+    # -- batch anchors per §2 component --
+    "w7_signal_ids",  # W7 deterministic sha256 IDs
+    "p_filter_even_clicks",  # P3
+    "win_tumbling_daily",  # A2/A6
+    "win_sliding_5d_1d",  # A2
+    "win_sessionization",
+    "kafka_wire_trades",  # K2
+    "kafka_wire_routed",  # K3
     "fraud_alerts",  # J2 temporal correlation (reference flagship, batch twin)
     "p_market_pipeline",  # P4-P7 parse/validate/normalize/event-time
     "wordcount",  # P2 flat_map + A1 keyed reduce
@@ -35,20 +54,33 @@ CRITICAL = (
     "proto_roundtrip_orderbook",  # P8
     "q_distinct_users",  # A6 counters
     "q1_pricing_summary",  # flagship TPC-H shape (entry())
-    "dedup_simhash",
-    "ann_ivf_topk",
-    "sketch_kmv_distinct",
 )
 
 
-def _driver_check_history() -> dict[str, int]:
-    """query name -> latest round with a driver CORRECTNESS row.
+def _row_is_green(row: object) -> bool:
+    """A driver row counts as checked ONLY when fully green.
+
+    Rows with any ``*_match`` false or ``err`` set mean the driver ran the
+    query and it FAILED; treating those as 'checked' would rotate a
+    known-failing query out of the window instead of re-checking it first
+    (ADVICE r4 medium)."""
+    return (
+        isinstance(row, dict)
+        and row.get("rows_match") is True
+        and row.get("schema_match") is True
+        and row.get("hash_match") is True
+        and not row.get("err")
+    )
+
+
+def _driver_check_rows(root: str | None = None) -> dict[str, tuple[int, bool]]:
+    """query name -> (latest round with any driver row, that row was green).
 
     Read from the ``CORRECTNESS_r*.json`` files the driver commits into
     the repo root each round. Queries absent from every file have never
     been driver-checked."""
-    hist: dict[str, int] = {}
-    for path in glob.glob(os.path.join(_REPO_ROOT, "CORRECTNESS_r*.json")):
+    latest: dict[str, tuple[int, bool]] = {}
+    for path in glob.glob(os.path.join(root or _REPO_ROOT, "CORRECTNESS_r*.json")):
         m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
         if not m:
             continue
@@ -58,8 +90,31 @@ def _driver_check_history() -> dict[str, int]:
                 data = json.load(f)
         except (OSError, ValueError):
             continue
-        for name in data:
-            hist[name] = max(hist.get(name, 0), rnd)
+        for name, row in data.items():
+            if name not in latest or rnd > latest[name][0]:
+                latest[name] = (rnd, _row_is_green(row))
+    return latest
+
+
+def _driver_check_history(root: str | None = None) -> dict[str, int]:
+    """query name -> latest round with a GREEN driver CORRECTNESS row.
+
+    A query whose only rows are failing is treated as never-checked, so
+    it sorts to the front of :func:`all_specs` and is re-checked first."""
+    hist: dict[str, int] = {}
+    for path in glob.glob(os.path.join(root or _REPO_ROOT, "CORRECTNESS_r*.json")):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            with open(path) as f:
+                data = json.load(f)
+        except (OSError, ValueError):
+            continue
+        for name, row in data.items():
+            if _row_is_green(row):
+                hist[name] = max(hist.get(name, 0), rnd)
     return hist
 
 
@@ -106,28 +161,37 @@ def all_specs() -> dict[str, QuerySpec]:
 
     The driver's correctness gate checks the FIRST ~50 entries of
     ``queries()`` (dict iteration order), so ordering is part of the
-    contract. Priority: (1) queries never driver-checked in any recorded
-    round, (2) queries whose last green row is oldest, (3) within the
-    same round, the §2-critical set (:data:`CRITICAL`) before the rest,
-    each group in registration order. This keeps every §2-anchoring query
-    plus the full never-checked backlog inside the checked window and
-    rotates stale rows back to the front in later rounds automatically
-    (the history is re-read from the CORRECTNESS files the driver
-    commits)."""
+    contract. Priority groups, each sorted by last GREEN round (never
+    green = -1, first) then registration order:
+
+    1. queries whose LATEST driver row is failing — a known-red query
+       must be re-checked before anything else (ADVICE r4);
+    2. the §2-critical anchors (:data:`CRITICAL`) — in the window EVERY
+       round, unconditionally, even with a fresh green row (VERDICT r4:
+       a freshness-first sort rotated the flagship stream goldens out
+       the moment the driver committed their green rows);
+    3. everything else — never-checked first, then stalest-green first.
+
+    With 23 anchors the remaining ~27 window slots rotate the stale
+    backlog through in ≤2 rounds. The history is re-read from the
+    CORRECTNESS files the driver commits, so this adapts each round."""
     # Import operator modules for their registration side effects.
     from apache_flink_pratices_spark import operators  # noqa: F401
 
+    latest = _driver_check_rows()
     hist = _driver_check_history()
-    crit = {n: i for i, n in enumerate(CRITICAL)}
+    crit = set(CRITICAL)
     reg_idx = {n: i for i, n in enumerate(_REGISTRY)}
 
-    def key(name: str) -> tuple[int, int, int, int]:
-        return (
-            hist.get(name, -1),  # never-checked (-1) first, then oldest round
-            0 if name in crit else 1,
-            crit.get(name, 0),
-            reg_idx[name],
-        )
+    def key(name: str) -> tuple[int, int, int]:
+        row = latest.get(name)
+        if row is not None and not row[1]:
+            group = 0  # latest driver row failing: re-check first
+        elif name in crit:
+            group = 1
+        else:
+            group = 2
+        return (group, hist.get(name, -1), reg_idx[name])
 
     return {n: _REGISTRY[n] for n in sorted(_REGISTRY, key=key)}
 

@@ -6,9 +6,13 @@ stream goldens outside the hard signal)."""
 
 from __future__ import annotations
 
+import json
+
 from apache_flink_pratices_spark.registry import (
     CRITICAL,
     _driver_check_history,
+    _driver_check_rows,
+    _row_is_green,
     all_specs,
     oracle_sql,
     queries,
@@ -51,6 +55,66 @@ def test_window_covers_never_checked_and_critical():
     assert never <= window, f"never-driver-checked outside window: {sorted(never - window)}"
     assert set(CRITICAL) <= window, sorted(set(CRITICAL) - window)
     assert S2_ANCHORS <= window, sorted(S2_ANCHORS - window)
+
+
+def test_critical_is_anchor_superset():
+    """The unconditional-window set must cover every §2 anchor, or a fresh
+    green row rotates an anchor out (VERDICT r4 #1)."""
+    assert S2_ANCHORS <= set(CRITICAL), sorted(S2_ANCHORS - set(CRITICAL))
+
+
+def test_anchors_stay_in_window_even_when_freshest(tmp_path, monkeypatch):
+    """Simulate the post-driver-commit state that broke r4: every anchor
+    has the FRESHEST green row, everything else is stale. Anchors must
+    still sort inside the window."""
+    import apache_flink_pratices_spark.registry as reg
+
+    names = list(all_specs())
+    stale = {n: _green_row() for n in names if n not in S2_ANCHORS}
+    fresh = {n: _green_row() for n in S2_ANCHORS}
+    (tmp_path / "CORRECTNESS_r08.json").write_text(json.dumps(stale))
+    (tmp_path / "CORRECTNESS_r09.json").write_text(json.dumps(fresh))
+    monkeypatch.setattr(reg, "_REPO_ROOT", str(tmp_path))
+    window = set(list(all_specs())[:WINDOW])
+    assert S2_ANCHORS <= window, sorted(S2_ANCHORS - window)
+
+
+def test_failing_latest_row_sorts_to_front(tmp_path, monkeypatch):
+    """A query whose latest driver row FAILED must be re-checked first,
+    not rotated to the back as 'freshly checked' (ADVICE r4 medium)."""
+    import apache_flink_pratices_spark.registry as reg
+
+    names = list(all_specs())
+    victim = next(n for n in names if n not in S2_ANCHORS)
+    rows = {n: _green_row() for n in names}
+    rows[victim] = {**_green_row(), "hash_match": False}
+    (tmp_path / "CORRECTNESS_r09.json").write_text(json.dumps(rows))
+    monkeypatch.setattr(reg, "_REPO_ROOT", str(tmp_path))
+    ordered = list(all_specs())
+    assert ordered[0] == victim
+    # and the green history treats it as never green
+    assert victim not in _driver_check_history(str(tmp_path))
+    latest = _driver_check_rows(str(tmp_path))
+    assert latest[victim] == (9, False)
+
+
+def _green_row():
+    return {
+        "rows_match": True,
+        "schema_match": True,
+        "hash_match": True,
+        "spark_rows": 1,
+        "oracle_rows": 1,
+        "err": None,
+    }
+
+
+def test_row_is_green_requires_all_matches_and_no_err():
+    assert _row_is_green(_green_row())
+    for k in ("rows_match", "schema_match", "hash_match"):
+        assert not _row_is_green({**_green_row(), k: False})
+    assert not _row_is_green({**_green_row(), "err": "boom"})
+    assert not _row_is_green(None)
 
 
 def test_views_share_the_ordering():
