@@ -246,27 +246,43 @@ def kmeans_fit(
     per-round inertia history — non-increasing by construction).
 
     Each round re-inlines the K x dims centroids as literals (a bounded
-    collect of K x dims aggregated rows, NOT the data path) and re-runs
-    the same two map-only/bounded-agg plans; an empty cluster keeps its
-    previous centroid. Inertia (sum of quantized squared distances to the
-    assigned centroid) is computed from the SAME assignment pass that
-    feeds the update, one scalar per round."""
+    collect of K x dims aggregated rows, NOT the data path) and runs ONE
+    action: the bounded (cluster, dim) aggregation also carries the
+    round's inertia (each vector's quantized squared distance summed
+    exactly once, read off the dim-0 groups), so the corpus is scanned
+    once per Lloyd round — not once for inertia and again for the
+    update (VERDICT/ADVICE r4). An empty cluster keeps its previous
+    centroid."""
     if seeds is None:
         seeds = seed_farthest_point(vectors, k)
     history: list[float] = []
     for _ in range(max_iter):
-        assigned = vectors.select(
-            "vec_id", _quantized().alias("qe")
-        ).select("qe", _best_cluster(seeds)["dist2"].alias("d2"),
-                 _best_cluster(seeds)["cluster"].alias("cluster"))
-        inertia = assigned.agg(F.sum("d2").alias("i")).collect()[0]["i"]
-        history.append(float(inertia))
+        # one `best` struct projected, fields extracted from it — never
+        # two _best_cluster instances relying on CSE
+        assigned = (
+            vectors.select("vec_id", _quantized().alias("qe"))
+            .select("qe", _best_cluster(seeds).alias("best"))
+            .select(
+                "qe",
+                F.col("best.dist2").alias("d2"),
+                F.col("best.cluster").alias("cluster"),
+            )
+        )
         new_rows = (
-            assigned.select("cluster", F.posexplode("qe").alias("k0", "x"))
+            assigned.select("cluster", "d2", F.posexplode("qe").alias("k0", "x"))
             .groupBy("cluster", "k0")
-            .agg(F.sum("x").alias("sx"), F.count("*").alias("n"))
+            .agg(
+                F.sum("x").alias("sx"),
+                F.count("*").alias("n"),
+                # per-(cluster, dim) inertia share: within a group every
+                # vector contributes its d2 once, so summing sd2 over the
+                # k0 == 0 groups alone is the exact total inertia
+                F.sum("d2").alias("sd2"),
+            )
             .collect()
         )
+        inertia = sum(r["sd2"] for r in new_rows if r["k0"] == 0)
+        history.append(float(inertia))
         by_cluster: dict[int, dict[int, tuple[int, int]]] = {}
         for r in new_rows:
             by_cluster.setdefault(r["cluster"], {})[r["k0"]] = (r["sx"], r["n"])
