@@ -87,21 +87,34 @@ def _make_fraud_processor(small: float, large: float, window_ms: int):
             # the reference's two ValueStates, as separate named variables
             self.flag = handle.getValueState("flag", "value boolean")
             self.latest = handle.getValueState("latest", "value bigint")
+            # Own mirror of the armed-timer set. The native timer registry
+            # still drives WHEN handleExpiredTimer runs, but this ValueState
+            # decides WHETHER an expiration is honored: if a runtime
+            # snapshots expired timers BEFORE input processing, a timer the
+            # machine already fired in-batch (via on_event's interleave)
+            # would re-fire after the batch and clear state a same-batch
+            # small transaction just set. Guarding on our own armed set
+            # makes expiry idempotent under either runtime ordering
+            # (ADVICE r4).
+            self.armed = handle.getValueState("armed", "armed array<bigint>")
+
+        def _armed_list(self) -> list:
+            row = self.armed.get()
+            return sorted(row[0]) if row and row[0] is not None else []
 
         def _machine(self) -> FraudMachine:
             flag_row = self.flag.get()
             latest_row = self.latest.get()
-            armed = sorted(self.handle.listTimers())
             return FraudMachine(
                 flag_row[0] if flag_row else None,
                 latest_row[0] if latest_row else None,
-                armed,
+                self._armed_list(),
                 small,
                 large,
                 window_ms,
             )
 
-        def _write_back(self, m: FraudMachine) -> None:
+        def _write_back(self, m: FraudMachine, fired_ms: "int | None" = None) -> None:
             if m.flag is None:
                 self.flag.clear()
             else:
@@ -110,10 +123,17 @@ def _make_fraud_processor(small: float, large: float, window_ms: int):
                 self.latest.clear()
             else:
                 self.latest.update((m.latest,))
-            # mirror the machine's armed set into the native timer registry
             before, after = set(m.initial_armed), set(m.armed)
+            if before != after:
+                if m.armed:
+                    self.armed.update((sorted(m.armed),))
+                else:
+                    self.armed.clear()
+            # mirror the machine's armed set into the native timer registry
+            # (the runtime already removed a just-fired timer itself)
             for t in before - after:
-                self.handle.deleteTimer(t)
+                if t != fired_ms:
+                    self.handle.deleteTimer(t)
             for t in after - before:
                 self.handle.registerTimer(t)
 
@@ -145,10 +165,18 @@ def _make_fraud_processor(small: float, large: float, window_ms: int):
             timerValues: "TimerValues",
             expiredTimerInfo: "ExpiredTimerInfo",
         ) -> Iterator[pd.DataFrame]:
+            expiry = expiredTimerInfo.getExpiryTimeInMs()
+            m = self._machine()
+            if expiry not in m.armed:
+                # Stale double-fire: the machine already fired this timer
+                # inside handleInputRows (a runtime that snapshots expired
+                # timers before input delivers it anyway). Honoring it
+                # would clear a flag a same-batch small tx just set.
+                return iter(())
             # fraud_detector.py:116-133 — on_timer clears BOTH ValueStates
             # unconditionally; the fired timer is removed by the runtime.
-            self.flag.clear()
-            self.latest.clear()
+            m.on_timer(expiry)
+            self._write_back(m, fired_ms=expiry)
             return iter(())
 
         def close(self) -> None:
@@ -179,23 +207,31 @@ def fraud_alert_stream_native(
 # CEP SignalGenerator on native state (J1 + W4/W5/W6/W7)
 # --------------------------------------------------------------------------
 
-#: storage-bound safety margin on the native (processing-time) TTL of the
-#: recently-removed guard: SEMANTICS stay event-time (the machine filters
-#: on read, so backtest replay at "a day in minutes" behaves like live);
-#: the native TTL merely caps storage for keys that go permanently quiet.
-_REMOVED_NATIVE_TTL_MARGIN = 10
+# NOTE on TTL: the recently-removed guard is deliberately NOT given a
+# native (processing-time) TTL. Its semantics are event-time — the machine
+# filters and evicts entries by event time on every read/write
+# (SignalMachine.evict_removed), which is the actual TTL implementation —
+# and a wall-clock TTL diverges from it in both directions: during a
+# backtest replaying a day in minutes nothing would expire early, but if a
+# key's stream stalls (or the job is down) longer than the TTL while event
+# time barely advances, the store would evict entries still live in event
+# time, letting a late 'restore' re-register a just-closed position — the
+# exact stale-restore case the guard exists to reject (ADVICE r4). The
+# cost is storage for keys that go permanently quiet (bounded by #keys ×
+# closed-position entries, bytes per key); reclaiming those is an offline
+# state-cleanup concern, not a correctness trade.
 
 
 def _make_signal_processor():
     from pyspark.sql.streaming.stateful_processor import StatefulProcessor
 
-    from apache_flink_pratices_spark.domain.rules import REMOVED_TTL_MS
     from apache_flink_pratices_spark.streaming.signal_generator import (
         SignalMachine,
     )
 
     class SignalNativeProcessor(StatefulProcessor):
-        """W4 MapState (+TTL) for positions / removed-guard, W5 ListState
+        """W4 MapState for positions / removed-guard (TTL is event-time,
+        enforced by the machine itself — see module TTL note), W5 ListState
         time-series, W6 ValueState last-orderbook + per-price watches with
         REAL event-time timers (one per distinct deadline), W7 ids via the
         shared machine. Each variable is diffed against its loaded value
@@ -209,11 +245,12 @@ def _make_signal_processor():
                 "reason string",
                 "signal_id string, entry_price double, entry_ts_us bigint",
             )
+            # no ttlDurationMs: eviction is event-time, done by the machine
+            # itself (see module-level TTL note above)
             self.removed = handle.getMapState(
                 "removed",
                 "reason string",
                 "signal_id string, removed_ts_ms bigint",
-                ttlDurationMs=REMOVED_TTL_MS * _REMOVED_NATIVE_TTL_MARGIN,
             )
             self.last_ob = handle.getValueState(
                 "last_ob",
@@ -323,6 +360,12 @@ def _make_signal_processor():
             # watermark), so the spoof verify fires at its own deadline —
             # slightly more reference-faithful than the fallback's
             # watermark-time approximation.
+            # Inherently stale-fire-safe: fire_due_watches consults the
+            # watches MapState, which input processing already updated —
+            # a timer whose watch the batch consumed or removed finds no
+            # due watch and is a no-op, under either runtime ordering of
+            # timer snapshot vs input (ADVICE r4; contract-tested in
+            # tests/streaming/test_state_sim.py).
             m.fire_due_watches(expiry_ms, expiry_ms * 1000)
             self._save(m, fired_deadline=expiry_ms)
             if m.signals:
