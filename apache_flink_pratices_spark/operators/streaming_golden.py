@@ -569,3 +569,61 @@ def stream_topk_golden(spark: SparkSession, sf_dir: str) -> DataFrame:
         Window.partitionBy("ws_us").orderBy(F.col("cnt").desc(), "item")
     )
     return counts.withColumn("rk", rank).filter(F.col("rk") <= 2).drop("rk")
+
+
+#: trend-rule golden corpus: KRW-BTC trades whose aligned 5s/1s sliding-
+#: window averages go 12, 10.5, 9 (2 consecutive decreases -> transition
+#: at window end 3s), recover to 9, 9, then 8, 7.5 (second transition at
+#: 7s), 9; two ZZZ-FLUSH trades in later micro-batches advance the
+#: watermark so every BTC window finalizes through the event-time
+#: timeout path (no rows for the key in those batches). All averages are
+#: exact binary doubles, so the VALUES oracle hash-matches.
+_TREND_ROWS = [
+    ("KRW-BTC", 0.5, 12.0),
+    ("KRW-BTC", 1.5, 9.0),
+    ("KRW-BTC", 2.5, 6.0),
+    ("KRW-BTC", 3.5, 9.0),
+    ("ZZZ-FLUSH", 20.5, 1.0),
+    ("ZZZ-FLUSH", 40.5, 1.0),
+]
+
+
+@register(
+    "stream_trend_golden",
+    oracle=f"""
+    SELECT * FROM (VALUES
+      ('KRW-BTC', CAST({_BASE_US + 3_000_000} AS BIGINT), CAST(9.0 AS DOUBLE), CAST(10.5 AS DOUBLE)),
+      ('KRW-BTC', CAST({_BASE_US + 7_000_000} AS BIGINT), CAST(7.5 AS DOUBLE), CAST(8.0 AS DOUBLE))
+    ) AS t(code, trend_ts_us, avg_vol, prev_avg)
+    """,
+    doc="A2 trend rule streaming golden (시스템 아키텍처.md:641-648): "
+    "sliding 5s/1s event-time windows over the trade stream, avg(volume) "
+    "per window, emit when the average decreases 2 windows in a row — "
+    "run through a real readStream with the keyed stateful detector; "
+    "pins aligned window assignment, watermark-driven finalization via "
+    "event-time timeout (the BTC key gets no rows in the flushing "
+    "batches), streak reset on equal averages, and transition-only "
+    "emission.",
+    tags=("streaming", "window", "stateful", "golden"),
+)
+def stream_trend_golden(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from apache_flink_pratices_spark.streaming.trend import trend_stream
+
+    rows = [
+        (
+            code,
+            datetime.datetime.fromtimestamp(
+                _BASE_US / 1_000_000 + sec, datetime.timezone.utc
+            ),
+            vol,
+        )
+        for code, sec, vol in _TREND_ROWS
+    ]
+    return _run_memory_stream(
+        spark,
+        rows,
+        "code string, ts timestamp, volume double",
+        trend_stream,
+        "afp_trend_golden",
+        chunks=3,
+    )

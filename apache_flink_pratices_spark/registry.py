@@ -37,6 +37,7 @@ CRITICAL = (
     "stream_dedup_golden",  # W8 dedup stance
     "stream_join_golden",
     "stream_topk_golden",
+    "stream_trend_golden",  # A2 2-consecutive-decreases trend rule
     # -- batch anchors per §2 component --
     "w7_signal_ids",  # W7 deterministic sha256 IDs
     "p_filter_even_clicks",  # P3

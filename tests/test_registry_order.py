@@ -29,6 +29,7 @@ S2_ANCHORS = {
     "stream_dedup_golden",  # W8 dedup stance
     "stream_join_golden",
     "stream_topk_golden",
+    "stream_trend_golden",  # A2 trend rule (r5)
     "w7_signal_ids",  # W7
     "p_filter_even_clicks",  # P3
     "win_tumbling_daily",  # A2/A6
