@@ -197,6 +197,21 @@ def all_specs() -> dict[str, QuerySpec]:
     return {n: _REGISTRY[n] for n in sorted(_REGISTRY, key=key)}
 
 
+def bench_specs() -> dict[str, QuerySpec]:
+    """The bench=True specs in REGISTRATION order.
+
+    Deliberately decoupled from :func:`all_specs`'s driver-gate rotation:
+    bench timings are position-in-session sensitive (whole-stage-codegen
+    JIT and parquet-reader warm-up make an identical plan ~1.4× slower as
+    the 2nd query of a session than the 20th — measured in
+    docs/scale_notes.md), so round-over-round comparability requires an
+    order that never changes when CORRECTNESS files rotate the gate
+    window."""
+    from apache_flink_pratices_spark import operators  # noqa: F401
+
+    return {n: s for n, s in _REGISTRY.items() if s.bench}
+
+
 def queries() -> dict[str, QueryFn]:
     return {n: s.fn for n, s in all_specs().items()}
 

@@ -21,7 +21,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from apache_flink_pratices_spark.registry import all_specs
+from apache_flink_pratices_spark.registry import bench_specs
 from apache_flink_pratices_spark.session import get_spark
 
 
@@ -31,13 +31,25 @@ def main() -> None:
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     spark = get_spark("afp-bench")
     spark.sparkContext.setLogLevel("WARN")
-    specs = {n: s for n, s in all_specs().items() if s.bench}
+    # REGISTRATION order, not the driver-gate rotation order: timings are
+    # position-in-session sensitive (JIT warm-up), so the sequence must be
+    # identical every round for min-over-min comparability.
+    specs = bench_specs()
 
     timings: dict[str, float] = {}
     medians: dict[str, float] = {}
     rows: dict[str, int] = {}
-    # warm the JVM/session on the smallest table once
+    # Warm-up: one untimed pre-pass of EVERY benched query. Session-wide
+    # JIT (C2-compiling the parquet reader, shuffle, and codegen framework
+    # classes) accumulates across queries, so without this the same plan
+    # measures ~1.4x slower as the 2nd query of the session than the 20th
+    # (docs/scale_notes.md round 5) — a position effect min-of-N cannot
+    # remove because all N runs share the position.
     spark.read.parquet(f"{sf_dir}/region.parquet").count()
+    for spec in specs.values():
+        spec.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        spark.catalog.clearCache()
+    spark._jvm.System.gc()
     for name, spec in specs.items():
         per: list[float] = []
         for _ in range(n_runs):

@@ -32,3 +32,28 @@ def test_bench_cli_contract():
     assert doc["sf"] == "0.001"
     assert doc["queries"] and set(doc["rows"]) == set(doc["queries"])
     assert all(v >= 0 for v in doc["queries"].values())
+
+
+def test_bench_order_is_registration_order_not_rotation(tmp_path, monkeypatch):
+    """Bench timings are position-in-session sensitive (JIT warm-up:
+    the same plan measures ~1.4x slower as the 2nd query of a session
+    than the 20th), so the bench sequence must be IMMUTABLE across
+    rounds — in particular it must not move when the driver's
+    CORRECTNESS files rotate the correctness-gate ordering
+    (the r3->r5 fraud_alerts 'regression' was exactly this)."""
+    import json as _json
+
+    import apache_flink_pratices_spark.registry as reg
+
+    baseline = list(reg.bench_specs())
+    # simulate a wildly different check history: every bench query green
+    # last round except one
+    rows = {n: {"rows_match": True, "schema_match": True, "hash_match": True,
+                "spark_rows": 1, "oracle_rows": 1, "err": None}
+            for n in baseline[:-1]}
+    (tmp_path / "CORRECTNESS_r09.json").write_text(_json.dumps(rows))
+    monkeypatch.setattr(reg, "_REPO_ROOT", str(tmp_path))
+    assert list(reg.bench_specs()) == baseline
+    # while the gate ordering DID change under the same history
+    gate = list(reg.all_specs())
+    assert gate != baseline or len(gate) != len(baseline)
