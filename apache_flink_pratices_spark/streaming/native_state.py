@@ -404,3 +404,120 @@ def signal_stream_native(src: DataFrame) -> DataFrame:
         outputMode="Append",
         timeMode="EventTime",
     )
+
+
+# --------------------------------------------------------------------------
+# A2 trend rule on native state (sliding 5s/1s avg, 2-consecutive-decrease)
+# --------------------------------------------------------------------------
+
+
+def _make_trend_processor():
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+    from apache_flink_pratices_spark.streaming.trend import TrendMachine
+
+    class TrendNativeProcessor(StatefulProcessor):
+        """A2 trend rule (시스템 아키텍처.md:641-648) on named state: a
+        ListState trade buffer + a scalars ValueState, with ONE real
+        event-time timer per key parked on the earliest unfired non-empty
+        window end. Firing is a pure fold over the aligned window
+        sequence (watermark-step invariant, property-tested), so a stale
+        snapshot-delivered timer re-fires nothing — no armed-set guard
+        needed."""
+
+        def init(self, handle: "StatefulProcessorHandle") -> None:
+            self.handle = handle
+            self.buf = handle.getListState("buf", "ts_us bigint, vol double")
+            self.scalars = handle.getValueState(
+                "scalars", "prev_avg double, streak int, last_end_ms bigint"
+            )
+
+        def _load(self) -> "TrendMachine":
+            buf = [(int(t), float(v)) for t, v in self.buf.get()]
+            sc = self.scalars.get()
+            prev, streak, last = sc if sc is not None else (None, 0, None)
+            return TrendMachine(buf, prev, int(streak or 0), last)
+
+        def _save(self, m: "TrendMachine", loaded: "TrendMachine",
+                  fired_ms: "int | None" = None) -> None:
+            # diff-only writes, like the signal processor
+            if m.buf != loaded.buf:
+                if m.buf:
+                    self.buf.put([tuple(t) for t in m.buf])
+                else:
+                    self.buf.clear()
+            sc = (m.prev_avg, m.streak, m.last_end_ms)
+            if sc != (loaded.prev_avg, loaded.streak, loaded.last_end_ms):
+                self.scalars.update(sc)
+            # single-timer mirror: the deadline is a pure function of
+            # state, so diff old vs new deadline
+            old_dl, new_dl = loaded.next_deadline_ms(), m.next_deadline_ms()
+            if old_dl != new_dl:
+                if old_dl is not None and old_dl != fired_ms:
+                    self.handle.deleteTimer(old_dl)
+                if new_dl is not None:
+                    self.handle.registerTimer(new_dl)
+
+        def handleInputRows(
+            self,
+            key: Any,
+            rows: Iterator[pd.DataFrame],
+            timerValues: "TimerValues",
+        ) -> Iterator[pd.DataFrame]:
+            loaded = self._load()
+            m = TrendMachine(
+                list(loaded.buf), loaded.prev_avg, loaded.streak,
+                loaded.last_end_ms,
+            )
+            batch = pd.concat(list(rows), ignore_index=True)
+            for row in batch.itertuples(index=False):
+                m.add(int(row.ts_us), float(row.volume))
+            m.fire(timerValues.getCurrentWatermarkInMs())
+            self._save(m, loaded)
+            if m.events:
+                yield pd.DataFrame(
+                    [(key[0], ts, a, p) for ts, a, p in m.events],
+                    columns=["code", "trend_ts_us", "avg_vol", "prev_avg"],
+                )
+
+        def handleExpiredTimer(
+            self,
+            key: Any,
+            timerValues: "TimerValues",
+            expiredTimerInfo: "ExpiredTimerInfo",
+        ) -> Iterator[pd.DataFrame]:
+            loaded = self._load()
+            m = TrendMachine(
+                list(loaded.buf), loaded.prev_avg, loaded.streak,
+                loaded.last_end_ms,
+            )
+            # fire everything the watermark reached, not just the fired
+            # deadline — identical to the fallback's timeout branch; a
+            # stale timer (already-fired windows) folds to a no-op
+            m.fire(timerValues.getCurrentWatermarkInMs())
+            self._save(m, loaded, fired_ms=expiredTimerInfo.getExpiryTimeInMs())
+            if m.events:
+                yield pd.DataFrame(
+                    [(key[0], ts, a, p) for ts, a, p in m.events],
+                    columns=["code", "trend_ts_us", "avg_vol", "prev_avg"],
+                )
+
+        def close(self) -> None:
+            pass
+
+    return TrendNativeProcessor()
+
+
+def trend_stream_native(src: DataFrame) -> DataFrame:
+    """Native-backend trend detector over the projected
+    (code, ts, ts_us, volume) stream
+    :func:`~apache_flink_pratices_spark.streaming.trend.trend_stream`
+    builds."""
+    from apache_flink_pratices_spark.streaming.trend import TREND_SCHEMA
+
+    return src.groupBy("code").transformWithStateInPandas(
+        statefulProcessor=_make_trend_processor(),
+        outputStructType=TREND_SCHEMA,
+        outputMode="Append",
+        timeMode="EventTime",
+    )

@@ -105,9 +105,19 @@ class TrendMachine:
             self.prev_avg = avg
             self.last_end_ms = e
         if self.last_end_ms is not None:
-            # a trade only matters to windows ending in (ts, ts+window]
-            cutoff = (self.last_end_ms - TREND_WINDOW_MS) * 1000
-            self.buf = [(ts, v) for ts, v in self.buf if ts >= cutoff]
+            # a trade's LAST aligned window ends at floor(ts/slide)*slide
+            # + window; once every window it can appear in has fired, the
+            # trade is dead — evict exactly those, so a key that goes
+            # permanently quiet drains to an empty buffer (and the
+            # fallback can state.remove() it) instead of retaining up to
+            # one slide of dead trades forever
+            self.buf = [
+                (ts, v)
+                for ts, v in self.buf
+                if (ts // 1000 // TREND_SLIDE_MS) * TREND_SLIDE_MS
+                + TREND_WINDOW_MS
+                > self.last_end_ms
+            ]
 
     def next_deadline_ms(self) -> int | None:
         """Earliest unfired non-empty window end (> everything fired)."""
@@ -178,14 +188,34 @@ def trend_stream(
     ts_col: str = "ts",
     code_col: str = "code",
     volume_col: str = "volume",
+    impl: str = "auto",
 ) -> DataFrame:
-    """Wire a streaming trade DataFrame through the trend detector."""
+    """Wire a streaming trade DataFrame through the trend detector.
+
+    ``impl`` picks the stateful backend (same contract as
+    :func:`~apache_flink_pratices_spark.streaming.fraud.fraud_alert_stream`):
+    ``"native"`` = ``transformWithStateInPandas`` named state + one real
+    event-time timer per key; ``"pandas_state"`` = monolithic-tuple
+    fallback; ``"auto"`` = native where the runtime supports it. Both
+    backends drive the same :class:`TrendMachine`."""
     src = drop_late(trades, ts_col).select(
         F.col(code_col).cast("string").alias("code"),
         F.col(ts_col).alias("ts"),
         F.unix_micros(F.col(ts_col)).alias("ts_us"),
         F.col(volume_col).cast("double").alias("volume"),
     )
+    if impl == "auto":
+        from apache_flink_pratices_spark.streaming.native_state import (
+            native_state_available,
+        )
+
+        impl = "native" if native_state_available() else "pandas_state"
+    if impl == "native":
+        from apache_flink_pratices_spark.streaming.native_state import (
+            trend_stream_native,
+        )
+
+        return trend_stream_native(src)
     return src.groupBy("code").applyInPandasWithState(
         make_trend_detector(),
         outputStructType=TREND_SCHEMA,

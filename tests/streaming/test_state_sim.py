@@ -322,3 +322,83 @@ def test_signal_native_trade_only_batch_writes_no_orderbook_state():
     assert run2.store.values[("last_ob", ("KRW-BTC",))] == ob_after_head[
         ("last_ob", ("KRW-BTC",))
     ]
+
+
+# ---- A2 trend rule through the native processor -------------------------
+
+
+def _trend_batches(rows_lists):
+    cols = ["code", "ts_us", "volume"]
+    return [pd.DataFrame(rows, columns=cols) for rows in rows_lists]
+
+
+def _run_trend(rows_lists, adversarial=False):
+    from apache_flink_pratices_spark.streaming.native_state import (
+        _make_trend_processor,
+    )
+
+    run = run_transform_with_state(
+        _make_trend_processor(),
+        _trend_batches(rows_lists),
+        key_cols=["code"],
+        snapshot_timers_before_input=adversarial,
+    )
+    out = run.output()
+    return run, (
+        sorted(tuple(r) for r in out.itertuples(index=False)) if len(out) else []
+    )
+
+
+_TB = 1_609_459_200_000_000  # 2021-01-01 in micros
+
+
+def test_trend_native_golden_matches_fallback_scenario():
+    """The stream_trend_golden corpus through the NATIVE backend yields
+    the same two transitions the driver-checked golden pins."""
+    btc = [("KRW-BTC", _TB + int(s * 1e6), v) for s, v in
+           [(0.5, 12.0), (1.5, 9.0), (2.5, 6.0), (3.5, 9.0)]]
+    flush1 = [("ZZZ-FLUSH", _TB + 20_500_000, 1.0)]
+    flush2 = [("ZZZ-FLUSH", _TB + 40_500_000, 1.0)]
+    for adversarial in (False, True):
+        _, out = _run_trend([btc, flush1, flush2], adversarial=adversarial)
+        assert [o for o in out if o[0] == "KRW-BTC"] == [
+            ("KRW-BTC", _TB + 3_000_000, 9.0, 10.5),
+            ("KRW-BTC", _TB + 7_000_000, 7.5, 8.0),
+        ], f"adversarial={adversarial}"
+
+
+def test_trend_native_fires_via_real_timer():
+    """With no further rows for the key, finalization happens through
+    handleExpiredTimer off the single parked deadline."""
+    btc = [("KRW-BTC", _TB + 500_000, 12.0),
+           ("KRW-BTC", _TB + 1_500_000, 6.0),
+           ("KRW-BTC", _TB + 2_500_000, 3.0)]
+    run, out = _run_trend([btc, [("OTHER", _TB + 60_000_000, 1.0)],
+                           [("OTHER", _TB + 90_000_000, 1.0)]])
+    # window averages: 1s:[12]=12, 2s:[12,6]=9 (s1), 3s:[12,6,3]=7 (s2)
+    assert ("KRW-BTC", _TB + 3_000_000, 7.0, 9.0) in out
+    assert any(k == ("KRW-BTC",) for k, _ in run.fired)
+
+
+def test_trend_native_diff_only_buffer_write():
+    """A batch that changes nothing for a key writes nothing: after all
+    windows fired and the buffer emptied... the buffer write only happens
+    when the buffer actually changed (diff-only claim)."""
+    from apache_flink_pratices_spark.streaming.native_state import (
+        _make_trend_processor,
+    )
+
+    # one trade, then watermark carriers only: after every window around
+    # the trade fires, the scalars stop changing and repeated timer/input
+    # deliveries must not rewrite state. Track writes via the sim store.
+    btc = [("KRW-BTC", _TB + 500_000, 5.0)]
+    carriers = [[("OTHER", _TB + (10 + i) * 1_000_000, 1.0)] for i in range(3)]
+    run = run_transform_with_state(
+        _make_trend_processor(),
+        _trend_batches([btc] + carriers),
+        key_cols=["code"],
+    )
+    # the BTC buffer was evicted once its last window (5.5s) fired
+    assert run.store.lists.get(("buf", ("KRW-BTC",)), []) == []
+    # and no timer is left armed for BTC
+    assert run.store.timers.get(("KRW-BTC",), set()) == set()
