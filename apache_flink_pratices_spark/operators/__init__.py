@@ -9,7 +9,9 @@ from apache_flink_pratices_spark.operators import (  # noqa: F401
     market_pipeline,
     multimodal,
     orderbook,
+    pca,
     protobuf_codec,
+    quantization,
     relational,
     row_transforms,
     similarity,

@@ -1,0 +1,149 @@
+"""Embedding compression: per-dimension int8 (256-bin) quantization with
+reconstruction-error audit — the scalar-quantizer half of an IVF+PQ-style
+ANN index build, and the storage-reduction pass a 100 TB embedding corpus
+goes through before serving.
+
+Scale design:
+
+- **Two passes, second map-only.** Pass 1 computes per-dimension min/max
+  — a posexplode + 64-group bounded aggregation (the same shape as the
+  kmeans update shuffle: 64 partials per partition regardless of corpus
+  size) fetched to the driver as a constant-size stats vector. Pass 2
+  inlines the 64 (min, range) pairs as literals and quantizes every
+  vector in one whole-stage-codegen projection: ZERO joins, zero
+  shuffles on the N×64 element stream (a stats-join alternative would
+  push every element through a join).
+- **Cross-engine exactness without decimal gymnastics.** min/max select
+  existing float values (no arithmetic); the bin index is
+  ``floor((x-min)·256/range)`` — two IEEE double ops with identical
+  expression shape in Spark and DuckDB, so the floor is bit-identical —
+  and every OUTPUT is an integer: per-vector code checksum, max
+  reconstruction error scaled to 1e-8 grid, and the code of dimension 0
+  (a direct probe). Floats only exist inside the expression, never in
+  the compared result.
+
+Reference parity: no counterpart (training-pipeline superset, task
+brief); shares the embedding column with ``ann_*``/``kmeans_*``/``pca_*``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from apache_flink_pratices_spark.io import load
+from apache_flink_pratices_spark.registry import register
+
+#: quantization bins (int8 codes 0..255)
+BINS = 256
+#: reconstruction-error grid: errors are reported as floor(|err|·1e8)
+ERR_SCALE = 100_000_000
+
+
+def _dim_stats(spark: SparkSession, sf_dir: str) -> tuple[list[float], list[float]]:
+    """Per-dimension (min, max) over the corpus — a bounded 64-row fetch
+    (constant-size, the broadcast-dim class of collect)."""
+    rows = (
+        load(spark, sf_dir, "embeddings")
+        .select(
+            F.posexplode(
+                F.expr("transform(embedding, x -> CAST(x AS DOUBLE))")
+            ).alias("k0", "x")
+        )
+        .groupBy("k0")
+        .agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
+        .collect()
+    )
+    by_k = {r["k0"]: (r["mn"], r["mx"]) for r in rows}
+    dims = sorted(by_k)
+    return [by_k[k][0] for k in dims], [by_k[k][1] for k in dims]
+
+
+@register(
+    "embedding_int8_quantize",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS xs
+      FROM embeddings
+    ),
+    elems AS (
+      SELECT e.vec_id, u.x, u.k
+      FROM e, LATERAL (SELECT unnest(e.xs) AS x,
+                              generate_subscripts(e.xs, 1) AS k) u
+    ),
+    stats AS (SELECT k, MIN(x) AS mn, MAX(x) AS mx FROM elems GROUP BY k),
+    codes AS (
+      SELECT el.vec_id, el.k,
+             CASE WHEN s.mx = s.mn THEN 0
+                  ELSE CAST(LEAST(255, GREATEST(0,
+                       floor((el.x - s.mn) * {BINS} / (s.mx - s.mn)))) AS BIGINT)
+             END AS q,
+             el.x, s.mn, s.mx
+      FROM elems el JOIN stats s USING (k)
+    ),
+    errs AS (
+      SELECT vec_id, k, q,
+             CASE WHEN mx = mn THEN CAST(0 AS BIGINT)
+                  ELSE CAST(floor(abs(x - (mn + (q + 0.5) * (mx - mn) / {BINS}))
+                                  * {ERR_SCALE}) AS BIGINT)
+             END AS err_q
+      FROM codes
+    )
+    SELECT vec_id,
+           CAST(SUM(q) AS BIGINT) AS code_sum,
+           CAST(MAX(err_q) AS BIGINT) AS max_err_1e8,
+           CAST(MAX(CASE WHEN k = 1 THEN q END) AS BIGINT) AS code_dim0
+    FROM errs
+    GROUP BY vec_id
+    """,
+    doc=f"Per-dimension int8 ({BINS}-bin) scalar quantization of the "
+    "embedding corpus with a reconstruction-error audit: pass 1 is a "
+    "bounded 64-group min/max aggregation, pass 2 inlines the stats as "
+    "literals and quantizes map-only (zero joins on the element stream). "
+    "Outputs are integers only (per-vector code checksum, max "
+    "bin-center reconstruction error on a 1e-8 grid, dim-0 code), so "
+    "the IEEE double pipeline is hash-checked bit-exactly across "
+    "engines.",
+    bench=True,
+    tags=("embedding", "quantization", "compression"),
+)
+def embedding_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    mn, mx = _dim_stats(spark, sf_dir)
+    lit_mn, lit_mx = F.lit(mn), F.lit(mx)
+
+    def per_elem(x, i):
+        m = F.element_at(lit_mn, i + 1)
+        rng = F.element_at(lit_mx, i + 1) - m
+        q = F.when(rng == 0.0, F.lit(0).cast("long")).otherwise(
+            F.least(
+                F.lit(255).cast("long"),
+                F.greatest(
+                    F.lit(0).cast("long"),
+                    F.floor((x - m) * BINS / rng),
+                ),
+            )
+        )
+        rec = m + (q.cast("double") + 0.5) * rng / BINS
+        err = F.when(rng == 0.0, F.lit(0).cast("long")).otherwise(
+            F.floor(F.abs(x - rec) * ERR_SCALE)
+        )
+        return F.struct(q.alias("q"), err.alias("err_q"))
+
+    codes = F.transform(
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))"), per_elem
+    )
+    return (
+        load(spark, sf_dir, "embeddings")
+        .select("vec_id", codes.alias("ce"))
+        .select(
+            "vec_id",
+            F.aggregate(
+                F.col("ce"), F.lit(0).cast("long"), lambda a, s: a + s["q"]
+            ).alias("code_sum"),
+            F.array_max(F.expr("transform(ce, s -> s.err_q)")).alias(
+                "max_err_1e8"
+            ),
+            F.element_at(F.col("ce"), 1)["q"].alias("code_dim0"),
+        )
+    )

@@ -1,0 +1,115 @@
+"""Embedding PCA power iteration + int8 quantization: plan-level scale
+claims and algorithmic properties (oracle parity runs in
+test_oracle_parity for both registered queries)."""
+
+from __future__ import annotations
+
+import math
+import re
+
+import numpy as np
+import pytest
+
+from apache_flink_pratices_spark.operators.pca import DIMS, _power_step, pca_fit
+from apache_flink_pratices_spark.operators.quantization import (
+    BINS,
+    ERR_SCALE,
+    embedding_int8_quantize,
+)
+from apache_flink_pratices_spark.plans.explain import (
+    exchange_count,
+    formatted_plan,
+    join_kinds,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_power_step_is_one_scan_one_bounded_shuffle(spark):
+    """The iteration pass must be map-only up to the 64-group
+    aggregation: one parquet scan, one exchange, no joins."""
+    from apache_flink_pratices_spark.io import load
+
+    plan = formatted_plan(_power_step(load(spark, SF, "embeddings"), [1] * DIMS))
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
+    assert not join_kinds(plan)
+    # partial agg -> exchange -> final agg (AQE may add a post-shuffle
+    # coalesce but never a second shuffle)
+    assert exchange_count(plan) == 1, plan
+
+
+def test_quantize_pass2_is_map_only_no_joins(spark):
+    """Pass 2 inlines the stats literals: the N×64 element stream must
+    never go through a join (the scale point vs a stats-join plan)."""
+    plan = formatted_plan(embedding_int8_quantize(spark, SF))
+    assert not join_kinds(plan), plan
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
+
+
+def test_quantize_codes_and_errors_within_bounds(spark):
+    rows = embedding_int8_quantize(spark, SF).collect()
+    assert len(rows) == 500
+    for r in rows:
+        assert 0 <= r["code_dim0"] <= BINS - 1
+        assert 0 <= r["code_sum"] <= (BINS - 1) * DIMS
+        assert r["max_err_1e8"] >= 0
+
+
+def test_quantize_error_bounded_by_half_bin(spark):
+    """Bin-center reconstruction error is ≤ range/(2·BINS) per dim (+1
+    grid ulp for the floor)."""
+    from pyspark.sql import functions as F
+
+    from apache_flink_pratices_spark.io import load
+
+    stats = (
+        load(spark, SF, "embeddings")
+        .select(
+            F.posexplode(
+                F.expr("transform(embedding, x -> CAST(x AS DOUBLE))")
+            ).alias("k0", "x")
+        )
+        .groupBy("k0")
+        .agg((F.max("x") - F.min("x")).alias("rng"))
+        .collect()
+    )
+    worst_rng = max(r["rng"] for r in stats)
+    bound = math.floor(worst_rng / (2 * BINS) * ERR_SCALE) + 1
+    got = embedding_int8_quantize(spark, SF).agg(
+        {"max_err_1e8": "max"}
+    ).collect()[0][0]
+    assert got <= bound, (got, bound)
+
+
+def test_pca_fit_rayleigh_nondecreasing(spark):
+    from apache_flink_pratices_spark.io import load
+
+    _, hist = pca_fit(load(spark, SF, "embeddings"), max_iter=5)
+    assert len(hist) >= 2
+    for a, b in zip(hist, hist[1:]):
+        assert b >= a * (1 - 1e-9), hist
+
+
+def test_pca_fit_recovers_planted_direction(spark):
+    """On a synthetic corpus with one dominant variance direction, the
+    loop must recover it (up to sign) within a few iterations."""
+    rng = np.random.default_rng(7)
+    direction = rng.normal(size=DIMS)
+    direction /= np.linalg.norm(direction)
+    data = [
+        (
+            i,
+            (
+                float(rng.normal(0, 3.0)) * direction
+                + rng.normal(0, 0.05, size=DIMS)
+            ).astype("float32").tolist(),
+            0,
+        )
+        for i in range(400)
+    ]
+    df = spark.createDataFrame(
+        data, "vec_id bigint, embedding array<float>, label int"
+    )
+    v, _ = pca_fit(df, max_iter=10)
+    cos = abs(float(np.dot(np.array(v), direction)))
+    assert cos > 0.99, cos
