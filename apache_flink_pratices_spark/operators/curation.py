@@ -564,3 +564,62 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0)
     )
     return seqs.select("user_id", "n_events", stage.alias("funnel_stage"))
+
+
+# --- deterministic train/val/test split -----------------------------------
+
+#: per-mille thresholds: [0, TRAIN) train, [TRAIN, TRAIN+VAL) val, rest test
+SPLIT_TRAIN_PM = 980
+SPLIT_VAL_PM = 10
+SPLIT_SALT = "corpus-split-v1"
+
+
+@register(
+    "corpus_split_assign",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(('0x' || substr(sha256('{SPLIT_SALT}|' || CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
+                % 1000 AS BIGINT) AS bucket,
+           CASE
+             WHEN ('0x' || substr(sha256('{SPLIT_SALT}|' || CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
+                  % 1000 < {SPLIT_TRAIN_PM} THEN 'train'
+             WHEN ('0x' || substr(sha256('{SPLIT_SALT}|' || CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
+                  % 1000 < {SPLIT_TRAIN_PM + SPLIT_VAL_PM} THEN 'val'
+             ELSE 'test'
+           END AS split
+    FROM documents
+    """,
+    doc="Deterministic train/val/test assignment: per-mille bucket from "
+    "the first 32 bits of sha256(salt|doc_id), thresholds 98/1/1. "
+    "Hash-based (not random) so the split is reproducible across runs, "
+    "engines and reshards — the property a 100 TB corpus needs so that "
+    "adding documents never moves existing ones between splits. Pure "
+    "map-side projection: zero shuffles, and the same expression doubles "
+    "as a JOIN-free filter (split = 'train') that pushes to the scan.",
+    tags=("curation", "split", "training"),
+)
+def corpus_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(
+            F.substring(
+                F.sha2(
+                    F.concat_ws(
+                        "|", F.lit(SPLIT_SALT), F.col("doc_id").cast("string")
+                    ),
+                    256,
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 1000
+    )
+    split = (
+        F.when(bucket < SPLIT_TRAIN_PM, "train")
+        .when(bucket < SPLIT_TRAIN_PM + SPLIT_VAL_PM, "val")
+        .otherwise("test")
+    )
+    return d.select("doc_id", bucket.alias("bucket"), split.alias("split"))

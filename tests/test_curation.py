@@ -150,3 +150,37 @@ def test_doc_packing_oracle_green_at_fixed_shard_counts(spark, shards):
     want = sorted(tuple(r) for r in con.execute(_pack_oracle(str(shards))).fetchall())
     con.close()
     assert got == want
+
+
+def test_split_assign_is_stable_under_corpus_growth(spark):
+    """Hash-based split: a document's assignment must not depend on what
+    else is in the corpus (random-split would fail this)."""
+    from apache_flink_pratices_spark.operators.curation import (
+        corpus_split_assign,
+    )
+
+    full = {
+        r["doc_id"]: (r["bucket"], r["split"])
+        for r in corpus_split_assign(spark, SF_SMOKE).collect()
+    }
+    # recompute on a "smaller corpus" by filtering inside the same query
+    from apache_flink_pratices_spark.io import load
+    from pyspark.sql import functions as F
+
+    sub_ids = {r["doc_id"] for r in
+               load(spark, SF_SMOKE, "documents").filter(F.col("doc_id") % 2 == 0)
+               .select("doc_id").collect()}
+    sub = {k: v for k, v in full.items() if k in sub_ids}
+    assert all(full[k] == sub[k] for k in sub)
+
+
+def test_split_assign_zero_shuffles(spark):
+    from apache_flink_pratices_spark.operators.curation import (
+        corpus_split_assign,
+    )
+    from apache_flink_pratices_spark.plans.explain import (
+        exchange_count,
+        formatted_plan,
+    )
+
+    assert exchange_count(formatted_plan(corpus_split_assign(spark, SF_SMOKE))) == 0
