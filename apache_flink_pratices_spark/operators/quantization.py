@@ -147,3 +147,121 @@ def embedding_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.element_at(F.col("ce"), 1)["q"].alias("code_dim0"),
         )
     )
+
+
+# --- compressed-index ANN: asymmetric distance over int8 codes ------------
+
+
+@register(
+    "ann_pq_topk",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, label,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS xs
+      FROM embeddings
+    ),
+    elems AS (
+      SELECT e.vec_id, e.label, u.x, u.k
+      FROM e, LATERAL (SELECT unnest(e.xs) AS x,
+                              generate_subscripts(e.xs, 1) AS k) u
+    ),
+    stats AS (SELECT k, MIN(x) AS mn, MAX(x) AS mx FROM elems GROUP BY k),
+    rec AS (
+      SELECT el.vec_id, el.label, el.k,
+             CASE WHEN s.mx = s.mn THEN s.mn
+                  ELSE s.mn + (CAST(LEAST(255, GREATEST(0,
+                         floor((el.x - s.mn) * 256 / (s.mx - s.mn)))) AS BIGINT)
+                       + 0.5) * (s.mx - s.mn) / 256
+             END AS r
+      FROM elems el JOIN stats s USING (k)
+    ),
+    rnorm AS (
+      SELECT re.vec_id, re.label, CAST(SUM(CAST(floor(CAST(re.r AS DOUBLE) * CAST(re.r AS DOUBLE) * 1000000000000) AS BIGINT)) AS DOUBLE) / 1000000000000 AS nrm
+      FROM rec re GROUP BY re.vec_id, re.label
+    ),
+    qnorm AS (
+      SELECT el.vec_id AS query_id, CAST(SUM(CAST(floor(CAST(el.x AS DOUBLE) * CAST(el.x AS DOUBLE) * 1000000000000) AS BIGINT)) AS DOUBLE) / 1000000000000 AS nrm
+      FROM elems el WHERE el.vec_id < 5 GROUP BY el.vec_id
+    ),
+    dots AS (
+      SELECT q.vec_id AS query_id, r.vec_id, CAST(SUM(CAST(floor(CAST(q.x AS DOUBLE) * CAST(r.r AS DOUBLE) * 1000000000000) AS BIGINT)) AS DOUBLE) / 1000000000000 AS dot
+      FROM elems q JOIN rec r ON q.k = r.k AND r.vec_id <> q.vec_id
+      WHERE q.vec_id < 5
+      GROUP BY q.vec_id, r.vec_id
+    ),
+    scored AS (
+      SELECT d.query_id, d.vec_id, rn2.label,
+             d.dot / (sqrt(qn.nrm) * sqrt(rn2.nrm)) AS cosine_pq
+      FROM dots d
+        JOIN qnorm qn ON qn.query_id = d.query_id
+        JOIN rnorm rn2 ON rn2.vec_id = d.vec_id
+    )
+    SELECT query_id, vec_id, label, cosine_pq, rn
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY cosine_pq DESC, vec_id) AS rn
+          FROM scored)
+    WHERE rn <= 10
+    """,
+    doc="Compressed-index ANN tier: asymmetric cosine top-k with EXACT "
+    "query vectors against int8-RECONSTRUCTED corpus vectors (the "
+    "classic ADC pattern of a PQ/SQ index). The corpus side carries only "
+    "the codes — 16x smaller than float32, which is what lets a 100 TB "
+    "embedding corpus fit a memory-resident index; reconstruction and "
+    "the 1e-12-floored exact dot products run map-side in one codegen "
+    "pass, broadcast queries, per-query window rank. Recall vs the "
+    "exact tier is pinned in tests/test_pca_quantize.py. Same "
+    "cross-engine determinism playbook as ann_cosine_topk.",
+    bench=True,
+    tags=("similarity", "ann", "quantization"),
+)
+def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from apache_flink_pratices_spark.operators.similarity import (
+        N_QUERIES,
+        TOP_K,
+        _dot,
+    )
+
+    mn, mx = _dim_stats(spark, sf_dir)
+    lit_mn, lit_mx = F.lit(mn), F.lit(mx)
+
+    def rec_elem(x, i):
+        m = F.element_at(lit_mn, i + 1)
+        rng = F.element_at(lit_mx, i + 1) - m
+        q = F.least(
+            F.lit(255).cast("long"),
+            F.greatest(F.lit(0).cast("long"), F.floor((x - m) * BINS / rng)),
+        )
+        return F.when(rng == 0.0, m).otherwise(
+            m + (q.cast("double") + 0.5) * rng / BINS
+        )
+
+    e = load(spark, sf_dir, "embeddings")
+    xs = F.expr("transform(embedding, x -> CAST(x AS DOUBLE))")
+    rec = F.transform(xs, rec_elem)
+    corpus = e.select(
+        "vec_id", "label", rec.alias("rec")
+    ).withColumn("rnrm", _dot(F.col("rec"), F.col("rec")))
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        xs.alias("qx"),
+    ).withColumn("qnrm", _dot(F.col("qx"), F.col("qx")))
+    pairs = corpus.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+    scored = pairs.select(
+        "query_id",
+        "vec_id",
+        "label",
+        (
+            _dot(F.col("qx"), F.col("rec"))
+            / (F.sqrt(F.col("qnrm")) * F.sqrt(F.col("rnrm")))
+        ).alias("cosine_pq"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_pq"), F.asc("vec_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_K)
+        .select("query_id", "vec_id", "label", "cosine_pq", "rn")
+    )

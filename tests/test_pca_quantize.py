@@ -113,3 +113,36 @@ def test_pca_fit_recovers_planted_direction(spark):
     v, _ = pca_fit(df, max_iter=10)
     cos = abs(float(np.dot(np.array(v), direction)))
     assert cos > 0.99, cos
+
+
+def test_pq_recall_vs_exact_tier(spark):
+    """int8 reconstruction barely moves cosines at 64 dims / 256 bins:
+    the compressed tier must agree with the exact tier on ≥90% of each
+    query's top-10."""
+    from apache_flink_pratices_spark.operators.quantization import ann_pq_topk
+    from apache_flink_pratices_spark.operators.similarity import (
+        ann_cosine_topk,
+    )
+
+    def topsets(df):
+        out = {}
+        for r in df.collect():
+            out.setdefault(r["query_id"], set()).add(r["vec_id"])
+        return out
+
+    exact = topsets(ann_cosine_topk(spark, SF))
+    pq = topsets(ann_pq_topk(spark, SF))
+    recalls = [len(exact[q] & pq[q]) / len(exact[q]) for q in exact]
+    assert sum(recalls) / len(recalls) >= 0.9, recalls
+
+
+def test_pq_corpus_side_never_shuffles_before_rank(spark):
+    """Queries broadcast against the code-reconstructed corpus: the only
+    join is a broadcast nested-loop (non-equi self-pair), no sort-merge
+    join or cartesian product."""
+    from apache_flink_pratices_spark.operators.quantization import ann_pq_topk
+
+    plan = formatted_plan(ann_pq_topk(spark, SF))
+    kinds = join_kinds(plan)
+    assert "BroadcastNestedLoopJoin" in kinds, kinds
+    assert "SortMergeJoin" not in kinds and "CartesianProduct" not in kinds
