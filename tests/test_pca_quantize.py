@@ -8,7 +8,6 @@ import math
 import re
 
 import numpy as np
-import pytest
 
 from apache_flink_pratices_spark.operators.pca import DIMS, _power_step, pca_fit
 from apache_flink_pratices_spark.operators.quantization import (
