@@ -50,3 +50,43 @@ def test_stateful_fraud_throughput(spark, tmp_path):
     assert n_alerts > 0, "the workload must actually exercise alert emission"
     # 5× the reference's 1k msg/s producer baseline, end to end
     assert rate >= 5_000, f"stateful throughput {rate:.0f} tx/s < 5k gate"
+
+
+def test_stateful_trend_throughput(spark, tmp_path):
+    """The trend detector (buffer + window fold per key) must also clear
+    the reference's 1k msg/s delivery baseline end to end."""
+    from apache_flink_pratices_spark.streaming.trend import trend_stream
+
+    n_trades, n_codes = 20_000, 200
+    rows = []
+    for i in range(n_trades):
+        code = f"C{i % n_codes}"
+        # volumes cycle downward so transitions actually fire
+        vol = float(10 - (i // n_codes) % 8)
+        rows.append((code, BASE + datetime.timedelta(milliseconds=i * 5), vol))
+    in_dir = os.path.join(str(tmp_path), "trend_in")
+    spark.createDataFrame(
+        rows, "code string, ts timestamp, volume double"
+    ).coalesce(4).write.parquet(in_dir)
+
+    src = spark.readStream.schema("code string, ts timestamp, volume double").parquet(
+        in_dir
+    )
+    q = (
+        trend_stream(src)
+        .writeStream.format("memory")
+        .queryName("trend_tput")
+        .option("checkpointLocation", os.path.join(str(tmp_path), "tckpt"))
+        .outputMode("append")
+        .start()
+    )
+    t0 = time.perf_counter()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    wall = time.perf_counter() - t0
+    rate = n_trades / wall
+    n_events = spark.sql("SELECT COUNT(*) AS n FROM trend_tput").collect()[0].n
+    assert n_events > 0, "the workload must actually emit trend transitions"
+    assert rate > 2_000, f"{rate:.0f} rows/s is below 2x the 1k baseline"
