@@ -129,3 +129,10 @@ def test_entry_contract_same_order():
     import __spark_entry__ as m
 
     assert list(m.queries()) == list(all_specs())
+
+
+def test_critical_set_leaves_rotation_capacity():
+    """The anchors are pinned into the ~50-slot window every round; keep
+    enough slack that never-checked newcomers plus a meaningful stale
+    rotation still fit (≥20 free slots), or gate coverage stalls."""
+    assert len(CRITICAL) <= WINDOW - 20, len(CRITICAL)
