@@ -1308,3 +1308,44 @@ def profile_orders_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
         "column_name", "n_rows", "n_nulls", "n_distinct",
         "min_num", "max_num", "min_str", "max_str",
     )
+
+
+@register(
+    "q12_late_ship_priority",
+    oracle="""
+    SELECT l_linestatus,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate >= o_orderdate + INTERVAL 60 DAY
+    GROUP BY l_linestatus
+    """,
+    doc="TPC-H Q12 shape (the one fact-fact plan pattern previously "
+    "missing from the family): shipping-delay class counts — lines "
+    "shipped >=60 days after their order date, split into high/low "
+    "priority via dual conditional SUMs in one aggregation. The driver's "
+    "lineitem has no shipmode/commit/receipt columns, so the delay "
+    "predicate adapts Q12's lateness filter to l_shipdate vs "
+    "o_orderdate (the same cross-table comparison Q4 uses); the plan "
+    "skeleton is Q12's: orderkey equi-join, non-pushable cross-table "
+    "filter, CASE-based conditional aggregation with map-side combine, "
+    "2-row output.",
+    tags=("relational", "tpch"),
+)
+def q12_late_ship_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_orderdate"
+    )
+    l = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linestatus", "l_shipdate"
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    joined = l.join(o, F.col("l_orderkey") == F.col("o_orderkey")).filter(
+        F.col("l_shipdate") >= F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    )
+    return joined.groupBy("l_linestatus").agg(
+        F.sum(F.when(high, 1).otherwise(0)).cast("long").alias("high_line_count"),
+        F.sum(F.when(~high, 1).otherwise(0)).cast("long").alias("low_line_count"),
+    )
