@@ -1349,3 +1349,74 @@ def q12_late_ship_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(high, 1).otherwise(0)).cast("long").alias("high_line_count"),
         F.sum(F.when(~high, 1).otherwise(0)).cast("long").alias("low_line_count"),
     )
+
+
+@register(
+    "q20_dominant_suppliers",
+    oracle="""
+    WITH red_parts AS (
+      SELECT p_partkey FROM part WHERE p_name LIKE 'red%'
+    ),
+    per_ps AS (
+      SELECT l_partkey, l_suppkey,
+             CAST(SUM(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS qty
+      FROM lineitem JOIN red_parts ON p_partkey = l_partkey
+      GROUP BY l_partkey, l_suppkey
+    ),
+    tot AS (
+      SELECT l_partkey, CAST(SUM(qty) AS BIGINT) AS total
+      FROM per_ps GROUP BY l_partkey
+    ),
+    dominant AS (
+      SELECT DISTINCT p.l_suppkey
+      FROM per_ps p JOIN tot t ON p.l_partkey = t.l_partkey
+      WHERE p.qty * 25 > t.total * 3
+    )
+    SELECT s_suppkey, s_name, s_acctbal
+    FROM supplier
+    WHERE s_suppkey IN (SELECT l_suppkey FROM dominant)
+    """,
+    doc="TPC-H Q20 shape (nested semi-join chain), adapted to the "
+    "driver's schema (no partsupp: availability is restated as shipped "
+    "share): suppliers shipping >12% of any red part's total quantity. "
+    "Plan skeleton is Q20's — dimension filter, per-(part,supplier) "
+    "aggregate, correlated per-part threshold (>12% share; here a "
+    "reused-exchange self-aggregate instead of a correlated subquery), "
+    "then a semi-join into supplier. Quantity sums use exact int64 "
+    "(quantities are "
+    "integral; floor() pins the double->int conversion identically in "
+    "both engines). The share comparison is integer cross-multiplication "
+    "- no division, no floats anywhere.",
+    tags=("relational", "tpch", "subquery"),
+)
+def q20_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    red = (
+        load(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("red%"))
+        .select("p_partkey")
+    )
+    l = load(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_quantity"
+    )
+    per_ps = (
+        l.join(F.broadcast(red), F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(
+            F.sum(F.floor(F.col("l_quantity")).cast("long"))
+            .cast("long")
+            .alias("qty")
+        )
+    )
+    tot = per_ps.groupBy("l_partkey").agg(
+        F.sum("qty").cast("long").alias("total")
+    )
+    dominant = (
+        per_ps.join(tot, "l_partkey")
+        .filter(F.col("qty") * 25 > F.col("total") * 3)
+        .select("l_suppkey")
+        .distinct()
+    )
+    s = load(spark, sf_dir, "supplier")
+    return s.join(
+        dominant, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi"
+    ).select("s_suppkey", "s_name", "s_acctbal")
