@@ -3,9 +3,9 @@
 The relational module covers scan/agg/join/window shapes; this module adds
 the subquery family Catalyst handles through *decorrelation* — correlated
 scalar aggregates, global scalar thresholds, EXISTS / NOT EXISTS chains,
-IN over a grouped HAVING, and outer-join distributions (TPC-H Q13, Q17,
-Q18, Q21, Q22, Q11 shapes, adapted to the columns the testdata carries —
-no partsupp / l_receiptdate / c_phone here).
+IN over a grouped HAVING, and outer-join distributions (TPC-H Q2, Q13,
+Q17, Q18, Q21, Q22, Q11 shapes, adapted to the columns the testdata
+carries — no partsupp / l_receiptdate / c_phone here).
 
 Scale stance (100 TB), verified via ``.explain``:
 - every correlated subquery decorrelates to an aggregate + equi-join —
@@ -327,4 +327,90 @@ def q11_part_value_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("part_value", F.col("sv").cast("double") / 10_000.0)
         .filter(F.col("part_value") > 0.0006 * F.col("total_value"))
         .select("l_partkey", "part_value")
+    )
+
+
+#: q2's per-(part, supplier) unit cost: exact decimal sums cast to double,
+#: then ONE double division — bit-identical across engines because both
+#: operands are exact and the division is a single IEEE op.
+_Q2_OFFERS = """
+    SELECT l_partkey, l_suppkey,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,6))) AS DOUBLE)
+           / CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE)
+             AS unit_cost
+    FROM lineitem GROUP BY l_partkey, l_suppkey
+"""
+
+
+@register(
+    "q2_min_cost_supplier",
+    oracle=f"""
+    WITH offers AS ({_Q2_OFFERS}),
+    euro AS (
+      SELECT l_partkey, unit_cost, s_name, s_acctbal, n_name
+      FROM offers
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN nation ON n_nationkey = s_nationkey
+        JOIN region ON r_regionkey = n_regionkey AND r_name = 'EUROPE'
+    )
+    SELECT s_acctbal, s_name, n_name, p_partkey, p_name, unit_cost
+    FROM part JOIN euro ON p_partkey = l_partkey
+    WHERE p_size <= 5 AND p_type = 'STANDARD'
+      AND unit_cost = (SELECT MIN(e2.unit_cost) FROM euro e2
+                       WHERE e2.l_partkey = part.p_partkey)
+    """,
+    doc="TPC-H Q2-shaped min-cost supplier (reference parity: the last "
+    "TPC-H plan pattern; the schema has no partsupp, so the supply offer "
+    "relation is restated as the realized per-(part, supplier) unit "
+    "price from lineitem — adaptation noted, the correlated-MIN plan "
+    "shape is the point). The correlated scalar subquery decorrelates "
+    "to a per-part MIN aggregate equi-joined back on the SAME partkey "
+    "the offers aggregate already shuffled on, so no extra exchange; "
+    "supplier/nation/region attach as broadcast dims BEFORE the MIN so "
+    "the minimum ranges only over the region's suppliers, exactly like "
+    "Q2's correlated predicate. At 100 TB the only big shuffle is the "
+    "one (partkey, suppkey) aggregation of lineitem.",
+    tags=("relational", "subquery", "correlated-min"),
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from apache_flink_pratices_spark.io import dim
+
+    l = load(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice", "l_quantity"
+    )
+    offers = l.groupBy("l_partkey", "l_suppkey").agg(
+        (
+            F.sum(F.col("l_extendedprice").cast("decimal(25,6)")).cast("double")
+            / F.sum(F.col("l_quantity").cast("decimal(25,6)")).cast("double")
+        ).alias("unit_cost")
+    )
+    s = dim(spark, sf_dir, "supplier").select("s_suppkey", "s_name", "s_acctbal", "s_nationkey")
+    n = dim(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    r = dim(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE").select("r_regionkey")
+    euro = (
+        offers.join(s, offers.l_suppkey == s.s_suppkey)
+        .join(n, s.s_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .select("l_partkey", "unit_cost", "s_name", "s_acctbal", "n_name")
+        # both the per-part MIN and the final match read this |offers|-sized
+        # relation; persist so the lineitem aggregation runs once (same
+        # pattern as q11's per-part partials)
+        .persist()
+    )
+    min_cost = euro.groupBy(F.col("l_partkey").alias("mc_partkey")).agg(
+        F.min("unit_cost").alias("min_cost")
+    )
+    p = (
+        load(spark, sf_dir, "part")
+        .filter((F.col("p_size") <= 5) & (F.col("p_type") == "STANDARD"))
+        .select("p_partkey", "p_name")
+    )
+    return (
+        euro.join(
+            min_cost,
+            (F.col("l_partkey") == F.col("mc_partkey"))
+            & (F.col("unit_cost") == F.col("min_cost")),
+        )
+        .join(p, F.col("l_partkey") == F.col("p_partkey"))
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_name", "unit_cost")
     )

@@ -77,3 +77,39 @@ def test_q13_outer_join_preserves_all_customers(spark):
     from apache_flink_pratices_spark.io import load
 
     assert total == load(spark, SF, "customer").count()
+
+
+def test_q2_correlated_min_broadcast_dims_single_fact_agg(spark):
+    """q2's correlated MIN must be a per-part aggregate equi-joined back
+    (no per-row subquery), with the dim chain attached via broadcast and
+    exactly one lineitem aggregation feeding both sides (persisted euro)."""
+    from apache_flink_pratices_spark.operators.subqueries import q2_min_cost_supplier
+
+    df = q2_min_cost_supplier(spark, SF)
+    try:
+        plan = formatted_plan(df)
+        # the only Subquery nodes allowed are runtime bloom filters
+        # (might_contain) Spark injects to prune the cached euro scan —
+        # a per-row correlated subquery would be a correctness bug
+        import re
+
+        main = plan.split("===== Subqueries =====")[0]
+        for m in re.finditer(r"\bSubquery\b", main):
+            ctx = main[max(0, m.start() - 120) : m.start()]
+            assert "might_contain" in ctx, plan
+        # and the hosted subqueries themselves are bloom-filter builds
+        tail = plan.split("===== Subqueries =====")
+        if len(tail) > 1:
+            assert "bloom_filter_agg" in tail[1], plan
+        kinds = " ".join(join_kinds(plan))
+        assert "BroadcastHashJoin" in kinds, kinds
+        # the min-vs-offer match is an equi-join on (partkey, cost), not a
+        # nested-loop over offers
+        assert "BroadcastNestedLoopJoin" not in plan, plan
+        assert "CartesianProduct" not in plan, plan
+        # one lineitem scan feeds the persisted euro relation, which both
+        # the per-part MIN and the final match read from cache
+        assert plan.count("lineitem.parquet") == 1, plan
+        assert plan.count("InMemoryTableScan") >= 2, plan
+    finally:
+        df.sparkSession.catalog.clearCache()
