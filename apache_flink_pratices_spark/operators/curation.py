@@ -3,7 +3,7 @@ pipeline (superset of the reference — its scope ends at per-stream analytics,
 `src/` has no corpus tooling; these extend SURVEY.md §2's text/dedup suite
 into the end-to-end curation shapes a 100 TB pretraining pipeline needs).
 
-Six operators, each an oracle-checked batch query:
+Oracle-checked batch operators:
 
 - **dedup_clusters**: connected components over the verified simhash
   near-dup pairs → one canonical document per duplicate cluster. Iterative
@@ -35,6 +35,10 @@ Six operators, each an oracle-checked batch query:
 - **funnel_conversion**: batch sequence matching (the batch twin of the
   streaming CEP patterns) — deepest funnel prefix reached per user, one
   shuffle by the same key the streaming processor partitions on.
+- **corpus_split_assign**: deterministic hash-bucketed train/val/test
+  assignment — stable under corpus growth, zero shuffles.
+- **cdc_upsert_compaction**: changelog → latest-state materialization
+  with tombstones, via max_by partial aggregation (bounded shuffle).
 """
 
 from __future__ import annotations
@@ -623,3 +627,53 @@ def corpus_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("test")
     )
     return d.select("doc_id", bucket.alias("bucket"), split.alias("split"))
+
+
+@register(
+    "cdc_upsert_compaction",
+    oracle="""
+    WITH ranked AS (
+      SELECT user_id, ts, event_type, value, event_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY user_id
+               ORDER BY ts DESC, event_id DESC
+             ) AS rn
+      FROM events
+    )
+    SELECT user_id,
+           ts AS last_ts,
+           event_type AS last_event_type,
+           value AS last_value
+    FROM ranked
+    WHERE rn = 1 AND event_type <> 'error'
+    """,
+    doc="CDC changelog compaction — the materialize-latest-state step every "
+    "large-scale ingestion pipeline needs in front of training-data "
+    "snapshots: events are an upsert stream keyed by user_id, ordered by "
+    "(ts, event_id) with event_id as the deterministic tiebreak; "
+    "'error' rows act as tombstones, so a key whose latest row is a "
+    "tombstone vanishes from the compacted view. Implemented as "
+    "max_by(state, (ts, event_id)) — an aggregate with MAP-SIDE "
+    "partial combine, so each input partition contributes at most one "
+    "candidate row per key to the single shuffle; the window-function "
+    "formulation the oracle uses would instead sort every key group. "
+    "At 100 TB of changelog that partial-combine difference is the "
+    "operator.",
+    tags=("curation", "cdc", "llm-pipeline"),
+)
+def cdc_upsert_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_type", "value", "event_id"
+    )
+    ord_key = F.struct(F.col("ts"), F.col("event_id"))
+    state = F.struct(F.col("ts"), F.col("event_type"), F.col("value"))
+    latest = e.groupBy("user_id").agg(F.max_by(state, ord_key).alias("s"))
+    return (
+        latest.filter(F.col("s.event_type") != "error")
+        .select(
+            "user_id",
+            F.col("s.ts").alias("last_ts"),
+            F.col("s.event_type").alias("last_event_type"),
+            F.col("s.value").alias("last_value"),
+        )
+    )

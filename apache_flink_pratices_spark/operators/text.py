@@ -670,3 +670,89 @@ def quality_token_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+#: Gopher-rule thresholds (Rae et al. 2021, "Scaling Language Models:
+#: Methods, Analysis & Insights from Training Gopher", Table A1 — public
+#: heuristics). Word-count lower bound adapted 50→40 so the synthetic
+#: corpus (mean ~50 words/doc) exercises both branches of the rule.
+GOPHER_MIN_WORDS, GOPHER_MAX_WORDS = 40, 100_000
+GOPHER_MIN_MWL, GOPHER_MAX_MWL = 3.0, 10.0
+GOPHER_MIN_ALPHA_RATIO = 0.8
+GOPHER_MIN_STOPWORDS = 2
+
+
+@register(
+    "quality_gopher_rules",
+    oracle=f"""
+    WITH words AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+      FROM documents
+    ),
+    m AS (
+      SELECT doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_words,
+             CAST(SUM(length(w)) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+               AS mean_word_len,
+             CAST(SUM(CASE WHEN regexp_matches(w, '[a-z]') THEN 1 ELSE 0 END)
+                  AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS alpha_ratio,
+             COUNT(DISTINCT CASE WHEN w IN ('the', 'a') THEN w END)
+               AS n_stop_distinct
+      FROM words GROUP BY doc_id
+    )
+    SELECT doc_id, n_words, mean_word_len, alpha_ratio,
+           CAST(n_words BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS}
+                AS BIGINT) AS rule_word_count,
+           CAST(mean_word_len BETWEEN {GOPHER_MIN_MWL} AND {GOPHER_MAX_MWL}
+                AS BIGINT) AS rule_mean_word_len,
+           CAST(alpha_ratio >= {GOPHER_MIN_ALPHA_RATIO} AS BIGINT)
+             AS rule_alpha_ratio,
+           CAST(n_stop_distinct >= {GOPHER_MIN_STOPWORDS} AS BIGINT)
+             AS rule_stopwords,
+           CAST(n_words BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS}
+                AND mean_word_len BETWEEN {GOPHER_MIN_MWL} AND {GOPHER_MAX_MWL}
+                AND alpha_ratio >= {GOPHER_MIN_ALPHA_RATIO}
+                AND n_stop_distinct >= {GOPHER_MIN_STOPWORDS}
+                AS BIGINT) AS passes_gopher
+    FROM m
+    """,
+    doc="Gopher-ruleset quality filter (the standard pretraining document "
+    "gate): per-document word count, mean word length, alphabetic-word "
+    "ratio and distinct-stopword rules, each emitted as a 0/1 flag plus "
+    "the conjunctive pass bit. All four rules are array expressions over "
+    "the tokenized text — pure map work, ZERO shuffles at any corpus "
+    "size (the plan has no exchange at all); the repetition-family "
+    "rules of the full ruleset live in quality_repetition. Flags are "
+    "BIGINT 0/1 rather than BOOLEAN so the cross-engine value-hash "
+    "never depends on boolean encoding.",
+    tags=("text", "quality", "llm-pipeline"),
+)
+def quality_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    ws = tokens()
+    t = d.select("doc_id", ws.alias("ws")).filter(F.size("ws") > 0)
+    n_words = F.size("ws").cast("long")
+    total_chars = F.aggregate(
+        "ws", F.lit(0).cast("long"), lambda acc, w: acc + F.length(w)
+    )
+    mean_wl = total_chars.cast("double") / n_words.cast("double")
+    n_alpha = F.size(F.filter(F.col("ws"), lambda w: w.rlike("[a-z]")))
+    alpha_ratio = n_alpha.cast("double") / n_words.cast("double")
+    n_stop_distinct = F.size(
+        F.array_distinct(F.filter(F.col("ws"), lambda w: w.isin(*STOPWORDS)))
+    )
+    r_wc = (n_words >= GOPHER_MIN_WORDS) & (n_words <= GOPHER_MAX_WORDS)
+    r_mwl = (mean_wl >= GOPHER_MIN_MWL) & (mean_wl <= GOPHER_MAX_MWL)
+    r_alpha = alpha_ratio >= GOPHER_MIN_ALPHA_RATIO
+    r_stop = n_stop_distinct >= GOPHER_MIN_STOPWORDS
+    return t.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        mean_wl.alias("mean_word_len"),
+        alpha_ratio.alias("alpha_ratio"),
+        r_wc.cast("long").alias("rule_word_count"),
+        r_mwl.cast("long").alias("rule_mean_word_len"),
+        r_alpha.cast("long").alias("rule_alpha_ratio"),
+        r_stop.cast("long").alias("rule_stopwords"),
+        (r_wc & r_mwl & r_alpha & r_stop).cast("long").alias("passes_gopher"),
+    )

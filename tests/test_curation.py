@@ -184,3 +184,59 @@ def test_split_assign_zero_shuffles(spark):
     )
 
     assert exchange_count(formatted_plan(corpus_split_assign(spark, SF_SMOKE))) == 0
+
+
+def test_cdc_compaction_partial_agg_no_sort(spark):
+    """Latest-state must come from a hash aggregate with map-side partial
+    combine (partial_max_by before the exchange), never a per-key sort
+    window — the sort formulation rewrites 100 TB of changelog through
+    a full sort per key group."""
+    from apache_flink_pratices_spark.operators.curation import cdc_upsert_compaction
+    from apache_flink_pratices_spark.plans.explain import formatted_plan
+
+    from apache_flink_pratices_spark.plans.explain import exchange_count
+
+    plan = formatted_plan(cdc_upsert_compaction(spark, SF_SMOKE))
+    assert "Window" not in plan, plan
+    # partial_max_by below the exchange = map-side combine: each input
+    # partition sends at most one candidate row per key into the single
+    # shuffle (max_by's struct buffer forces SortAggregate — fine; the
+    # bounded shuffle is the claim, not the agg implementation)
+    assert "partial_max_by" in plan, plan
+    assert exchange_count(plan) == 1, plan
+
+
+def test_cdc_compaction_tombstone_and_tiebreak(spark, tmp_path):
+    """A key whose latest row is a tombstone disappears; equal-ts rows
+    resolve by event_id."""
+    import datetime as dt
+
+    from apache_flink_pratices_spark.operators.curation import cdc_upsert_compaction
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        # key 1: upsert then tombstone -> gone
+        (1, t0, "click", 1.0, 10),
+        (1, t0 + dt.timedelta(seconds=1), "error", 0.0, 11),
+        # key 2: tombstone then upsert -> survives with the later value
+        (2, t0, "error", 0.0, 20),
+        (2, t0 + dt.timedelta(seconds=1), "view", 2.5, 21),
+        # key 3: equal ts, higher event_id wins
+        (3, t0, "click", 1.0, 30),
+        (3, t0, "purchase", 9.0, 31),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_type string, value double, event_id long"
+    )
+    path = str(tmp_path / "events.parquet")
+    df.write.parquet(path)
+    # point the loader at a dir shaped like the testdata layout
+    import os
+
+    os.rename(path, str(tmp_path / "events.parquet.tmp"))
+    os.rename(str(tmp_path / "events.parquet.tmp"), str(tmp_path / "events.parquet"))
+    out = {
+        r.user_id: (r.last_event_type, r.last_value)
+        for r in cdc_upsert_compaction(spark, str(tmp_path)).collect()
+    }
+    assert out == {2: ("view", 2.5), 3: ("purchase", 9.0)}

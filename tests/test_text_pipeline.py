@@ -147,3 +147,26 @@ def test_pii_redaction_masks_and_counts(spark, tmp_path):
     assert red.count("<EMAIL>") == 2 and red.count("<PHONE>") == 2 and red.count("<IP>") == 2
     # non-PII text survives
     assert red.startswith("reach me at <EMAIL> or <PHONE> from <IP> ok")
+
+
+def test_gopher_rules_zero_shuffles_and_flag_consistency(spark):
+    """The Gopher gate is pure map work (no exchange anywhere in the plan)
+    and the pass bit is exactly the conjunction of the four rule flags."""
+    from apache_flink_pratices_spark.operators.text import quality_gopher_rules
+    from apache_flink_pratices_spark.plans.explain import (
+        exchange_count,
+        formatted_plan,
+    )
+
+    df = quality_gopher_rules(spark, SF_SMOKE)
+    assert exchange_count(formatted_plan(df)) == 0
+    bad = df.filter(
+        F.col("passes_gopher")
+        != (
+            F.col("rule_word_count")
+            * F.col("rule_mean_word_len")
+            * F.col("rule_alpha_ratio")
+            * F.col("rule_stopwords")
+        )
+    )
+    assert bad.count() == 0
