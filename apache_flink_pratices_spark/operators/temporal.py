@@ -180,8 +180,8 @@ def asof_attribution(spark, sf_dir: str) -> DataFrame:
     SELECT e.event_id AS error_id,
            e.user_id,
            CAST(COUNT(v.event_id) AS BIGINT) AS views_within_5m,
-           CAST(COALESCE(SUM(CAST(v.value * 100 AS BIGINT)), 0) AS BIGINT)
-             AS view_value_c
+           CAST(COALESCE(SUM(CAST(ROUND(v.value * 100.0) AS BIGINT)), 0)
+                AS BIGINT) AS view_value_c
     FROM (SELECT * FROM events WHERE event_type = 'error') e
     LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
       ON e.user_id = v.user_id
@@ -209,12 +209,89 @@ def interval_join_error_views(spark, sf_dir: str) -> DataFrame:
             < F.col("e.ts") + F.expr(f"INTERVAL {INTERVAL_JOIN_SECONDS} SECONDS")
         )
     )
-    value_c: Column = (F.col("v.value") * 100).cast("long")
+    from apache_flink_pratices_spark.functions.numeric import qlong
+
+    # ROUND-then-cast on BOTH engines: a bare double->int64 cast truncates
+    # in Spark but rounds in DuckDB, so any value whose *100 lands below
+    # the integer (e.g. 58.60*100 = 5859.999...) would diverge — found by
+    # range_join_binned's wider matched set; same exact-quantization fix.
+    value_c: Column = qlong(F.col("v.value"), 100)
     return (
         e.join(v, cond, "left")
         .groupBy(F.col("e.event_id").alias("error_id"), F.col("e.user_id").alias("user_id"))
         .agg(
             F.count(F.col("v.event_id")).alias("views_within_5m"),
             F.coalesce(F.sum(value_c), F.lit(0)).cast("long").alias("view_value_c"),
+        )
+    )
+
+
+#: binned range join: views within this many seconds after an error,
+#: across ALL users (no equi key) — and the bin width used to turn the
+#: pure range predicate into an equi-joinable bucket key.
+RANGE_JOIN_SECONDS = 60
+_RANGE_BIN_US = RANGE_JOIN_SECONDS * 1_000_000
+
+
+@register(
+    "range_join_binned",
+    oracle=f"""
+    SELECT e.event_id AS error_id,
+           CAST(COUNT(v.event_id) AS BIGINT) AS views_within_60s,
+           CAST(COALESCE(SUM(CAST(ROUND(v.value * 100.0) AS BIGINT)), 0)
+                AS BIGINT) AS view_value_c
+    FROM (SELECT * FROM events WHERE event_type = 'error') e
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+      ON v.ts >= e.ts
+     AND v.ts < e.ts + INTERVAL {RANGE_JOIN_SECONDS} SECONDS
+    GROUP BY e.event_id
+    """,
+    doc="Binned range join — the PURE range predicate (no equi key at "
+    "all: any user's views within 60 s after any error), which naive "
+    "Spark plans as a broadcast-nested-loop product scanning "
+    "|errors|x|views| pairs. The scale path quantizes time into "
+    "window-width bins: each error joins only the two bins its window "
+    "can touch (bin and bin+1), turning the range join into an "
+    "equi-join on the bin key with the exact range check as a "
+    "post-join filter — candidate pairs shrink from |e|x|v| to only "
+    "pairs within ~2 bin widths, and the shuffle keys by time bucket, "
+    "which parallelizes with the corpus's time span. A view pairs with "
+    "an error through exactly one of the error's two bin rows (the "
+    "view's own bin), so no dedup is needed; unmatched errors survive "
+    "via the left join and count 0. Same cents-scaled int64 value sum "
+    "as the interval join. DuckDB's oracle runs the plain inequality "
+    "join (IEJoin) — tractable at oracle scale, not at 100 TB.",
+    tags=("events", "temporal", "range-join", "binned"),
+)
+def range_join_binned(spark, sf_dir: str) -> DataFrame:
+    errors = _events_of(spark, sf_dir, "error").select("event_id", "ts")
+    views = _events_of(spark, sf_dir, "view").select("event_id", "ts", "value")
+    e_bin = F.floor(F.unix_micros(F.col("ts")) / F.lit(_RANGE_BIN_US))
+    v_bin = F.floor(F.unix_micros(F.col("ts")) / F.lit(_RANGE_BIN_US))
+    e = errors.select(
+        F.col("event_id").alias("error_id"),
+        F.col("ts").alias("e_ts"),
+        F.explode(F.array(e_bin, e_bin + 1)).alias("bin"),
+    )
+    v = views.select(
+        F.col("event_id").alias("view_id"),
+        F.col("ts").alias("v_ts"),
+        F.col("value"),
+        v_bin.alias("bin"),
+    )
+    cond = (
+        (e.bin == v.bin)
+        & (F.col("v_ts") >= F.col("e_ts"))
+        & (F.col("v_ts") < F.col("e_ts") + F.expr(f"INTERVAL {RANGE_JOIN_SECONDS} SECONDS"))
+    )
+    from apache_flink_pratices_spark.functions.numeric import qlong
+
+    value_c: Column = qlong(F.col("value"), 100)
+    return (
+        e.join(v, cond, "left")
+        .groupBy("error_id")
+        .agg(
+            F.count(F.col("view_id")).alias("views_within_60s"),
+            F.coalesce(F.sum(value_c), F.lit(0)).alias("view_value_c"),
         )
     )

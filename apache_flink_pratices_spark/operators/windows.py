@@ -132,3 +132,61 @@ def win_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("ts_us").alias("session_start_us"),
         F.max("ts_us").alias("session_end_us"),
     )
+
+
+@register(
+    "rollup_time_hierarchy",
+    oracle="""
+    SELECT 'hour' AS level, date_trunc('hour', ts) AS bucket_start,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(ROUND(value * 100.0) AS BIGINT)) AS BIGINT)
+             AS sum_value_c
+    FROM events GROUP BY 2, 3
+    UNION ALL
+    SELECT 'day', date_trunc('day', ts), event_type,
+           CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CAST(ROUND(value * 100.0) AS BIGINT)) AS BIGINT)
+    FROM events GROUP BY 2, 3
+    """,
+    doc="Multi-resolution time rollup (the hypertable / continuous-"
+    "aggregate pattern): per-(hour, type) partials computed from ONE "
+    "scan of events, then the daily level re-aggregated FROM those "
+    "hourly partials — |hours|x|types| rows, never a second pass over "
+    "the corpus. The oracle states both levels as independent GROUP "
+    "BYs (equivalent because count and the quantized int64 sum are "
+    "decomposable aggregates); at 100 TB the derived-level trick is "
+    "the difference between re-scanning the corpus per resolution and "
+    "a cascade whose every level after the first is dimension-sized. "
+    "Cents-quantized int64 sums keep every level bit-identical across "
+    "engines and partitionings.",
+    tags=("events", "windowing", "rollup"),
+)
+def rollup_time_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from apache_flink_pratices_spark.functions.numeric import qlong
+
+    e = load(spark, sf_dir, "events").select("ts", "event_type", "value")
+    hour = (
+        e.groupBy(
+            F.date_trunc("hour", "ts").alias("bucket_start"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(qlong(F.col("value"), 100)).alias("sum_value_c"),
+        )
+        # both output levels read these |hours|x|types| partials; persist
+        # so the corpus is scanned exactly once (asserted in the plan audit)
+        .persist()
+    )
+    day = hour.groupBy(
+        F.date_trunc("day", "bucket_start").alias("bucket_start"),
+        "event_type",
+    ).agg(
+        F.sum("n_events").alias("n_events"),
+        F.sum("sum_value_c").alias("sum_value_c"),
+    )
+    lvl = lambda df, name: df.select(
+        F.lit(name).alias("level"), "bucket_start", "event_type", "n_events", "sum_value_c"
+    )
+    return lvl(hour, "hour").unionByName(lvl(day, "day"))

@@ -298,3 +298,70 @@ def test_token_rarity_scans_corpus_exactly_twice(spark):
     df.collect()
     executed = df._jdf.queryExecution().executedPlan().toString()
     assert "ReusedExchange" in executed, executed[:2000]
+
+
+def test_range_join_binned_is_equi_join_not_product(spark):
+    """The pure range predicate must reach the executor as a bin-keyed
+    equi-join (hash/sort-merge), never the |e|x|v| nested-loop product
+    naive range joins plan to."""
+    from apache_flink_pratices_spark.operators.temporal import range_join_binned
+
+    plan = formatted_plan(range_join_binned(spark, SF))
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    kinds = " ".join(join_kinds(plan))
+    assert any(k in kinds for k in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin")), kinds
+
+
+def test_range_join_binned_matches_unbinned_reference(spark):
+    """Binning is a pure optimization: the bin-join + exact filter must
+    equal the direct (small-scale) inequality join row for row."""
+    from apache_flink_pratices_spark.io import load
+    from apache_flink_pratices_spark.operators.temporal import (
+        RANGE_JOIN_SECONDS,
+        range_join_binned,
+    )
+    from pyspark.sql import functions as F
+
+    got = {
+        (r["error_id"], r["views_within_60s"], r["view_value_c"])
+        for r in range_join_binned(spark, SF).collect()
+    }
+    e = load(spark, SF, "events").filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"), F.col("ts").alias("e_ts")
+    )
+    v = load(spark, SF, "events").filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"), F.col("ts").alias("v_ts"), "value"
+    )
+    from apache_flink_pratices_spark.functions.numeric import qlong
+
+    ref = (
+        e.join(
+            v,
+            (F.col("v_ts") >= F.col("e_ts"))
+            & (F.col("v_ts") < F.col("e_ts") + F.expr(f"INTERVAL {RANGE_JOIN_SECONDS} SECONDS")),
+            "left",
+        )
+        .groupBy("error_id")
+        .agg(
+            F.count("view_id").alias("views_within_60s"),
+            F.coalesce(F.sum(qlong(F.col("value"), 100)), F.lit(0)).alias("view_value_c"),
+        )
+    )
+    want = {(r["error_id"], r["views_within_60s"], r["view_value_c"]) for r in ref.collect()}
+    assert got == want
+
+
+def test_rollup_hierarchy_day_reads_hour_cache(spark):
+    """The daily level must re-aggregate the persisted hourly partials —
+    the plan shows cache reads for both output levels, and no Union of
+    two independent corpus aggregations."""
+    from apache_flink_pratices_spark.operators.windows import rollup_time_hierarchy
+
+    df = rollup_time_hierarchy(spark, SF)
+    try:
+        plan = formatted_plan(df)
+        assert plan.count("InMemoryTableScan") >= 2, plan
+        assert plan.count("events.parquet") == 1, plan
+    finally:
+        df.sparkSession.catalog.clearCache()
