@@ -261,6 +261,7 @@ _RANGE_BIN_US = RANGE_JOIN_SECONDS * 1_000_000
     "via the left join and count 0. Same cents-scaled int64 value sum "
     "as the interval join. DuckDB's oracle runs the plain inequality "
     "join (IEJoin) — tractable at oracle scale, not at 100 TB.",
+    bench=True,
     tags=("events", "temporal", "range-join", "binned"),
 )
 def range_join_binned(spark, sf_dir: str) -> DataFrame:

@@ -160,6 +160,7 @@ def win_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     "a cascade whose every level after the first is dimension-sized. "
     "Cents-quantized int64 sums keep every level bit-identical across "
     "engines and partitionings.",
+    bench=True,
     tags=("events", "windowing", "rollup"),
 )
 def rollup_time_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
