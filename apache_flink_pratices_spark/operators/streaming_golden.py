@@ -48,7 +48,13 @@ _FRAUD_TXS = [
 
 
 def _run_memory_stream(
-    spark: SparkSession, rows, schema, build, name: str, chunks: int = 2
+    spark: SparkSession,
+    rows,
+    schema,
+    build,
+    name: str,
+    chunks: int = 2,
+    output_mode: str = "append",
 ) -> DataFrame:
     # A handful of golden rows doesn't need the session's (often 200)
     # shuffle partitions — each micro-batch would schedule that many state
@@ -68,7 +74,7 @@ def _run_memory_stream(
                 .writeStream.format("memory")
                 .queryName(name)
                 .option("checkpointLocation", os.path.join(d, "ckpt"))
-                .outputMode("append")
+                .outputMode(output_mode)
                 .start()
             )
             try:
@@ -626,4 +632,92 @@ def stream_trend_golden(spark: SparkSession, sf_dir: str) -> DataFrame:
         trend_stream,
         "afp_trend_golden",
         chunks=3,
+    )
+
+
+#: streaming-CDC golden corpus: 2 replay batches of 4 rows. Pins the
+#: latest-state-with-tombstones contract across micro-batches: key 1 is
+#: upserted in batch 1 and tombstoned in batch 2 (absent from the final
+#: snapshot); key 2's batch-1 tombstone is superseded by a batch-2 upsert;
+#: key 3 has two EQUAL timestamps resolved by the event_id tiebreak
+#: (across batches — the state must carry the losing candidate until the
+#: winner arrives); keys 4/5 are plain single upserts, one per batch.
+_CDC_ROWS = [
+    (1, 0, "click", 1.0, 10),
+    (2, 0, "error", 0.0, 20),
+    (3, 0, "click", 1.0, 30),
+    (4, 5, "signup", 4.0, 40),
+    (1, 30, "error", 0.0, 11),
+    (2, 30, "view", 2.5, 21),
+    (3, 0, "purchase", 9.0, 31),
+    (5, 40, "click", 7.0, 50),
+]
+
+
+@register(
+    "stream_cdc_golden",
+    oracle=f"""
+    SELECT * FROM (VALUES
+      (CAST(2 AS BIGINT), CAST({_BASE_US + 30_000_000} AS BIGINT), 'view',
+       CAST(2.5 AS DOUBLE)),
+      (CAST(3 AS BIGINT), CAST({_BASE_US} AS BIGINT), 'purchase',
+       CAST(9.0 AS DOUBLE)),
+      (CAST(4 AS BIGINT), CAST({_BASE_US + 5_000_000} AS BIGINT), 'signup',
+       CAST(4.0 AS DOUBLE)),
+      (CAST(5 AS BIGINT), CAST({_BASE_US + 40_000_000} AS BIGINT), 'click',
+       CAST(7.0 AS DOUBLE))
+    ) AS t(user_id, last_us, last_event_type, last_value)
+    """,
+    doc="Streaming CDC compaction (the streaming twin of "
+    "cdc_upsert_compaction): a keyed upsert changelog with 'error' "
+    "tombstones materialized to the latest-state snapshot through a real "
+    "readStream — max_by(state, (ts, event_id)) in complete mode, so the "
+    "running aggregate IS the compacted table and every micro-batch "
+    "publishes a consistent snapshot. Pins tombstone-last deletion, "
+    "tombstone-then-upsert resurrection, and the equal-ts event_id "
+    "tiebreak across micro-batch boundaries. State is one struct per "
+    "live key — the same bound the batch operator's map-side combine "
+    "gives, which is what makes the pattern viable as a continuously-"
+    "maintained 100 TB materialization.",
+    tags=("streaming", "cdc", "golden"),
+)
+def stream_cdc_golden(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    rows = [
+        (
+            uid,
+            datetime.datetime.fromtimestamp(
+                _BASE_US / 1_000_000 + off, datetime.timezone.utc
+            ),
+            etype,
+            val,
+            eid,
+        )
+        for uid, off, etype, val, eid in _CDC_ROWS
+    ]
+
+    def build(src):
+        state = F.struct(F.col("ts"), F.col("event_type"), F.col("value"))
+        ord_key = F.struct(F.col("ts"), F.col("event_id"))
+        return (
+            src.groupBy("user_id")
+            .agg(F.max_by(state, ord_key).alias("s"))
+            .filter(F.col("s.event_type") != "error")
+            .select(
+                "user_id",
+                F.unix_micros("s.ts").alias("last_us"),
+                F.col("s.event_type").alias("last_event_type"),
+                F.col("s.value").alias("last_value"),
+            )
+        )
+
+    return _run_memory_stream(
+        spark,
+        rows,
+        "user_id long, ts timestamp, event_type string, value double, event_id long",
+        build,
+        "afp_cdc_golden",
+        chunks=2,
+        output_mode="complete",
     )

@@ -38,6 +38,7 @@ CRITICAL = (
     "stream_join_golden",
     "stream_topk_golden",
     "stream_trend_golden",  # A2 2-consecutive-decreases trend rule
+    "stream_cdc_golden",  # CDC latest-state compaction (streaming twin)
     # -- batch anchors per §2 component --
     "w7_signal_ids",  # W7 deterministic sha256 IDs
     "p_filter_even_clicks",  # P3
