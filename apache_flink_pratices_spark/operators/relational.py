@@ -1420,3 +1420,60 @@ def q20_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.join(
         dominant, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi"
     ).select("s_suppkey", "s_name", "s_acctbal")
+
+
+@register(
+    "q_retention_cohorts",
+    oracle="""
+    WITH first_seen AS (
+      SELECT user_id,
+             -- CAST: DuckDB's date_trunc('day') yields DATE; Spark's
+             -- yields TIMESTAMP — align the hashed schema
+             CAST(date_trunc('day', MIN(ts)) AS TIMESTAMP) AS cohort_day
+      FROM events GROUP BY user_id
+    ),
+    activity AS (
+      SELECT DISTINCT e.user_id,
+             f.cohort_day,
+             CAST(date_diff('day', f.cohort_day,
+                            date_trunc('day', e.ts)) AS BIGINT)
+               AS day_offset
+      FROM events e JOIN first_seen f ON e.user_id = f.user_id
+    )
+    SELECT cohort_day, day_offset,
+           CAST(COUNT(*) AS BIGINT) AS active_users
+    FROM activity
+    GROUP BY cohort_day, day_offset
+    """,
+    doc="Retention-cohort analysis: users grouped by first-seen day, "
+    "then the distinct-active-user count per (cohort, day offset) — "
+    "the standard product-analytics retention matrix, and the shape a "
+    "training-data pipeline reuses for contributor/source freshness "
+    "curves. Both aggregations key on user_id, so the first-seen "
+    "aggregate, its join back to events, and the per-user distinct all "
+    "share ONE user_id shuffle (AQE exchange reuse); only the final "
+    "dimension-sized (cohort x offset) rollup re-keys. The distinct "
+    "before the count collapses per-user-week duplicates map-side, so "
+    "the final shuffle carries at most |users|x|weeks| rows regardless "
+    "of per-user event volume.",
+    tags=("relational", "events", "cohort"),
+)
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events").select("user_id", "ts")
+    first_seen = e.groupBy("user_id").agg(
+        F.date_trunc("day", F.min("ts")).alias("cohort_day")
+    )
+    activity = (
+        e.join(first_seen, "user_id")
+        .select(
+            "user_id",
+            "cohort_day",
+            F.datediff(F.date_trunc("day", F.col("ts")), F.col("cohort_day"))
+            .cast("long")
+            .alias("day_offset"),
+        )
+        .distinct()
+    )
+    return activity.groupBy("cohort_day", "day_offset").agg(
+        F.count("*").alias("active_users")
+    )

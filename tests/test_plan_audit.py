@@ -365,3 +365,16 @@ def test_rollup_hierarchy_day_reads_hour_cache(spark):
         assert plan.count("events.parquet") == 1, plan
     finally:
         df.sparkSession.catalog.clearCache()
+
+
+def test_retention_cohorts_no_product_bounded_exchanges(spark):
+    """Retention matrix: equi-joins only, and the per-user-day distinct
+    collapses map-side (partial aggregate below its exchange), so the
+    final rollup's shuffle is |users|x|days|-bounded."""
+    from apache_flink_pratices_spark.operators.relational import q_retention_cohorts
+
+    plan = formatted_plan(q_retention_cohorts(spark, SF))
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    # first-seen agg + distinct + final rollup: at most 3 data exchanges
+    assert exchange_count(plan) <= 3, plan
