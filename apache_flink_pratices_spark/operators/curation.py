@@ -677,3 +677,61 @@ def cdc_upsert_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("s.value").alias("last_value"),
         )
     )
+
+
+#: bucket count for the two-phase global-ordinal assignment; at any corpus
+#: size the offsets table is exactly this many rows.
+DENSE_ID_BUCKETS = 1024
+
+
+@register(
+    "global_dense_ids",
+    oracle="""
+    SELECT doc_id,
+           CAST(ROW_NUMBER() OVER (ORDER BY doc_id) - 1 AS BIGINT)
+             AS global_id
+    FROM documents
+    """,
+    doc="Contiguous global ordinals (0..N-1 in doc_id order) WITHOUT a "
+    "global sort — the id-assignment step a training pipeline needs "
+    "before deterministic shuffling/sharding, where the naive "
+    "row_number-over-everything plan funnels the corpus through one "
+    "task. Two-phase: (1) value-range bucketing of doc_id into a fixed "
+    "number of ranges (bounds from a 2-scalar min/max aggregate), "
+    "(2) per-bucket counts — a DENSE_ID_BUCKETS-row aggregate — turned "
+    "into exclusive prefix offsets by a window over that TINY table "
+    "(single-partition by construction, bounded rows), broadcast back, "
+    "(3) row_number within each bucket (per-bucket sort, corpus/B rows "
+    "per group) plus the bucket's offset. Range buckets, not hash: "
+    "ordinals must be monotone in doc_id across buckets. The oracle is "
+    "the global-sort formulation — equal output, different plan class.",
+    tags=("curation", "ids", "llm-pipeline"),
+)
+def global_dense_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    lo, hi = d.agg(F.min("doc_id"), F.max("doc_id")).first()
+    if lo is None:
+        return d.select("doc_id", F.lit(0).cast("long").alias("global_id")).limit(0)
+    width = max(1, (int(hi) - int(lo) + DENSE_ID_BUCKETS) // DENSE_ID_BUCKETS)
+    b = ((F.col("doc_id") - F.lit(int(lo))) / F.lit(width)).cast("long")
+    bucketed = d.select("doc_id", b.alias("b"))
+    counts = bucketed.groupBy("b").agg(F.count("*").alias("n"))
+    # exclusive prefix sum over the B-row counts table: the unpartitioned
+    # window is deliberate and safe — its input is bounded by
+    # DENSE_ID_BUCKETS rows, never corpus-sized
+    w_off = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "b", F.coalesce(F.sum("n").over(w_off), F.lit(0)).alias("offset")
+    )
+    w_local = Window.partitionBy("b").orderBy("doc_id")
+    return (
+        bucketed.join(F.broadcast(offsets), "b")
+        .select(
+            "doc_id",
+            (F.col("offset") + F.row_number().over(w_local) - 1)
+            .cast("long")
+            .alias("global_id"),
+        )
+    )

@@ -240,3 +240,21 @@ def test_cdc_compaction_tombstone_and_tiebreak(spark, tmp_path):
         for r in cdc_upsert_compaction(spark, str(tmp_path)).collect()
     }
     assert out == {2: ("view", 2.5), 3: ("purchase", 9.0)}
+
+
+def test_global_dense_ids_no_global_sort_and_dense(spark):
+    """The data path must shuffle by bucket (hash), never range-partition
+    or single-partition the corpus for a global sort; output ids are the
+    dense permutation 0..N-1 in doc_id order."""
+    from apache_flink_pratices_spark.operators.curation import global_dense_ids
+    from apache_flink_pratices_spark.plans.explain import formatted_plan
+
+    df = global_dense_ids(spark, SF_SMOKE)
+    plan = formatted_plan(df)
+    # the only SinglePartition exchange allowed is the DENSE_ID_BUCKETS-row
+    # offsets table; the corpus-side exchange must be hash-by-bucket
+    assert "hashpartitioning(b" in plan, plan
+    assert "rangepartitioning" not in plan, plan
+    rows = sorted((r["doc_id"], r["global_id"]) for r in df.collect())
+    ids = [g for _, g in rows]
+    assert ids == list(range(len(rows)))  # dense, monotone in doc_id
