@@ -669,3 +669,56 @@ def _register_emb_dedup() -> None:
 
 
 _register_emb_dedup()
+
+
+@register(
+    "source_overlap_matrix",
+    oracle=f"""
+    WITH docs AS (
+      SELECT source, string_split(lower(text), ' ') AS ws FROM documents
+    ),
+    hashes AS (
+      SELECT DISTINCT source,
+             {sql_md5_long(_SQL_SHINGLE)} AS h
+      FROM docs, LATERAL (SELECT unnest(generate_series(1, len(ws) - 2)) AS i) g
+      WHERE len(ws) >= 3
+    )
+    SELECT a.source AS source_a, b.source AS source_b,
+           CAST(COUNT(*) AS BIGINT) AS shared_shingles
+    FROM hashes a JOIN hashes b
+      ON a.h = b.h AND a.source < b.source
+    GROUP BY a.source, b.source
+    """,
+    doc="Cross-source content-overlap matrix: for every pair of corpus "
+    "sources, how many distinct 3-gram shingle types they share — the "
+    "provenance diagnostic run before choosing per-source dedup order "
+    "and mixture weights. The corpus collapses to distinct (source, "
+    "56-bit shingle digest) pairs FIRST (one digest-keyed shuffle, "
+    "text never moves past the map side), then the self-join on digest "
+    "fans out only within hash buckets — a shingle shared by k sources "
+    "costs k(k-1)/2 pair rows with k bounded by the SOURCE count, not "
+    "the shingle's corpus multiplicity, because of the pre-distinct. "
+    "Output is |sources|^2-bounded.",
+    tags=("dedup", "provenance", "llm-pipeline"),
+)
+def source_overlap_matrix(spark, sf_dir: str) -> DataFrame:
+    d = _docs_repartitioned(spark, sf_dir)
+    ws = F.split(F.lower(F.col("text")), " ")
+    shingle = F.expr(
+        "transform(sequence(1, size(ws) - 2), "
+        "i -> concat_ws(' ', element_at(ws, i), element_at(ws, i + 1), element_at(ws, i + 2)))"
+    )
+    hashes = (
+        d.select("source", ws.alias("ws"))
+        .filter(F.size("ws") >= 3)
+        .select("source", F.explode(shingle).alias("sh"))
+        .select("source", md5_long(F.col("sh")).alias("h"))
+        .distinct()
+    )
+    a = hashes.select(F.col("source").alias("source_a"), "h")
+    b = hashes.select(F.col("source").alias("source_b"), F.col("h").alias("h_b"))
+    return (
+        a.join(b, (F.col("h") == F.col("h_b")) & (F.col("source_a") < F.col("source_b")))
+        .groupBy("source_a", "source_b")
+        .agg(F.count("*").alias("shared_shingles"))
+    )

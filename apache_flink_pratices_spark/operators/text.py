@@ -756,3 +756,107 @@ def quality_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         r_stop.cast("long").alias("rule_stopwords"),
         (r_wc & r_mwl & r_alpha & r_stop).cast("long").alias("passes_gopher"),
     )
+
+
+#: bigram-PMI parameters: minimum joint count to stabilize the estimate,
+#: and the output cap (deterministically tie-broken).
+PMI_MIN_COUNT = 30
+PMI_TOP_K = 50
+
+
+@register(
+    "bigram_pmi",
+    oracle=f"""
+    WITH words AS (
+      SELECT doc_id,
+             string_split(lower(text), ' ') AS ws
+      FROM documents
+    ),
+    toks AS (
+      SELECT doc_id, ws[i] AS w, ws[i + 1] AS w2, i, len(ws) AS n
+      FROM words, LATERAL (SELECT unnest(generate_series(1, len(ws))) AS i) g
+    ),
+    uni AS (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM toks GROUP BY w
+    ),
+    tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n_uni FROM uni),
+    bi AS (
+      SELECT w AS w1, w2, CAST(COUNT(*) AS BIGINT) AS c2
+      FROM toks WHERE i < n GROUP BY w, w2
+    ),
+    btot AS (SELECT CAST(SUM(c2) AS BIGINT) AS n_bi FROM bi)
+    SELECT w1, w2, c2 AS pair_count,
+           (CAST(c2 AS DOUBLE) / CAST(n_bi AS DOUBLE))
+           / ( (CAST(u1.c AS DOUBLE) / CAST(n_uni AS DOUBLE))
+             * (CAST(u2.c AS DOUBLE) / CAST(n_uni AS DOUBLE)) ) AS pmi_ratio
+    FROM bi
+      JOIN uni u1 ON u1.w = w1
+      JOIN uni u2 ON u2.w = w2, tot, btot
+    WHERE c2 >= {PMI_MIN_COUNT}
+    ORDER BY pmi_ratio DESC, w1, w2
+    LIMIT {PMI_TOP_K}
+    """,
+    doc="Collocation mining: top bigrams by pointwise mutual information "
+    "with a minimum-count floor — the phrase-discovery pass a tokenizer/"
+    "vocabulary pipeline runs over a corpus (the additive cousin of "
+    "bpe_merge_candidates' frequency ranking). Everything after the "
+    "tokenize is vocabulary-bounded: unigram and bigram count tables, "
+    "two broadcast-sized joins, and two 1-row totals attached as "
+    "broadcast literals — the corpus is scanned once and never "
+    "re-shuffled. Emits the PMI RATIO p(w1,w2)/(p(w1)p(w2)) rather "
+    "than its log: the ratio is a pure division chain over exact "
+    "integer counts (bit-identical across engines), while log is a "
+    "transcendental whose last ulp differs between Java's Math.log "
+    "and DuckDB's libm — monotone-equivalent, so the ranking and the "
+    "top-K cut are unchanged; ties break on (w1, w2).",
+    tags=("text", "collocation", "llm-pipeline"),
+)
+def bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    ws = tokens()
+    t = d.select(ws.alias("ws")).filter(F.size("ws") > 0)
+    # one exploded pass yields both unigram and (token, next-token) rows
+    toks = t.select(
+        F.posexplode("ws").alias("i", "w"),
+        F.col("ws"),
+    ).select(
+        "w",
+        F.try_element_at("ws", F.col("i") + 2).alias("w2"),  # null at doc end
+    )
+    toks = toks.persist()
+    uni = toks.groupBy("w").agg(F.count("*").alias("c"))
+    bi = (
+        toks.filter(F.col("w2").isNotNull())
+        .groupBy(F.col("w").alias("w1"), "w2")
+        .agg(F.count("*").alias("c2"))
+        .filter(F.col("c2") >= PMI_MIN_COUNT)
+    )
+    n_uni = uni.agg(F.sum("c").alias("n_uni"))
+    # the bigram total must range over ALL bigrams, not the floored set
+    n_bi = (
+        toks.filter(F.col("w2").isNotNull())
+        .agg(F.count("*").alias("n_bi"))
+    )
+    u1 = uni.select(F.col("w").alias("w1"), F.col("c").alias("c_1"))
+    u2 = uni.select(F.col("w").alias("w2"), F.col("c").alias("c_2"))
+    pmi = (
+        (F.col("c2").cast("double") / F.col("n_bi").cast("double"))
+        / (
+            (F.col("c_1").cast("double") / F.col("n_uni").cast("double"))
+            * (F.col("c_2").cast("double") / F.col("n_uni").cast("double"))
+        )
+    )
+    return (
+        bi.join(F.broadcast(u1), "w1")
+        .join(F.broadcast(u2), "w2")
+        .join(F.broadcast(n_uni))
+        .join(F.broadcast(n_bi))
+        .select(
+            "w1",
+            "w2",
+            F.col("c2").alias("pair_count"),
+            pmi.alias("pmi_ratio"),
+        )
+        .orderBy(F.col("pmi_ratio").desc(), "w1", "w2")
+        .limit(PMI_TOP_K)
+    )
