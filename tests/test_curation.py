@@ -258,3 +258,67 @@ def test_global_dense_ids_no_global_sort_and_dense(spark):
     rows = sorted((r["doc_id"], r["global_id"]) for r in df.collect())
     ids = [g for _, g in rows]
     assert ids == list(range(len(rows)))  # dense, monotone in doc_id
+
+
+def _uf(node_ids, edge_pairs):
+    parent = {n: n for n in node_ids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edge_pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # min-id canonical labels
+    return {n: min(m for m in node_ids if find(m) == find(n)) for n in node_ids}
+
+
+def _star(spark, node_ids, edge_pairs):
+    from apache_flink_pratices_spark.operators.curation import (
+        connected_components_star,
+    )
+
+    nodes = spark.createDataFrame([(n,) for n in node_ids], "id long")
+    edges = spark.createDataFrame(
+        [(a, b) for a, b in edge_pairs], "src long, dst long"
+    )
+    rows = connected_components_star(nodes, edges).collect()
+    return {r["id"]: r["label"] for r in rows}
+
+
+def test_star_cc_adversarial_topologies(spark):
+    """The alternating star kernel must match a union-find reference on
+    the topologies that stress it: a long chain (depth), a star whose
+    CENTER is the max id (every leaf must route around it), two cliques
+    joined by one bridge, and a singleton."""
+    import random
+
+    chain = [(i, i + 1) for i in range(100, 160)]
+    star = [(999, leaf) for leaf in range(200, 230)]
+    cliq1 = [(a, b) for a in range(300, 306) for b in range(a + 1, 306)]
+    cliq2 = [(a, b) for a in range(400, 406) for b in range(a + 1, 406)]
+    bridge = [(305, 400)]
+    edges = chain + star + cliq1 + cliq2 + bridge
+    nodes = sorted({x for e in edges for x in e} | {777})
+    got = _star(spark, nodes, edges)
+    assert got == _uf(nodes, edges)
+
+
+def test_star_cc_matches_pointer_jumping_on_random_graph(spark):
+    """Both kernels are exact: they must agree with each other (and the
+    union-find reference) on a seeded random graph."""
+    import random
+
+    rng = random.Random(7)
+    nodes = list(range(1, 120))
+    edges = [
+        (rng.choice(nodes), rng.choice(nodes)) for _ in range(140)
+    ]
+    edges = [(a, b) for a, b in edges if a != b]
+    want = _uf(nodes, edges)
+    assert _star(spark, nodes, edges) == want
+    assert _cc(spark, nodes, edges) == want
