@@ -63,3 +63,44 @@ def w7_signal_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.filter(F.col("event_type") == "signup")
         .select("event_id", signal_id(F.col("user_id"), F.col("event_type"), F.col("event_id")).alias("sig_id"))
     )
+
+
+@register(
+    "json_props_shred",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(k) AS BIGINT) AS n_with_k,
+           CAST(MIN(k) AS BIGINT) AS min_k,
+           CAST(MAX(k) AS BIGINT) AS max_k,
+           CAST(SUM(k) AS BIGINT) AS sum_k
+    FROM (
+      SELECT event_type,
+             CAST(regexp_extract(props, '"k":\\s*(-?\\d+)', 1) AS BIGINT) AS k
+      FROM events WHERE props IS NOT NULL
+    )
+    GROUP BY event_type
+    """,
+    doc="Semi-structured shredding (P4's generic form): the events.props "
+    "JSON payload parsed into typed columns with from_json + an explicit "
+    "schema, then aggregated per event type. The parse is a JVM-side "
+    "codegen expression inside the scan's projection — the JSON string "
+    "never reaches a shuffle (only the 8-byte extracted field does), "
+    "which is the shape that matters when the payload column dominates "
+    "row width at 100 TB. The oracle extracts the same field by regex, "
+    "pinning that Spark's JSON parser and a direct field grab agree on "
+    "the corpus.",
+    tags=("transform", "json", "events"),
+)
+def json_props_shred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events").filter(F.col("props").isNotNull())
+    k = F.from_json(F.col("props"), "k long").getField("k")
+    return (
+        e.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("k").alias("n_with_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+            F.sum("k").alias("sum_k"),
+        )
+    )
