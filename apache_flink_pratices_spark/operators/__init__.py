@@ -15,6 +15,7 @@ from apache_flink_pratices_spark.operators import (  # noqa: F401
     relational,
     row_transforms,
     similarity,
+    skew,
     streaming_golden,
     subqueries,
     temporal,

@@ -24,6 +24,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from apache_flink_pratices_spark.registry import register
+
 
 def salted_join(
     big: DataFrame,
@@ -81,3 +83,33 @@ def salted_agg(
     if count:
         final_aggs.append(F.sum("__cnt").alias("cnt"))
     return partial.groupBy(*keys).agg(*final_aggs)
+
+
+@register(
+    "q_salted_event_type_stats",
+    oracle="""
+    SELECT event_type,
+           CAST(SUM(CAST(ROUND(value * 100.0) AS BIGINT)) AS BIGINT)
+             AS sum_value_c,
+           CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM events GROUP BY event_type
+    """,
+    doc="Extreme-skew aggregation through the two-stage salted plan: "
+    "event_type has FIVE distinct values, so a plain groupBy funnels "
+    "the whole corpus through five reducer tasks regardless of cluster "
+    "size — the canonical case where explicit salting beats waiting "
+    "for AQE. Stage 1 aggregates on (event_type, salt) spreading each "
+    "hot key over salt_n tasks; stage 2 merges the salt_n partials per "
+    "key. Sums run on the cents-quantized int64 (associative, so the "
+    "salted regroup is bit-exact); the oracle is the plain GROUP BY — "
+    "same result, different (scalable) plan.",
+    tags=("skew", "aggregation", "events"),
+)
+def q_salted_event_type_stats(spark, sf_dir: str) -> DataFrame:
+    from apache_flink_pratices_spark.functions.numeric import qlong
+    from apache_flink_pratices_spark.io import load
+
+    e = load(spark, sf_dir, "events").select(
+        "event_type", qlong(F.col("value"), 100).alias("value_c")
+    )
+    return salted_agg(e, ["event_type"], sum_cols=["value_c"], salt_n=8)

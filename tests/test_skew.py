@@ -73,3 +73,15 @@ def test_salted_join_rejects_outer_types(spark):
     for how in ("right", "full", "full_outer", "left_anti"):
         with pytest.raises(ValueError, match="result-preserving"):
             salted_join(big, small, "k", how=how)
+
+
+def test_registered_salted_stats_two_stage_plan(spark):
+    """The registered query must actually run the two-stage shape: the
+    first exchange keys on (event_type, __salt), the second on
+    event_type alone."""
+    from apache_flink_pratices_spark.operators.skew import q_salted_event_type_stats
+    from apache_flink_pratices_spark.plans.explain import formatted_plan
+
+    plan = formatted_plan(q_salted_event_type_stats(spark, "/root/testdata/sf0.001"))
+    assert "__salt" in plan, plan
+    assert plan.count("Exchange") >= 2, plan
