@@ -191,3 +191,54 @@ def rollup_time_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(name).alias("level"), "bucket_start", "event_type", "n_events", "sum_value_c"
     )
     return lvl(hour, "hour").unionByName(lvl(day, "day"))
+
+
+@register(
+    "q_cumulative_revenue",
+    oracle="""
+    WITH daily AS (
+      SELECT date_trunc('day', o_orderdate) AS day,
+             o_orderstatus,
+             SUM(CAST(ROUND(o_totalprice * 100.0) AS BIGINT)) AS rev_c
+      FROM orders GROUP BY 1, 2
+    )
+    SELECT CAST(day AS TIMESTAMP) AS day, o_orderstatus,
+           CAST(rev_c AS BIGINT) AS day_revenue_c,
+           CAST(SUM(rev_c) OVER (
+             PARTITION BY o_orderstatus ORDER BY day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS cum_revenue_c
+    FROM daily
+    """,
+    doc="Running-total time series: daily revenue per order status plus "
+    "the cumulative-to-date sum — the prefix-sum window pattern "
+    "(distinct from lag/rank, which q_daily_momentum and "
+    "q_top_customers_per_segment cover). The corpus-sized work is one "
+    "(day, status) aggregation with map-side partials; the window then "
+    "runs over the |days|x|statuses| DAILY table, so the per-partition "
+    "running state is O(1) and the sort is dimension-sized — the same "
+    "derived-level discipline as rollup_time_hierarchy. Cents int64 "
+    "keeps partials, totals, and the running sum bit-exact.",
+    tags=("relational", "window_fn", "cumulative"),
+)
+def q_cumulative_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from apache_flink_pratices_spark.functions.numeric import qlong
+
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderdate", "o_orderstatus", "o_totalprice"
+    )
+    daily = o.groupBy(
+        F.date_trunc("day", "o_orderdate").alias("day"),
+        "o_orderstatus",
+    ).agg(F.sum(qlong(F.col("o_totalprice"), 100)).alias("rev_c"))
+    w = (
+        Window.partitionBy("o_orderstatus")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return daily.select(
+        "day",
+        "o_orderstatus",
+        F.col("rev_c").alias("day_revenue_c"),
+        F.sum("rev_c").over(w).alias("cum_revenue_c"),
+    )
