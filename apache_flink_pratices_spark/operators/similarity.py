@@ -599,3 +599,70 @@ def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("s").cast("double") / F.lit(_SCALE) / F.col("n")).alias("centroid"),
         F.col("n").alias("n_vectors"),
     )
+
+
+@register(
+    "embedding_drift_stats",
+    oracle=f"""
+    WITH elems AS (
+      SELECT label, u.k, u.x
+      FROM embeddings,
+           LATERAL (SELECT unnest(embedding) AS x,
+                           generate_subscripts(embedding, 1) AS k) u
+    ),
+    sums AS (
+      SELECT label, k,
+             SUM(CAST(floor(CAST(x AS DOUBLE) * {_SCALE}) AS BIGINT)) AS s,
+             COUNT(*) AS n
+      FROM elems GROUP BY label, k
+    ),
+    cent AS (
+      SELECT label, k, CAST(s AS DOUBLE) / {_SCALE} / n AS c, n FROM sums
+    ),
+    sq AS (
+      SELECT e.label,
+             CAST(floor((CAST(e.x AS DOUBLE) - c.c)
+                        * (CAST(e.x AS DOUBLE) - c.c) * {_SCALE}) AS BIGINT)
+               AS q
+      FROM elems e JOIN cent c ON c.label = e.label AND c.k = e.k
+    ),
+    nv AS (SELECT label, MAX(n) AS n FROM cent GROUP BY label)
+    SELECT sq.label,
+           CAST(nv.n AS BIGINT) AS n_vectors,
+           CAST(SUM(sq.q) AS DOUBLE) / {_SCALE} / nv.n AS mean_sq_dist
+    FROM sq JOIN nv ON nv.label = sq.label
+    GROUP BY sq.label, nv.n
+    """,
+    doc="Embedding drift / cluster-compactness monitor: per label, the "
+    "mean squared distance of its vectors to the label centroid — the "
+    "statistic a training pipeline tracks across corpus snapshots to "
+    "catch embedding-space drift before it poisons ANN indexes and "
+    "mixture weights. Two passes over the element stream (centroid "
+    "build, then distance accumulate), both shuffling only quantized "
+    "(label, dim, int64) triples with map-side combine; centroids "
+    "re-attach as a broadcast (labels x dims bounded). Per-element "
+    "squared deviations are floor-quantized to int64 BEFORE summing, "
+    "and the merge widens to decimal(38,0), so the statistic is "
+    "order-independent and bit-identical across engines at any scale.",
+    tags=("similarity", "embedding", "drift", "llm-pipeline"),
+)
+def embedding_drift_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    cent = label_centroids(spark, sf_dir).select(
+        "label", "k", F.col("centroid").alias("c"), "n_vectors"
+    )
+    elems = e.select("label", F.posexplode("embedding").alias("k0", "x")).select(
+        "label", (F.col("k0") + 1).alias("k"), F.col("x").cast("double").alias("x")
+    )
+    diff = F.col("x") - F.col("c")
+    q = F.floor(diff * diff * F.lit(_SCALE)).cast("long")
+    sq = elems.join(F.broadcast(cent), ["label", "k"]).select(
+        "label", q.alias("q"), "n_vectors"
+    )
+    return sq.groupBy("label", F.col("n_vectors")).agg(
+        (
+            F.sum(F.col("q").cast("decimal(38,0)")).cast("double")
+            / F.lit(_SCALE)
+            / F.col("n_vectors")
+        ).alias("mean_sq_dist")
+    ).select("label", "n_vectors", "mean_sq_dist")
