@@ -834,3 +834,81 @@ def connected_components_star(nodes: DataFrame, edges: DataFrame) -> DataFrame:
         nodes.join(labels, "id", "left")
         .select("id", F.coalesce("label", "id").alias("label"))
     )
+
+
+#: deterministic "previous snapshot" predicate for the snapshot-diff
+#: operator: the synthetic corpus has no history, so the prior snapshot is
+#: simulated as a deterministic subset (drop every 13th doc = "added since",
+#: and docs where doc_id % 17 == 0 count as "changed" via a salted hash).
+SNAPSHOT_DROP_MOD = 13
+SNAPSHOT_CHANGE_MOD = 17
+
+
+@register(
+    "corpus_snapshot_diff",
+    oracle=f"""
+    WITH curr AS (
+      SELECT doc_id, source, md5(text) AS h FROM documents
+    ),
+    prev AS (
+      SELECT doc_id, source,
+             CASE WHEN doc_id % {SNAPSHOT_CHANGE_MOD} = 0
+                  THEN md5('prev|' || text) ELSE md5(text) END AS h
+      FROM documents WHERE doc_id % {SNAPSHOT_DROP_MOD} <> 0
+    )
+    SELECT COALESCE(c.source, p.source) AS source,
+           CASE WHEN p.doc_id IS NULL THEN 'added'
+                WHEN c.doc_id IS NULL THEN 'removed'
+                WHEN c.h <> p.h THEN 'changed'
+                ELSE 'unchanged' END AS change,
+           CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM curr c FULL OUTER JOIN prev p ON c.doc_id = p.doc_id
+    GROUP BY 1, 2
+    """,
+    doc="Corpus snapshot diff — the incremental-ingestion audit a "
+    "continuously-refreshed training corpus runs between snapshots: "
+    "per source, how many documents were added / removed / changed / "
+    "unchanged, classified by a FULL OUTER join on doc id with content "
+    "digests compared only for keys present on both sides. The corpus "
+    "has no real history, so the prior snapshot is a deterministic "
+    "restatement of the current one (every 13th doc dropped = added "
+    "since; every 17th digest salted = changed). Scale shape: both "
+    "sides reduce to (doc_id, source, 128-bit digest) BEFORE the join "
+    "— payloads never shuffle — and the outer join keys on doc_id, the "
+    "same key a snapshot store would partition by, so on bucketed "
+    "snapshot tables the exchange disappears entirely.",
+    tags=("curation", "snapshot", "llm-pipeline"),
+)
+def corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    curr = d.select("doc_id", "source", F.md5("text").alias("h"))
+    prev = (
+        d.filter(F.col("doc_id") % SNAPSHOT_DROP_MOD != 0)
+        .select(
+            "doc_id",
+            "source",
+            F.when(
+                F.col("doc_id") % SNAPSHOT_CHANGE_MOD == 0,
+                F.md5(F.concat(F.lit("prev|"), F.col("text"))),
+            )
+            .otherwise(F.md5("text"))
+            .alias("h"),
+        )
+    )
+    c = curr.alias("c")
+    p = prev.alias("p")
+    joined = c.join(p, F.col("c.doc_id") == F.col("p.doc_id"), "full_outer")
+    change = (
+        F.when(F.col("p.doc_id").isNull(), "added")
+        .when(F.col("c.doc_id").isNull(), "removed")
+        .when(F.col("c.h") != F.col("p.h"), "changed")
+        .otherwise("unchanged")
+    )
+    return (
+        joined.select(
+            F.coalesce(F.col("c.source"), F.col("p.source")).alias("source"),
+            change.alias("change"),
+        )
+        .groupBy("source", "change")
+        .agg(F.count("*").alias("n_docs"))
+    )
