@@ -322,3 +322,66 @@ def test_star_cc_matches_pointer_jumping_on_random_graph(spark):
     want = _uf(nodes, edges)
     assert _star(spark, nodes, edges) == want
     assert _cc(spark, nodes, edges) == want
+
+
+def test_global_dense_ids_pathological_id_distribution(spark, tmp_path):
+    """Clustered ids with huge gaps put almost everything in few range
+    buckets — ordinals must still be the exact dense permutation."""
+    ids = (
+        list(range(1, 40))
+        + list(range(10_000_000, 10_000_030))
+        + [2**40, 2**40 + 7]
+    )
+    import random
+
+    rng = random.Random(3)
+    shuffled = ids[:]
+    rng.shuffle(shuffled)
+    df = spark.createDataFrame([(i,) for i in shuffled], "doc_id long")
+    df.write.parquet(str(tmp_path / "documents.parquet"))
+    from apache_flink_pratices_spark.operators.curation import global_dense_ids
+
+    rows = sorted(
+        (r["doc_id"], r["global_id"])
+        for r in global_dense_ids(spark, str(tmp_path)).collect()
+    )
+    assert [g for _, g in rows] == list(range(len(ids)))
+    assert [d for d, _ in rows] == sorted(ids)
+
+
+def test_cdc_compaction_matches_python_model(spark, tmp_path):
+    """Randomized changelogs: the operator must agree with a direct
+    python latest-state model (ordering by (ts, event_id), 'error'
+    tombstones)."""
+    import datetime as dt
+    import random
+
+    rng = random.Random(11)
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    for eid in range(300):
+        uid = rng.randrange(12)
+        ts = t0 + dt.timedelta(seconds=rng.randrange(50))
+        etype = rng.choice(["click", "view", "error", "purchase"])
+        rows.append((uid, ts, etype, float(rng.randrange(100)), eid))
+    spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_type string, value double, event_id long"
+    ).write.parquet(str(tmp_path / "events.parquet"))
+
+    latest = {}
+    for uid, ts, etype, val, eid in rows:
+        k = (ts, eid)
+        if uid not in latest or k > latest[uid][0]:
+            latest[uid] = (k, etype, val, ts)
+    want = {
+        uid: (ts, etype, val)
+        for uid, (_, etype, val, ts) in latest.items()
+        if etype != "error"
+    }
+    from apache_flink_pratices_spark.operators.curation import cdc_upsert_compaction
+
+    got = {
+        r["user_id"]: (r["last_ts"], r["last_event_type"], r["last_value"])
+        for r in cdc_upsert_compaction(spark, str(tmp_path)).collect()
+    }
+    assert got == want
