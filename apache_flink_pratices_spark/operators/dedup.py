@@ -722,3 +722,56 @@ def source_overlap_matrix(spark, sf_dir: str) -> DataFrame:
         .groupBy("source_a", "source_b")
         .agg(F.count("*").alias("shared_shingles"))
     )
+
+
+@register(
+    "dedup_keep_best",
+    oracle="""
+    WITH ranked AS (
+      SELECT md5(lower(trim(text))) AS content_key, doc_id, n_chars,
+             ROW_NUMBER() OVER (
+               PARTITION BY md5(lower(trim(text)))
+               ORDER BY n_chars DESC, doc_id ASC
+             ) AS rn,
+             COUNT(*) OVER (PARTITION BY md5(lower(trim(text)))) AS n_copies
+      FROM documents
+    )
+    SELECT content_key, doc_id AS keep_doc_id,
+           CAST(n_copies AS BIGINT) AS n_copies,
+           CAST(n_chars AS BIGINT) AS kept_n_chars
+    FROM ranked WHERE rn = 1
+    """,
+    doc="Policy-driven exact dedup: per content-digest group keep the "
+    "BEST representative (longest document, doc_id tiebreak) instead of "
+    "dedup_exact's arbitrary min-id — the canonicalization real "
+    "pipelines run, where the keeper is chosen by quality. One "
+    "max_by(candidate, (n_chars, -doc_id)) aggregate on the digest key: "
+    "map-side partial combine sends one candidate per group per "
+    "partition into the single 16-byte-digest shuffle (same "
+    "bounded-shuffle argument as cdc_upsert_compaction; the oracle's "
+    "window formulation would sort each group's full history). "
+    "Payloads never shuffle — only digest, id, and length.",
+    tags=("dedup", "policy", "llm-pipeline"),
+)
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    cand = F.struct(F.col("doc_id"), F.col("n_chars"))
+    pref = F.struct(F.col("n_chars"), (-F.col("doc_id")).alias("neg_id"))
+    return (
+        d.select(
+            F.md5(F.lower(F.trim(F.col("text")))).alias("content_key"),
+            "doc_id",
+            "n_chars",
+        )
+        .groupBy("content_key")
+        .agg(
+            F.max_by(cand, pref).alias("best"),
+            F.count("*").alias("n_copies"),
+        )
+        .select(
+            "content_key",
+            F.col("best.doc_id").alias("keep_doc_id"),
+            "n_copies",
+            F.col("best.n_chars").cast("long").alias("kept_n_chars"),
+        )
+    )

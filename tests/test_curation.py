@@ -385,3 +385,24 @@ def test_cdc_compaction_matches_python_model(spark, tmp_path):
         for r in cdc_upsert_compaction(spark, str(tmp_path)).collect()
     }
     assert got == want
+
+
+def test_dedup_keep_best_policy(spark, tmp_path):
+    """Keeper = longest n_chars, doc_id tiebreak (the corpus has no exact
+    dups, so the policy branch needs a synthetic group)."""
+    rows = [
+        (1, "same text", "en", "s0", 50),
+        (2, "same text", "en", "s0", 90),   # winner: longest
+        (3, "same text", "en", "s0", 90),   # same length, higher id loses
+        (4, "other", "en", "s0", 10),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+    from apache_flink_pratices_spark.operators.dedup import dedup_keep_best
+
+    got = {
+        r["keep_doc_id"]: (r["n_copies"], r["kept_n_chars"])
+        for r in dedup_keep_best(spark, str(tmp_path)).collect()
+    }
+    assert got == {2: (3, 90), 4: (1, 10)}
