@@ -1,4 +1,6 @@
-"""Sources (SURVEY.md §2.1): collection (S1), file-stream, Kafka (S3).
+"""Sources (SURVEY.md §2.1): collection (S1), file-stream, Kafka (S3),
+and JSONL/CSV landing-zone loaders with corrupt-record quarantine
+(``files.py``).
 
 The reference's WebSocket connector (S2) is an out-of-engine asyncio ingest
 daemon feeding Kafka — the reference itself consumes it *through Kafka*
