@@ -107,3 +107,50 @@ def test_asof_matches_python_model(spark, left, right):
         ).collect()
     }
     assert got == _python_asof(left, right)
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    e_offs=st.lists(
+        st.integers(min_value=0, max_value=300), min_size=1, max_size=8
+    ),
+    v_offs=st.lists(
+        st.integers(min_value=0, max_value=300), min_size=0, max_size=12
+    ),
+)
+def test_range_join_binned_matches_model_on_bin_boundaries(spark, e_offs, v_offs):
+    """Randomized second-offsets (bin width 60s, so offsets land on and
+    around bin edges): the binned join must equal a python model of
+    'views in [e_ts, e_ts + 60s)'. Catches the classic binning
+    off-by-ones — a view in bin b+2, a window end exactly on an edge,
+    matches straddling the bin boundary."""
+    import datetime as dt
+
+    from apache_flink_pratices_spark.operators.temporal import (
+        RANGE_JOIN_SECONDS,
+        range_join_binned,
+    )
+
+    t0 = dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc)
+    rows = []
+    for i, off in enumerate(e_offs):
+        rows.append((1000 + i, t0 + dt.timedelta(seconds=off), 1, "error", 0.0, "{}"))
+    for i, off in enumerate(v_offs):
+        rows.append((2000 + i, t0 + dt.timedelta(seconds=off), 1, "view", 1.0, "{}"))
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+        ).write.parquet(f"{d}/events.parquet")
+        got = {
+            r["error_id"]: r["views_within_60s"]
+            for r in range_join_binned(spark, d).collect()
+        }
+    want = {}
+    for i, eoff in enumerate(e_offs):
+        want[1000 + i] = sum(
+            1 for voff in v_offs if eoff <= voff < eoff + RANGE_JOIN_SECONDS
+        )
+    assert got == want
