@@ -55,3 +55,51 @@ def test_jsonl_parse_is_jvm_side(spark, tmp_path):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Scan json" in plan, plan
     assert "BatchEvalPython" not in plan, plan
+
+
+def test_jsonl_streaming_quarantine(spark, tmp_path):
+    """The same schema+corrupt contract must hold on the streaming read
+    path: malformed lines flow to the quarantine side of a foreachBatch
+    split instead of failing the query or vanishing."""
+    import json as _json
+    import os
+
+    indir = tmp_path / "in"
+    os.makedirs(indir)
+    (indir / "a.jsonl").write_text(
+        _json.dumps({"event_id": 1, "event_type": "click", "value": 1.5})
+        + "\n{broken\n"
+        + _json.dumps({"event_id": 2, "event_type": "view", "value": 2.0})
+        + "\n"
+    )
+    from apache_flink_pratices_spark.sources.files import (
+        CORRUPT_COL,
+        _with_corrupt,
+    )
+
+    src = (
+        spark.readStream.schema(_with_corrupt(SCHEMA))
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", CORRUPT_COL)
+        .json(str(indir))
+    )
+    got = {"clean": [], "bad": []}
+
+    def sink(batch, _bid):
+        # batch is a plain DataFrame: the corrupt-only restriction does
+        # not apply (foreachBatch materializes the parse per batch)
+        rows = batch.collect()
+        got["clean"] += [
+            (r["event_id"], r["event_type"]) for r in rows if r[CORRUPT_COL] is None
+        ]
+        got["bad"] += [r[CORRUPT_COL] for r in rows if r[CORRUPT_COL] is not None]
+
+    q = (
+        src.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert sorted(got["clean"]) == [(1, "click"), (2, "view")]
+    assert got["bad"] == ["{broken"]
