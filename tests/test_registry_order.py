@@ -136,3 +136,34 @@ def test_critical_set_leaves_rotation_capacity():
     enough slack that never-checked newcomers plus a meaningful stale
     rotation still fit (≥20 free slots), or gate coverage stalls."""
     assert len(CRITICAL) <= WINDOW - 20, len(CRITICAL)
+
+
+def test_backlog_rotates_after_r5_checks(tmp_path, monkeypatch):
+    """Simulate the driver committing green r5 rows for the current
+    window: next round's window must still hold every anchor AND fill
+    its free slots with the STALEST backlog (queries whose last green
+    row is oldest), not with freshly-checked ones."""
+    import apache_flink_pratices_spark.registry as reg
+
+    names = list(all_specs())
+    window_now = names[:WINDOW]
+    hist = _driver_check_history()
+    r5 = {n: _green_row() for n in window_now}
+    (tmp_path / "CORRECTNESS_r05.json").write_text(json.dumps(r5))
+    # carry the real history forward so staleness ordering is realistic
+    for rnd in sorted({v for v in hist.values()}):
+        rows = {n: _green_row() for n, r in hist.items() if r == rnd}
+        (tmp_path / f"CORRECTNESS_r{rnd:02d}.json").write_text(json.dumps(rows))
+    monkeypatch.setattr(reg, "_REPO_ROOT", str(tmp_path))
+    nxt = list(all_specs())
+    window_next = nxt[:WINDOW]
+    assert set(CRITICAL) <= set(window_next)
+    # every non-critical slot goes to the stalest survivors: nothing
+    # checked in r5 may displace something whose last green is older
+    hist_next = _driver_check_history(str(tmp_path))
+    non_crit = [n for n in window_next if n not in CRITICAL]
+    outside = [n for n in nxt[WINDOW:] if n not in CRITICAL]
+    if non_crit and outside:
+        worst_in = max(hist_next.get(n, -1) for n in non_crit)
+        best_out = min(hist_next.get(n, -1) for n in outside)
+        assert worst_in <= best_out, (worst_in, best_out)
