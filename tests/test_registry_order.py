@@ -167,3 +167,17 @@ def test_backlog_rotates_after_r5_checks(tmp_path, monkeypatch):
         worst_in = max(hist_next.get(n, -1) for n in non_crit)
         best_out = min(hist_next.get(n, -1) for n in outside)
         assert worst_in <= best_out, (worst_in, best_out)
+
+
+def test_operator_index_doc_is_current():
+    """docs/operator_index.md must match the registry (regenerate with
+    tools/gen_operator_index.py when adding queries)."""
+    import os
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, os.path.join(repo, "tools"))
+    import gen_operator_index
+
+    with open(os.path.join(repo, "docs", "operator_index.md")) as f:
+        assert f.read() == gen_operator_index.render()
