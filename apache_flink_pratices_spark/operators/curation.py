@@ -912,3 +912,51 @@ def corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source", "change")
         .agg(F.count("*").alias("n_docs"))
     )
+
+
+#: exactly-N sample size per stratum (event_type)
+EXACT_N_PER_STRATUM = 50
+
+
+@register(
+    "stratified_exact_n",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT event_id, event_type,
+             ROW_NUMBER() OVER (
+               PARTITION BY event_type
+               ORDER BY {sql_md5_long("'exn|' || CAST(event_id AS VARCHAR)")},
+                        event_id
+             ) AS rn
+      FROM events
+    )
+    SELECT event_id, event_type,
+           CAST(rn AS BIGINT) AS sample_rank
+    FROM ranked WHERE rn <= {EXACT_N_PER_STRATUM}
+    """,
+    doc="Exactly-N stratified sampling: the N lowest salted-hash rows "
+    "per stratum — reproducible across engines, runs and cluster sizes "
+    "(no RNG state), and EXACT in count where stratified_sample's "
+    "Bernoulli gate is exact only in expectation (eval sets and "
+    "human-review batches need exact counts). Hash order = uniform "
+    "order, so the pick is an unbiased without-replacement sample; "
+    "event_id breaks hash ties deterministically. Plan: rank within "
+    "stratum only — sorts are per-stratum, and with N fixed the "
+    "asymptotic path at extreme stratum sizes is the standard two-pass "
+    "refinement (approx Nth-hash threshold from a sample, exact trim "
+    "of the ~N survivors) which swaps in without changing the "
+    "contract; at any realistic stratum count the rank form is one "
+    "shuffle.",
+    tags=("curation", "sampling", "llm-pipeline"),
+)
+def stratified_exact_n(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = load(spark, sf_dir, "events").select("event_id", "event_type")
+    h = md5_long(F.concat(F.lit("exn|"), F.col("event_id").cast("string")))
+    w = Window.partitionBy("event_type").orderBy(h.alias("h"), "event_id")
+    return (
+        e.select("event_id", "event_type", F.row_number().over(w).alias("sample_rank"))
+        .filter(F.col("sample_rank") <= EXACT_N_PER_STRATUM)
+        .select("event_id", "event_type", F.col("sample_rank").cast("long").alias("sample_rank"))
+    )
