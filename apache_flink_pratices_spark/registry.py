@@ -48,6 +48,10 @@ CRITICAL = (
     "kafka_wire_trades",  # K2
     "kafka_wire_routed",  # K3
     "fraud_alerts",  # J2 temporal correlation (reference flagship, batch twin)
+    # J2 interval join: semantics changed in r5 (round-then-cast cents
+    # quantization) — pinned so the change always carries a fresh hard
+    # driver row rather than riding its pre-change green
+    "interval_join_error_views",
     "p_market_pipeline",  # P4-P7 parse/validate/normalize/event-time
     "wordcount",  # P2 flat_map + A1 keyed reduce
     "ob_imbalance",  # A4
