@@ -90,3 +90,49 @@ def test_stateful_trend_throughput(spark, tmp_path):
     n_events = spark.sql("SELECT COUNT(*) AS n FROM trend_tput").collect()[0].n
     assert n_events > 0, "the workload must actually emit trend transitions"
     assert rate > 2_000, f"{rate:.0f} rows/s is below 2x the 1k baseline"
+
+
+def test_cdc_compaction_throughput(spark, tmp_path):
+    """The streaming CDC compaction (complete-mode max_by snapshot) must
+    clear the same 1k msg/s delivery baseline with headroom: the state
+    per key is one struct, so throughput is bounded by the keyed
+    shuffle, not state size."""
+    import pyspark.sql.functions as F
+
+    n_events, n_users = 50_000, 1_000
+    rows = []
+    for i in range(n_events):
+        uid = i % n_users
+        etype = "error" if i % 17 == 0 else "view"
+        rows.append(
+            (uid, BASE + datetime.timedelta(milliseconds=i), etype, float(i % 100), i)
+        )
+    in_dir = os.path.join(str(tmp_path), "in")
+    schema = "user_id long, ts timestamp, event_type string, value double, event_id long"
+    spark.createDataFrame(rows, schema).coalesce(4).write.parquet(in_dir)
+
+    src = spark.readStream.schema(schema).parquet(in_dir)
+    state = F.struct(F.col("ts"), F.col("event_type"), F.col("value"))
+    ord_key = F.struct(F.col("ts"), F.col("event_id"))
+    snap = (
+        src.groupBy("user_id")
+        .agg(F.max_by(state, ord_key).alias("s"))
+        .filter(F.col("s.event_type") != "error")
+    )
+    q = (
+        snap.writeStream.format("memory")
+        .queryName("cdc_tput")
+        .option("checkpointLocation", os.path.join(str(tmp_path), "ckpt"))
+        .outputMode("complete")
+        .start()
+    )
+    t0 = time.perf_counter()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    wall = time.perf_counter() - t0
+    rate = n_events / wall
+    n_live = spark.sql("SELECT COUNT(*) AS n FROM cdc_tput").collect()[0].n
+    assert 0 < n_live <= n_users
+    assert rate >= 5_000, f"cdc compaction throughput {rate:.0f} ev/s < 5k gate"

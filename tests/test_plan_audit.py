@@ -378,3 +378,20 @@ def test_retention_cohorts_no_product_bounded_exchanges(spark):
     assert "CartesianProduct" not in plan, plan
     # first-seen agg + distinct + final rollup: at most 3 data exchanges
     assert exchange_count(plan) <= 3, plan
+
+
+def test_bigram_pmi_vocab_tables_broadcast(spark):
+    """After the single tokenize pass, every join must be a broadcast of
+    a vocabulary-bounded table — a shuffle join on the bigram stream
+    would re-key corpus-sized data for dimension-sized lookups."""
+    from apache_flink_pratices_spark.operators.text import bigram_pmi
+
+    df = bigram_pmi(spark, SF)
+    try:
+        plan = formatted_plan(df)
+        kinds = join_kinds(plan)
+        assert kinds, plan
+        assert all("Broadcast" in k for k in kinds), kinds
+        assert "SortMergeJoin" not in plan, plan
+    finally:
+        df.sparkSession.catalog.clearCache()
