@@ -780,7 +780,7 @@ def connected_components_star(nodes: DataFrame, edges: DataFrame) -> DataFrame:
         .distinct()
         .localCheckpoint()
     )
-    for _ in range(STAR_MAX_ROUNDS):
+    for _round in range(STAR_MAX_ROUNDS):
         # -- large-star ---------------------------------------------------
         # directed both ways; m(u) over ALL neighbors and self
         dir_ = e.select("u", "v").union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
@@ -825,6 +825,8 @@ def connected_components_star(nodes: DataFrame, edges: DataFrame) -> DataFrame:
         e1.unpersist()
         e = e2
         if changed == 0:
+            # expose the round count for the O(log n) convergence tests
+            connected_components_star.last_rounds = _round + 1
             break
     else:
         raise RuntimeError(f"star CC did not converge in {STAR_MAX_ROUNDS} rounds")

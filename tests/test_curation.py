@@ -406,3 +406,19 @@ def test_dedup_keep_best_policy(spark, tmp_path):
         for r in dedup_keep_best(spark, str(tmp_path)).collect()
     }
     assert got == {2: (3, 90), 4: (1, 10)}
+
+
+def test_star_cc_round_count_logarithmic_on_long_chain(spark):
+    """A 256-node chain (diameter 255) must converge in O(log n) star
+    rounds — the property that separates this kernel from naive
+    propagation (255 rounds) at adversarial diameters."""
+    from apache_flink_pratices_spark.operators.curation import (
+        connected_components_star,
+    )
+
+    n = 256
+    labels = _star(spark, list(range(n)), [(i, i + 1) for i in range(n - 1)])
+    assert set(labels.values()) == {0}
+    assert connected_components_star.last_rounds <= 12, (
+        connected_components_star.last_rounds
+    )
