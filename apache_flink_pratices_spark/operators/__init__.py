@@ -8,6 +8,7 @@ from apache_flink_pratices_spark.operators import (  # noqa: F401
     kmeans,
     market_pipeline,
     multimodal,
+    olap,
     orderbook,
     pca,
     protobuf_codec,

@@ -1,0 +1,302 @@
+"""OLAP plan-pattern breadth: grouping sets, wide pivot, broadcast-stats
+outlier scoring, and a KMV set-overlap sketch.
+
+These extend the reference's aggregation surface (reference
+``src/pyflink_examples/window_aggregations.py`` computes per-key windowed
+stats one grouping at a time; a warehouse user of that surface expects the
+multi-grouping / pivot / outlier shapes below) with the plan classes that
+matter at 100 TB:
+
+* ``q_grouping_sets_revenue`` — all four groupings of (priority, status) in
+  ONE corpus scan via Expand (Spark's GROUPING SETS physical strategy),
+  instead of four scan+agg passes.
+* ``q_event_type_pivot`` — long→wide pivot as conditional aggregation with
+  an explicit, fixed column list: one shuffle on the grouping key, full
+  map-side partial aggregation, and no "collect distinct pivot values"
+  pre-job (which is a full extra scan + a driver round-trip at scale).
+* ``q_value_zscore_outliers`` — two-pass outlier flagging: the per-type
+  moment table is dimension-sized (5 rows), broadcast back to the corpus
+  scan; no per-row shuffle at all.
+* ``sketch_kmv_jaccard`` — deterministic KMV bottom-k sketch of the UNION
+  of two behaviour cohorts with membership flags, giving Jaccard /
+  intersection estimates from k rows. The sketch is mergeable and the
+  selection is the same two-stage salted bottom-k as
+  ``sketch_kmv_distinct`` (no global per-set sort).
+
+All four are oracle-checked bit-exactly: integer/decimal accumulation per
+``functions/numeric.py``, portable md5-derived hashes per
+``functions/hashing.py``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from apache_flink_pratices_spark.functions.hashing import md5_long, sql_md5_long
+from apache_flink_pratices_spark.functions.numeric import qlong
+from apache_flink_pratices_spark.io import load
+from apache_flink_pratices_spark.registry import register
+
+#: Event-type domain is part of the schema contract (reference
+#: ``src/pyflink_examples``' analytics examples enumerate their event types
+#: up front) — pivoting over an explicit list is what keeps the plan
+#: single-pass; an inferred pivot needs a distinct-scan job first.
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+Z_THRESH = 3.0  # |z| beyond this flags an outlier (classic 3-sigma rule)
+
+KMV_J_K = 256  #: bottom-k size for the union sketch
+KMV_J_SALT = 32  #: stage-1 parallelism for the salted bottom-k
+
+
+# --- GROUPING SETS ----------------------------------------------------------
+@register(
+    "q_grouping_sets_revenue",
+    oracle="""
+    SELECT coalesce(o_orderpriority, 'ALL') AS priority,
+           coalesce(o_orderstatus, 'ALL') AS status,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100.0) AS BIGINT)) AS DOUBLE)
+             / 100.0 AS revenue
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
+                            (o_orderpriority), (o_orderstatus), ())
+    """,
+    doc="All four groupings of (priority, status) — detail, two marginals, "
+    "grand total — in ONE scan via Spark's Expand-based GROUPING SETS "
+    "strategy. At 100 TB this replaces four scan+shuffle passes with one "
+    "scan and a 4x-expanded partial aggregate whose output is still "
+    "dimension-sized (5x3 + 5 + 3 + 1 rows). Cents-quantized int64 revenue "
+    "keeps the sums order-independent and bit-identical to the oracle. "
+    "(Neither grouping column is ever NULL in the data, so coalescing the "
+    "grouping-set NULLs to 'ALL' is unambiguous.)",
+    tags=("aggregation", "grouping-sets"),
+)
+def q_grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    cents = qlong("o_totalprice", 100)
+    return (
+        o.select("o_orderpriority", "o_orderstatus", cents.alias("cents"))
+        .groupingSets(
+            [
+                ["o_orderpriority", "o_orderstatus"],
+                ["o_orderpriority"],
+                ["o_orderstatus"],
+                [],
+            ],
+            "o_orderpriority",
+            "o_orderstatus",
+        )
+        # decimal(38,0) merge of the int64 partials: exact at any row count
+        # (a raw long sum could overflow past ~1e14 orders; see numeric.py)
+        .agg(
+            F.count("*").alias("n_orders"),
+            (F.sum(F.col("cents").cast("decimal(38,0)")).cast("double") / F.lit(100.0)).alias(
+                "revenue"
+            ),
+        )
+        .select(
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            "n_orders",
+            "revenue",
+        )
+    )
+
+
+# --- explicit-domain pivot --------------------------------------------------
+def _sql_pivot_cols() -> str:
+    parts = []
+    for t in EVENT_TYPES:
+        parts.append(
+            f"SUM(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) AS n_{t}"
+        )
+    parts.append(
+        "CAST(SUM(CASE WHEN event_type = 'purchase'"
+        " THEN CAST(ROUND(value * 100.0) AS BIGINT) ELSE 0 END) AS DOUBLE)"
+        " / 100.0 AS purchase_value"
+    )
+    return ",\n           ".join(parts)
+
+
+@register(
+    "q_event_type_pivot",
+    oracle=f"""
+    SELECT user_id,
+           {_sql_pivot_cols()}
+    FROM events
+    GROUP BY user_id
+    """,
+    doc="Per-user long→wide pivot over the CLOSED event-type domain: one "
+    "count column per type plus quantized purchase revenue, as conditional "
+    "aggregation (exactly what Spark's .pivot(col, values) compiles to). "
+    "The explicit value list is the scale contract: no distinct-scan "
+    "pre-job, one shuffle on user_id, and every conditional count "
+    "participates in map-side partial aggregation, so the exchange carries "
+    "|users| x 6 longs regardless of event count.",
+    tags=("aggregation", "pivot"),
+)
+def q_event_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    aggs = [
+        F.sum(F.when(F.col("event_type") == t, 1).otherwise(0)).alias(f"n_{t}")
+        for t in EVENT_TYPES
+    ]
+    purchase_cents = F.when(
+        F.col("event_type") == "purchase", qlong("value", 100)
+    ).otherwise(F.lit(0).cast("long"))
+    aggs.append(
+        (F.sum(purchase_cents.cast("decimal(38,0)")).cast("double") / F.lit(100.0)).alias(
+            "purchase_value"
+        )
+    )
+    return e.groupBy("user_id").agg(*aggs)
+
+
+# --- broadcast-stats z-score outliers --------------------------------------
+@register(
+    "q_value_zscore_outliers",
+    oracle=f"""
+    WITH stats AS (
+      SELECT event_type,
+             COUNT(*) AS n,
+             SUM(CAST(ROUND(value * 100.0) AS BIGINT)) AS s,
+             SUM(CAST(ROUND(value * 100.0) AS BIGINT)
+                 * CAST(ROUND(value * 100.0) AS BIGINT)) AS q
+      FROM events GROUP BY event_type
+    ),
+    scored AS (
+      SELECT e.event_id, e.event_type, e.value,
+             (CAST(CAST(ROUND(e.value * 100.0) AS BIGINT) AS DOUBLE)
+              - CAST(s.s AS DOUBLE) / s.n)
+             / sqrt(CAST(s.q AS DOUBLE) / s.n
+                    - (CAST(s.s AS DOUBLE) / s.n) * (CAST(s.s AS DOUBLE) / s.n))
+               AS z
+      FROM events e JOIN stats s ON e.event_type = s.event_type
+    )
+    SELECT event_id, event_type, value, ROUND(z, 4) AS z4
+    FROM scored WHERE abs(z) > {Z_THRESH}
+    """,
+    doc="Per-type z-score outlier flagging as TWO bounded passes: pass 1 "
+    "reduces the corpus to a 5-row exact moment table (count / int64-cents "
+    "sum / decimal sum-of-squares — order-independent, so bit-identical "
+    "across engines); pass 2 re-scans with the moments BROADCAST, so the "
+    "scoring join moves zero event rows. The z computation is a fixed "
+    "double division chain evaluated identically by both engines (IEEE "
+    "correctly-rounded / and sqrt over identical exact inputs).",
+    tags=("aggregation", "quality"),
+)
+def q_value_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    cents = qlong("value", 100)
+    # per-partition int64 squares stay < 2^52 (cents < 2^17, ~2M rows/split);
+    # the decimal cast makes the cross-partition merge exact at any scale
+    stats = (
+        e.select("event_type", cents.alias("c"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("c").cast("decimal(38,0)")).alias("s"),
+            F.sum((F.col("c") * F.col("c")).cast("decimal(38,0)")).alias("q"),
+        )
+    )
+    mean = F.col("s").cast("double") / F.col("n")
+    var = F.col("q").cast("double") / F.col("n") - mean * mean
+    scored = e.join(F.broadcast(stats), "event_type").select(
+        "event_id",
+        "event_type",
+        "value",
+        ((cents.cast("double") - mean) / F.sqrt(var)).alias("z"),
+    )
+    return scored.filter(F.abs(F.col("z")) > Z_THRESH).select(
+        "event_id", "event_type", "value", F.round("z", 4).alias("z4")
+    )
+
+
+# --- KMV Jaccard / intersection sketch --------------------------------------
+@register(
+    "sketch_kmv_jaccard",
+    oracle=f"""
+    WITH flagged AS (
+      SELECT {sql_md5_long("CAST(user_id AS VARCHAR)")} AS h,
+             MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS in_a,
+             MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS in_b
+      FROM events
+      WHERE event_type IN ('click', 'purchase')
+      GROUP BY h
+    ),
+    totals AS (
+      SELECT COUNT(*) AS n_union, SUM(in_a * in_b) AS n_inter FROM flagged
+    ),
+    bottom AS (
+      SELECT h, in_a, in_b,
+             ROW_NUMBER() OVER (ORDER BY h) AS rn
+      FROM flagged
+    )
+    SELECT t.n_union AS union_exact,
+           CAST(least(t.n_union, {KMV_J_K}) AS BIGINT) AS k_used,
+           CAST(SUM(b.in_a * b.in_b) AS BIGINT) AS inter_in_sketch,
+           CAST(SUM(b.in_a * b.in_b) AS DOUBLE)
+             / least(t.n_union, {KMV_J_K}) AS jaccard_kmv,
+           CAST(t.n_inter AS DOUBLE) / t.n_union AS jaccard_exact
+    FROM bottom b CROSS JOIN totals t
+    WHERE b.rn <= {KMV_J_K}
+    GROUP BY t.n_union, t.n_inter
+    """,
+    doc=f"KMV set-overlap sketch between the click and purchase user "
+    f"cohorts: the bottom-{KMV_J_K} portable hashes of the cohorts' UNION, "
+    "each carrying membership flags, estimate Jaccard as "
+    "|sketch ∩ A ∩ B| / k — the classic KMV coordinated-sample identity. "
+    "Deterministic (md5 hashes, no RNG), so the estimate itself is "
+    "oracle-checked. Scale shape: membership flags reduce via hash-agg on "
+    f"the 56-bit hash; the bottom-k runs the same two-stage salted "
+    f"selection as sketch_kmv_distinct (stage 1: k smallest per "
+    f"(h % {KMV_J_SALT}) slice; stage 2: merge ≤ {KMV_J_SALT}·k rows), so "
+    "no task ever globally sorts a cohort. The exact Jaccard rides the "
+    "same single hash-agg for free as the sketch's accuracy witness.",
+    tags=("sketch", "similarity"),
+)
+def sketch_kmv_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    flagged = (
+        e.filter(F.col("event_type").isin("click", "purchase"))
+        .select(
+            md5_long(F.col("user_id").cast("string")).alias("h"),
+            F.when(F.col("event_type") == "click", 1).otherwise(0).alias("a"),
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("b"),
+        )
+        .groupBy("h")
+        .agg(F.max("a").alias("in_a"), F.max("b").alias("in_b"))
+    )
+    totals = flagged.agg(
+        F.count("*").alias("n_union"),
+        F.sum(F.col("in_a") * F.col("in_b")).alias("n_inter"),
+    )
+    # two-stage salted bottom-k (see sketch_kmv_distinct): stage 1 sorts
+    # only within (h % SALT) slices, stage 2 merges a bounded survivor set
+    w1 = Window.partitionBy("salt").orderBy("h")
+    survivors = (
+        flagged.withColumn("salt", F.col("h") % KMV_J_SALT)
+        .withColumn("rn1", F.row_number().over(w1))
+        .filter(F.col("rn1") <= KMV_J_K)
+        .select("h", "in_a", "in_b")
+    )
+    w2 = Window.orderBy("h")
+    bottom = survivors.withColumn("rn", F.row_number().over(w2)).filter(
+        F.col("rn") <= KMV_J_K
+    )
+    k_used = F.least(F.col("n_union"), F.lit(KMV_J_K).cast("long"))
+    return (
+        bottom.crossJoin(F.broadcast(totals))
+        .groupBy("n_union", "n_inter")
+        .agg(F.sum(F.col("in_a") * F.col("in_b")).alias("inter_in_sketch"))
+        .select(
+            F.col("n_union").alias("union_exact"),
+            k_used.alias("k_used"),
+            F.col("inter_in_sketch").cast("long").alias("inter_in_sketch"),
+            (F.col("inter_in_sketch").cast("double") / k_used).alias("jaccard_kmv"),
+            (F.col("n_inter").cast("double") / F.col("n_union")).alias("jaccard_exact"),
+        )
+    )

@@ -180,7 +180,15 @@ def all_specs() -> dict[str, QuerySpec]:
 
     With 23 anchors the remaining ~27 window slots rotate the stale
     backlog through in ≤2 rounds. The history is re-read from the
-    CORRECTNESS files the driver commits, so this adapts each round."""
+    CORRECTNESS files the driver commits, so this adapts each round.
+
+    Overflow: when criticals + never-checked together exceed the ~50-slot
+    window (a burst of newly registered queries), the LAST-registered
+    never-checked queries spill past the window for one round. That is the
+    self-healing choice: next round the spilled queries are the only
+    never-checked entries, so they sort to the very front of group 3 and
+    get checked first. ``tests/test_registry_order.py`` pins both the
+    no-overflow invariant and this exact spill policy."""
     # Import operator modules for their registration side effects.
     from apache_flink_pratices_spark import operators  # noqa: F401
 

@@ -53,9 +53,29 @@ def test_window_covers_never_checked_and_critical():
     window = set(names[:WINDOW])
     hist = _driver_check_history()
     never = {n for n in names if n not in hist}
-    assert never <= window, f"never-driver-checked outside window: {sorted(never - window)}"
     assert set(CRITICAL) <= window, sorted(set(CRITICAL) - window)
     assert S2_ANCHORS <= window, sorted(S2_ANCHORS - window)
+    need = never | set(CRITICAL)
+    if len(need) <= WINDOW:
+        assert never <= window, f"never-driver-checked outside window: {sorted(never - window)}"
+    else:
+        # overflow: a registration burst pushed criticals+never past the
+        # window. The spill must be exactly the excess, taken from the
+        # LAST-registered never-checked queries (they become the only
+        # never-checked next round and sort first — self-healing in one
+        # round), and no slot may be wasted on an already-checked
+        # non-critical query while a never-checked one spills.
+        spilled = never - window
+        assert len(spilled) == len(need) - WINDOW, sorted(spilled)
+        assert window <= need, sorted(window - need)
+        # spill order = REGISTRATION order (not the sorted view): the
+        # earliest-registered never-checked stay in, the latest spill
+        from apache_flink_pratices_spark.registry import _REGISTRY
+
+        reg = {n: i for i, n in enumerate(_REGISTRY)}
+        worst_in = max(reg[n] for n in never & window)
+        best_out = min(reg[n] for n in spilled)
+        assert worst_in < best_out, (worst_in, best_out)
 
 
 def test_critical_is_anchor_superset():
