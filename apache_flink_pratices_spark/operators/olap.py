@@ -110,8 +110,11 @@ def q_grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _sql_pivot_cols() -> str:
     parts = []
     for t in EVENT_TYPES:
+        # CAST: DuckDB SUM(int) widens to HUGEINT (arrow decimal128), which
+        # the driver's type-sensitive hash would flag against Spark's int64
         parts.append(
-            f"SUM(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) AS n_{t}"
+            f"CAST(SUM(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END)"
+            f" AS BIGINT) AS n_{t}"
         )
     parts.append(
         "CAST(SUM(CASE WHEN event_type = 'purchase'"
