@@ -5,6 +5,7 @@ from apache_flink_pratices_spark.operators import (  # noqa: F401
     curation,
     dedup,
     fraud,
+    graph,
     kmeans,
     market_pipeline,
     multimodal,

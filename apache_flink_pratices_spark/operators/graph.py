@@ -1,0 +1,142 @@
+"""Iterative graph analytics over the near-duplicate document graph.
+
+``dedup_clusters`` (operators/curation.py) answers *membership* — which
+documents form one near-dup component. PageRank answers *centrality* within
+that graph: documents sharing fingerprint bands with many other well-
+connected documents (hot boilerplate templates, mirrored landing pages)
+score high, which is the ranking a curation pipeline uses to pick what to
+inspect first when a component is too large to eyeball. This extends the
+engine's iterative-algorithm surface beyond label propagation
+(connected_components) and Lloyd iterations (kmeans_fit) to damped
+message-passing.
+
+Cross-engine exactness: PageRank is usually float — and float message sums
+are accumulation-order-dependent, so a naive port would never hash-match
+the oracle. Ranks here are SCALED INTEGERS (1e-9 resolution): every
+operation is int64 add / truncating div, which is associative enough to be
+order-independent (the per-node contribution sum is exact integer
+addition). Both engines run the identical recurrence, so even the
+*approximate* algorithm is bit-exactly oracle-checked — same stance as
+sketch_kmv_distinct / sketch_hll_distinct.
+
+Overflow discipline: total mass is ≤ |nodes| · SCALE. SCALE = 1e9 keeps
+the worst case (one node absorbing the entire mass of a 1e9-node
+component) at 1e18 < 2^63. The damping multiply is div-before-mul
+(``17 * (s div 20)`` = 0.85·s at ≤ 20 quanta of 1e-9 error) so no
+intermediate exceeds ~17/20 of the mass bound.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+from apache_flink_pratices_spark.io import load
+from apache_flink_pratices_spark.operators.dedup import SQL_SIMHASH_PAIR_CTES, dedup_simhash
+from apache_flink_pratices_spark.registry import register
+
+PR_SCALE = 10**9  #: rank quantum: 1e-9 relative resolution
+PR_BASE = PR_SCALE * 15 // 100  #: (1 - d) · SCALE with d = 0.85
+PR_ITERS = 3  #: fixed iteration count (oracle unrolls the same three)
+
+
+def _pr_step(nodes: DataFrame, ej: DataFrame, ranks: DataFrame) -> DataFrame:
+    """One damped message-passing round: rank' = BASE + 17·(S div 20).
+
+    ``ej`` is the degree-annotated edge list (src, dst, deg). Contributions
+    are rank div deg per out-edge; S is their exact int64 sum per dst."""
+    contribs = (
+        ej.join(ranks, ej.src == ranks.doc_id)
+        .select(F.col("dst"), F.expr("rank div deg").alias("contrib"))
+        .groupBy("dst")
+        .agg(F.sum("contrib").alias("s"))
+    )
+    # `div`, not `/`: float division then cast would lose exactness past
+    # 2^53 — the recurrence must stay pure int64 end to end
+    return nodes.join(contribs, nodes.doc_id == contribs.dst, "left").select(
+        nodes.doc_id,
+        (
+            F.lit(PR_BASE)
+            + F.lit(17) * F.expr("coalesce(s, CAST(0 AS BIGINT)) div 20")
+        ).alias("rank"),
+    )
+
+
+def _sql_pr_step(prev: str, out: str) -> str:
+    return f"""
+    s_{out} AS (
+      SELECT e.dst AS doc_id, CAST(SUM(r.rank // e.deg) AS BIGINT) AS s
+      FROM ej e JOIN {prev} r ON r.doc_id = e.src
+      GROUP BY e.dst
+    ),
+    {out} AS (
+      SELECT n.doc_id,
+             {PR_BASE} + 17 * (COALESCE(s.s, 0) // 20) AS rank
+      FROM nodes n LEFT JOIN s_{out} s ON s.doc_id = n.doc_id
+    )"""
+
+
+@register(
+    "pagerank_neardup",
+    oracle=f"""
+    WITH {SQL_SIMHASH_PAIR_CTES},
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM sh_pairs
+      UNION ALL
+      SELECT doc_b AS src, doc_a AS dst FROM sh_pairs
+    ),
+    deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM edges GROUP BY src),
+    ej AS (SELECT e.src, e.dst, d.deg FROM edges e JOIN deg d ON d.src = e.src),
+    nodes AS (SELECT doc_id FROM documents),
+    r0 AS (SELECT doc_id, CAST({PR_SCALE} AS BIGINT) AS rank FROM nodes),
+    {_sql_pr_step('r0', 'r1')},
+    {_sql_pr_step('r1', 'r2')},
+    {_sql_pr_step('r2', 'r3')}
+    SELECT r.doc_id,
+           CAST(COALESCE(d.deg, 0) AS BIGINT) AS deg,
+           CAST(r.rank AS BIGINT) AS rank_scaled
+    FROM r3 r LEFT JOIN deg d ON d.src = r.doc_id
+    """,
+    doc=f"PageRank (d=0.85, {PR_ITERS} rounds) over the symmetrized simhash "
+    "near-dup graph (same verified edge set as dedup_simhash / "
+    "dedup_clusters, by shared CTE) in exact scaled-integer arithmetic — "
+    "the damped message-passing recurrence is bit-identical across "
+    "engines, so the iterative algorithm itself is oracle-checked. Scale "
+    "shape: the degree-annotated edge list is built once, persisted, and "
+    "re-shuffled on src each round (rank join) then dst (contribution "
+    "sum) — two 24-byte-row exchanges per round, never the documents. "
+    "Isolated docs cost one broadcast-side left join and settle at the "
+    "base rank. Reference analogue: the reference's designed screening "
+    "layer ranks instruments by cross-signal connectivity "
+    "(docs/project docs/5. 스크리닝 레이어 설계.md) — same centrality "
+    "pattern, here over the near-dup graph.",
+    tags=("graph", "pagerank", "dedup"),
+)
+def pagerank_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = dedup_simhash(spark, sf_dir)
+    edges = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")).union(
+        pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    )
+    deg = edges.groupBy("src").agg(F.count("*").cast("long").alias("deg"))
+    # one edge build feeds all rounds: persist so the simhash pipeline
+    # (fingerprint + band join) runs once, not once per iteration
+    ej = (
+        edges.join(deg, "src")
+        .select("src", "dst", "deg")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    nodes = load(spark, sf_dir, "documents").select("doc_id")
+    ranks = nodes.select("doc_id", F.lit(PR_SCALE).cast("long").alias("rank"))
+    for _ in range(PR_ITERS):
+        ranks = _pr_step(nodes, ej, ranks)
+    # read the output degree back OFF THE CACHE (deg itself would re-run
+    # the whole simhash pipeline; deg is constant per src inside ej)
+    out_deg = ej.groupBy("src").agg(F.max("deg").alias("deg")).select(
+        F.col("src").alias("doc_id"), "deg"
+    )
+    return ranks.join(out_deg, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("deg", F.lit(0)).cast("long").alias("deg"),
+        F.col("rank").cast("long").alias("rank_scaled"),
+    )

@@ -1,0 +1,80 @@
+"""Unit tests for the scaled-integer PageRank kernel (operators/graph.py).
+
+Cross-engine value parity is covered by test_oracle_parity; these pin the
+recurrence itself on hand-computable graphs."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from apache_flink_pratices_spark.operators.graph import (
+    PR_BASE,
+    PR_SCALE,
+    _pr_step,
+    pagerank_neardup,
+)
+from apache_flink_pratices_spark.plans.explain import formatted_plan
+
+SF = "/root/testdata/sf0.001"
+
+
+def _frames(spark, edges):
+    """(nodes, degree-annotated edge list) for an undirected edge set."""
+    e = spark.createDataFrame(
+        [(a, b) for a, b in edges] + [(b, a) for a, b in edges], "src long, dst long"
+    )
+    deg = e.groupBy("src").agg(F.count("*").cast("long").alias("deg"))
+    ej = e.join(deg, "src").select("src", "dst", "deg")
+    ids = sorted({x for ab in edges for x in ab})
+    nodes = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    return nodes, ej
+
+
+def _run(spark, edges, iters):
+    nodes, ej = _frames(spark, edges)
+    ranks = nodes.select("doc_id", F.lit(PR_SCALE).cast("long").alias("rank"))
+    for _ in range(iters):
+        ranks = _pr_step(nodes, ej, ranks)
+    return {r.doc_id: r.rank for r in ranks.collect()}
+
+
+def test_regular_graph_is_a_fixpoint(spark):
+    """On a 1-regular graph every node keeps rank = SCALE exactly:
+    S = SCALE, and BASE + 17·(SCALE div 20) = SCALE (0.15 + 0.85)."""
+    ranks = _run(spark, [(1, 2), (3, 4)], iters=3)
+    assert ranks == {1: PR_SCALE, 2: PR_SCALE, 3: PR_SCALE, 4: PR_SCALE}
+
+
+def test_star_center_dominates_and_leaves_tie(spark):
+    """K1,3 after one round, by hand: center gets all three leaf masses
+    (S = 3·SCALE); each leaf gets a third of the center's."""
+    ranks = _run(spark, [(0, 1), (0, 2), (0, 3)], iters=1)
+    assert ranks[0] == PR_BASE + 17 * ((3 * PR_SCALE) // 20)
+    leaf = PR_BASE + 17 * ((PR_SCALE // 3) // 20)
+    assert ranks[1] == ranks[2] == ranks[3] == leaf
+    assert ranks[0] > ranks[1]
+
+
+def test_star_ordering_survives_more_rounds(spark):
+    ranks = _run(spark, [(0, 1), (0, 2), (0, 3)], iters=3)
+    assert ranks[0] > ranks[1] == ranks[2] == ranks[3]
+    # mass is bounded by the invariant the module documents
+    assert all(0 < r < 4 * PR_SCALE for r in ranks.values())
+
+
+def test_pagerank_plan_reuses_cached_edges(spark):
+    """The simhash pipeline must not run once per iteration: the
+    degree-annotated edge list is persisted, so the final plan scans the
+    in-memory relation, and the only parquet reads left are the cheap
+    doc_id node scans."""
+    import re
+
+    df = pagerank_neardup(spark, SF)
+    plan = formatted_plan(df)
+    # every iteration (and the output-degree join) reads the cache
+    assert len(re.findall(r"\(\d+\) InMemoryTableScan", plan)) >= 4, plan
+    # ... and the 64-term simhash sign-sum aggregate appears exactly once:
+    # as the cache-build subtree (partial+final = 2 'Functions [64]'
+    # listings). A second build (4 listings) means something bypassed the
+    # cache — the bug this test originally caught in the degree output.
+    assert plan.count("Functions [64]") == 2, plan.count("Functions [64]")
