@@ -16,6 +16,7 @@ from apache_flink_pratices_spark.operators import (  # noqa: F401
     quantization,
     relational,
     row_transforms,
+    search_index,
     similarity,
     skew,
     streaming_golden,

@@ -36,6 +36,7 @@ from pyspark.sql.window import Window
 
 from apache_flink_pratices_spark.functions.hashing import md5_long, sql_md5_long
 from apache_flink_pratices_spark.functions.numeric import qlong
+from apache_flink_pratices_spark.functions.zorder import sql_zorder_key, zorder_key
 from apache_flink_pratices_spark.io import load
 from apache_flink_pratices_spark.registry import register
 
@@ -216,6 +217,41 @@ def q_value_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.filter(F.abs(F.col("z")) > Z_THRESH).select(
         "event_id", "event_type", "value", F.round("z", 4).alias("z4")
     )
+
+
+# --- Z-order layout key -----------------------------------------------------
+ZORDER_BITS = 16
+
+
+@register(
+    "q_zorder_key_orders",
+    oracle=f"""
+    SELECT o_orderkey,
+           {sql_zorder_key(f"o_custkey % {1 << 16}",
+                           f"(CAST(epoch(o_orderdate) AS BIGINT) // 86400) % {1 << 16}",
+                           16)} AS zkey
+    FROM orders
+    """,
+    doc="Morton (Z-order) clustering key over (customer, order-day): the "
+    "sort key behind multi-dimensional data layout. Writing a fact table "
+    "range-partitioned + sorted by this key bounds every parquet row "
+    "group's extent in BOTH dimensions, so min/max statistics prune 2-D "
+    "box predicates on either axis — single-column sort prunes only its "
+    "own axis (tests/test_zorder_layout.py measures the row-group "
+    "skipping win on real files). Pure shift/mask column expressions, "
+    "zero-exchange map-only plan; the 16-bit quantization here is a fixed "
+    "modulus — at scale the inputs come from percentile bins.",
+    tags=("layout", "zorder"),
+)
+def q_zorder_key_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    mask = F.lit((1 << 16) - 1)
+    x = F.col("o_custkey").bitwiseAND(mask)
+    # `div`, not `/`: float division + cast could truncate off-by-one;
+    # day-aligned epochs make both engines' integer division exact
+    day = F.expr("unix_timestamp(o_orderdate) div 86400")
+    y = day.bitwiseAND(mask)
+    return o.select("o_orderkey", zorder_key(x, y, ZORDER_BITS).alias("zkey"))
 
 
 # --- KMV Jaccard / intersection sketch --------------------------------------

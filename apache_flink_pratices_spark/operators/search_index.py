@@ -1,0 +1,99 @@
+"""Inverted-index construction over the documents corpus.
+
+A corpus engine that dedups / scores / packs documents (operators/dedup.py,
+text.py, curation.py) also needs to *find* them: the inverted index —
+term → document-frequency + posting list — is the search-side artifact a
+curation pipeline materializes for contamination lookups, boilerplate
+inspection and eval-set leakage audits (the batch analogue of
+``contamination_ngrams``, which answers one fixed query; the index answers
+ad-hoc ones).
+
+Scale stance: posting lists are the classic skew trap — a stopword's list
+is the corpus. Lists are therefore CAPPED at the ``IDX_CAP`` smallest
+doc_ids per term, selected with the same two-stage salted bottom-k used by
+``sketch_kmv_distinct`` (stage 1 sorts only within (term, doc_id mod SALT)
+slices, stage 2 merges ≤ SALT·CAP survivors per term), so no task ever
+sorts a hot term's full corpus-sized group. The exact document frequency
+rides a plain hash-aggregate alongside; ``truncated`` flags capped terms.
+Postings serialize as a comma-joined string (deterministic ascending
+order) — the repo's convention for list-valued oracle-checked outputs
+(cf. funnel_conversion's sequence string).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from apache_flink_pratices_spark.io import load
+from apache_flink_pratices_spark.registry import register
+
+IDX_CAP = 32  #: max doc_ids materialized per posting list
+IDX_SALT = 16  #: stage-1 fan-out for the salted bottom-k
+
+
+@register(
+    "build_inverted_index",
+    oracle=f"""
+    WITH toks AS (
+      SELECT DISTINCT doc_id, w AS term
+      FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+            FROM documents)
+      WHERE w <> ''
+    ),
+    df AS (
+      SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM toks GROUP BY term
+    ),
+    bottom AS (
+      SELECT term, doc_id,
+             ROW_NUMBER() OVER (PARTITION BY term ORDER BY doc_id) AS rn
+      FROM toks
+    )
+    SELECT d.term, d.df,
+           string_agg(b.doc_id, ',' ORDER BY b.doc_id) AS postings,
+           d.df > {IDX_CAP} AS truncated
+    FROM df d JOIN bottom b ON b.term = d.term
+    WHERE b.rn <= {IDX_CAP}
+    GROUP BY d.term, d.df
+    """,
+    doc=f"Inverted index over documents: term → exact document frequency "
+    f"plus the {IDX_CAP} smallest doc_ids as a deterministic "
+    "comma-joined posting string. df is a plain two-stage hash-agg; the "
+    "posting cap is the salted two-stage bottom-k (no per-term "
+    "corpus-sized sort even for stopwords), so the heavy sort fans out "
+    f"over terms × {IDX_SALT} slices and the merge sees ≤ "
+    f"{IDX_SALT}·{IDX_CAP} rows per term. The capped-list stance is the "
+    "same skew discipline as the LSH/ngram pipelines' df caps.",
+    tags=("text", "index", "search"),
+)
+def build_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    toks = (
+        d.select("doc_id", F.explode(F.split(F.lower("text"), " ")).alias("term"))
+        .filter(F.col("term") != "")
+        .distinct()
+    )
+    df = toks.groupBy("term").agg(F.count("*").cast("long").alias("df"))
+    # stage 1: bottom-CAP inside each (term, salt) slice
+    w1 = Window.partitionBy("term", "salt").orderBy("doc_id")
+    survivors = (
+        toks.withColumn("salt", F.col("doc_id") % IDX_SALT)
+        .withColumn("rn1", F.row_number().over(w1))
+        .filter(F.col("rn1") <= IDX_CAP)
+        .select("term", "doc_id")
+    )
+    # stage 2: merge the ≤ SALT·CAP survivors per term
+    w2 = Window.partitionBy("term").orderBy("doc_id")
+    bottom = survivors.withColumn("rn", F.row_number().over(w2)).filter(
+        F.col("rn") <= IDX_CAP
+    )
+    postings = F.concat_ws(
+        ",", F.transform(F.array_sort(F.collect_list("doc_id")), lambda x: x.cast("string"))
+    )
+    return (
+        bottom.join(df, "term")
+        .groupBy("term", "df")
+        .agg(postings.alias("postings"))
+        .select("term", "df", "postings", (F.col("df") > IDX_CAP).alias("truncated"))
+    )

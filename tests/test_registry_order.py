@@ -69,11 +69,14 @@ def test_window_covers_never_checked_and_critical():
         assert len(spilled) == len(need) - WINDOW, sorted(spilled)
         assert window <= need, sorted(window - need)
         # spill order = REGISTRATION order (not the sorted view): the
-        # earliest-registered never-checked stay in, the latest spill
+        # earliest-registered never-checked stay in, the latest spill.
+        # Criticals are pinned via their own group, so only non-critical
+        # never-checked compete for the remaining slots.
         from apache_flink_pratices_spark.registry import _REGISTRY
 
         reg = {n: i for i, n in enumerate(_REGISTRY)}
-        worst_in = max(reg[n] for n in never & window)
+        competing = never - set(CRITICAL)
+        worst_in = max(reg[n] for n in competing & window)
         best_out = min(reg[n] for n in spilled)
         assert worst_in < best_out, (worst_in, best_out)
 
