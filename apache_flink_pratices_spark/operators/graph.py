@@ -41,25 +41,27 @@ PR_BASE = PR_SCALE * 15 // 100  #: (1 - d) · SCALE with d = 0.85
 PR_ITERS = 3  #: fixed iteration count (oracle unrolls the same three)
 
 
-def _pr_step(nodes: DataFrame, ej: DataFrame, ranks: DataFrame) -> DataFrame:
+def _pr_step(ej: DataFrame, ranks: DataFrame) -> DataFrame:
     """One damped message-passing round: rank' = BASE + 17·(S div 20).
 
-    ``ej`` is the degree-annotated edge list (src, dst, deg). Contributions
-    are rank div deg per out-edge; S is their exact int64 sum per dst."""
-    contribs = (
+    ``ej`` is the degree-annotated edge list (src, dst, deg); ``ranks``
+    must cover exactly the connected nodes. Contributions are
+    rank div deg per out-edge; S is their exact int64 sum per dst. In a
+    SYMMETRIZED graph every connected node has an in-edge, so the
+    contribution aggregate already emits one row per connected node — no
+    nodes-frame re-join is needed per round (dropping it removed two jobs
+    per iteration: the broadcast build and the outer-join probe)."""
+    # `div`, not `/`: float division then cast would lose exactness past
+    # 2^53 — the recurrence must stay pure int64 end to end
+    return (
         ej.join(ranks, ej.src == ranks.doc_id)
         .select(F.col("dst"), F.expr("rank div deg").alias("contrib"))
         .groupBy("dst")
         .agg(F.sum("contrib").alias("s"))
-    )
-    # `div`, not `/`: float division then cast would lose exactness past
-    # 2^53 — the recurrence must stay pure int64 end to end
-    return nodes.join(contribs, nodes.doc_id == contribs.dst, "left").select(
-        nodes.doc_id,
-        (
-            F.lit(PR_BASE)
-            + F.lit(17) * F.expr("coalesce(s, CAST(0 AS BIGINT)) div 20")
-        ).alias("rank"),
+        .select(
+            F.col("dst").alias("doc_id"),
+            (F.lit(PR_BASE) + F.lit(17) * F.expr("s div 20")).alias("rank"),
+        )
     )
 
 
@@ -111,13 +113,22 @@ def _sql_pr_step(prev: str, out: str) -> str:
     "layer ranks instruments by cross-signal connectivity "
     "(docs/project docs/5. 스크리닝 레이어 설계.md) — same centrality "
     "pattern, here over the near-dup graph.",
+    bench=True,
     tags=("graph", "pagerank", "dedup"),
 )
 def pagerank_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = dedup_simhash(spark, sf_dir)
-    edges = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")).union(
-        pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
-    )
+    # symmetrize via explode, NOT union-of-two-selects: a union duplicates
+    # the pairs subtree, so the whole band-join+verify pipeline would
+    # execute twice (measured ~2x on the edge build)
+    edges = pairs.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")),
+                F.struct(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst")
     deg = edges.groupBy("src").agg(F.count("*").cast("long").alias("deg"))
     # one edge build feeds all rounds: persist so the simhash pipeline
     # (fingerprint + band join) runs once, not once per iteration
@@ -126,17 +137,40 @@ def pagerank_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("src", "dst", "deg")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    nodes = load(spark, sf_dir, "documents").select("doc_id")
-    ranks = nodes.select("doc_id", F.lit(PR_SCALE).cast("long").alias("rank"))
-    for _ in range(PR_ITERS):
-        ranks = _pr_step(nodes, ej, ranks)
-    # read the output degree back OFF THE CACHE (deg itself would re-run
-    # the whole simhash pipeline; deg is constant per src inside ej)
-    out_deg = ej.groupBy("src").agg(F.max("deg").alias("deg")).select(
-        F.col("src").alias("doc_id"), "deg"
+    # Iterate over CONNECTED nodes only. Isolated documents receive no
+    # contributions and contribute nothing, so from round 1 on their rank
+    # is the constant BASE — computing them per round would drag the full
+    # corpus through every iteration for a value known in closed form.
+    # out_deg doubles as the connected-node set (one row per src) and is
+    # read OFF THE CACHE (deg itself would re-run the simhash pipeline).
+    out_deg = (
+        ej.groupBy("src")
+        .agg(F.max("deg").alias("deg"))
+        .select(F.col("src").alias("doc_id"), "deg")
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    return ranks.join(out_deg, "doc_id", "left").select(
+    ranks = out_deg.select("doc_id", F.lit(PR_SCALE).cast("long").alias("rank"))
+    for _ in range(PR_ITERS):
+        # Pregel-style per-round persist: the ranks side of the next
+        # round's join is materialized (broadcast or shuffle) by the
+        # engine, and without a cache that materialization re-executes
+        # the whole prior chain — measured super-linear in iteration
+        # count. Each cached frame is (id, rank) = 16 bytes/row over the
+        # CONNECTED set only.
+        ranks = _pr_step(ej, ranks).persist(StorageLevel.MEMORY_AND_DISK)
+    connected = ranks.join(out_deg, "doc_id").select(
         "doc_id",
-        F.coalesce("deg", F.lit(0)).cast("long").alias("deg"),
+        F.col("deg").cast("long").alias("deg"),
         F.col("rank").cast("long").alias("rank_scaled"),
     )
+    isolated = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id")
+        .join(out_deg.select("doc_id"), "doc_id", "left_anti")
+        .select(
+            "doc_id",
+            F.lit(0).cast("long").alias("deg"),
+            F.lit(PR_BASE).cast("long").alias("rank_scaled"),
+        )
+    )
+    return connected.union(isolated)

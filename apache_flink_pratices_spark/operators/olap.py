@@ -73,6 +73,7 @@ KMV_J_SALT = 32  #: stage-1 parallelism for the salted bottom-k
     "keeps the sums order-independent and bit-identical to the oracle. "
     "(Neither grouping column is ever NULL in the data, so coalescing the "
     "grouping-set NULLs to 'ALL' is unambiguous.)",
+    bench=True,
     tags=("aggregation", "grouping-sets"),
 )
 def q_grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:

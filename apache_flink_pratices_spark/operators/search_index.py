@@ -65,6 +65,7 @@ IDX_SALT = 16  #: stage-1 fan-out for the salted bottom-k
     f"over terms × {IDX_SALT} slices and the merge sees ≤ "
     f"{IDX_SALT}·{IDX_CAP} rows per term. The capped-list stance is the "
     "same skew discipline as the LSH/ngram pipelines' df caps.",
+    bench=True,
     tags=("text", "index", "search"),
 )
 def build_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -34,7 +34,7 @@ def _run(spark, edges, iters):
     nodes, ej = _frames(spark, edges)
     ranks = nodes.select("doc_id", F.lit(PR_SCALE).cast("long").alias("rank"))
     for _ in range(iters):
-        ranks = _pr_step(nodes, ej, ranks)
+        ranks = _pr_step(ej, ranks)
     return {r.doc_id: r.rank for r in ranks.collect()}
 
 
@@ -73,8 +73,10 @@ def test_pagerank_plan_reuses_cached_edges(spark):
     plan = formatted_plan(df)
     # every iteration (and the output-degree join) reads the cache
     assert len(re.findall(r"\(\d+\) InMemoryTableScan", plan)) >= 4, plan
-    # ... and the 64-term simhash sign-sum aggregate appears exactly once:
+    # ... and the 64-term simhash sign-sum aggregate appears at most once:
     # as the cache-build subtree (partial+final = 2 'Functions [64]'
-    # listings). A second build (4 listings) means something bypassed the
-    # cache — the bug this test originally caught in the degree output.
-    assert plan.count("Functions [64]") == 2, plan.count("Functions [64]")
+    # listings), or 0 when an earlier query in the session already
+    # materialized the fingerprint cache. A second build (4 listings)
+    # means something bypassed the cache — the bug this test originally
+    # caught in the degree output.
+    assert plan.count("Functions [64]") in (0, 2), plan.count("Functions [64]")
