@@ -91,9 +91,21 @@ def connected_components(nodes: DataFrame, edges: DataFrame) -> DataFrame:
     does. On a real cluster a reliable ``setCheckpointDir`` checkpoint
     every ~10 rounds is the durable variant of the same move.
     """
-    und = edges.union(
-        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).localCheckpoint()
+    # symmetrize via explode, not union-of-two-selects: the union would
+    # evaluate the edge subtree (the whole near-dup pipeline) twice
+    # inside this eager checkpoint (same fix as pagerank_neardup)
+    und = (
+        edges.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("src"), F.col("dst")),
+                    F.struct(F.col("dst").alias("src"), F.col("src").alias("dst")),
+                )
+            ).alias("e")
+        )
+        .select("e.src", "e.dst")
+        .localCheckpoint()
+    )
     labels = nodes.select(F.col("id"), F.col("id").alias("label")).localCheckpoint()
     prev_sum = labels.agg(F.sum("label")).collect()[0][0]
     for _ in range(CC_MAX_ROUNDS):
