@@ -174,3 +174,109 @@ def pagerank_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return connected.union(isolated)
+
+
+# --- triangle counting ------------------------------------------------------
+@register(
+    "triangle_count_neardup",
+    oracle=f"""
+    WITH {SQL_SIMHASH_PAIR_CTES},
+    canon AS (
+      SELECT doc_a AS u, doc_b AS v FROM cand
+    ),
+    deg AS (
+      SELECT x AS id, CAST(COUNT(*) AS BIGINT) AS d
+      FROM (SELECT u AS x FROM canon UNION ALL SELECT v AS x FROM canon)
+      GROUP BY x
+    ),
+    oriented AS MATERIALIZED (
+      SELECT CASE WHEN (da.d, c.u) < (db.d, c.v) THEN c.u ELSE c.v END AS a,
+             CASE WHEN (da.d, c.u) < (db.d, c.v) THEN c.v ELSE c.u END AS b
+      FROM canon c
+        JOIN deg da ON da.id = c.u
+        JOIN deg db ON db.id = c.v
+    ),
+    closing AS (
+      SELECT a AS y, b AS z FROM oriented
+      UNION ALL
+      SELECT b AS y, a AS z FROM oriented
+    ),
+    tri AS (
+      SELECT e1.a AS x, e1.b AS y, e2.b AS z
+      FROM oriented e1
+        JOIN oriented e2 ON e2.a = e1.a AND e2.b > e1.b
+        JOIN closing e3 ON e3.y = e1.b AND e3.z = e2.b
+    ),
+    member AS (
+      SELECT x AS doc_id FROM tri
+      UNION ALL SELECT y FROM tri
+      UNION ALL SELECT z FROM tri
+    )
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_triangles
+    FROM member GROUP BY doc_id
+    """,
+    doc="Per-document triangle participation over the simhash BAND-"
+    "COLLISION candidate graph (the `cand` stage of dedup_simhash, by "
+    "shared CTE): a doc in many candidate triangles sits in a dense "
+    "mirror/template cluster, while chance band collisions form isolated "
+    "edges — triangle density is the cluster-vs-noise discriminator "
+    "BEFORE paying the Hamming verify. Degree-ordered edge orientation — "
+    "every edge points from its (degree, id)-smaller endpoint — is the "
+    "standard distributed-triangle trick: wedge enumeration fans out "
+    "from each node's OUT-edges only, and max out-degree is O(sqrt(m)) "
+    "regardless of hub size, so a billion-edge boilerplate hub cannot "
+    "produce a quadratic wedge explosion. Wedges close via one equi-join "
+    "back to the oriented edge set.",
+    tags=("graph", "triangles", "dedup"),
+)
+def triangle_count_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from apache_flink_pratices_spark.operators.dedup import (
+        _simhash_candidates,
+        _simhash_fingerprints,
+    )
+
+    fp = _simhash_fingerprints(spark, sf_dir).persist(StorageLevel.MEMORY_AND_DISK)
+    # _simhash_candidates emits doc_a < doc_b distinct — already canonical
+    canon = _simhash_candidates(fp).select(
+        F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
+    )
+    # degree over the undirected set (explode, not self-union — one pass
+    # over the pairs pipeline; see pagerank_neardup)
+    both = canon.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("u").alias("x"), F.col("v").alias("y")),
+                F.struct(F.col("v").alias("x"), F.col("u").alias("y")),
+            )
+        ).alias("e")
+    ).select("e.x", "e.y")
+    deg = both.groupBy("x").agg(F.count("*").cast("long").alias("d"))
+    # orient each edge from its (degree, id)-smaller endpoint; persist the
+    # small oriented list — it feeds the wedge join twice and the closing
+    # join once, and its build contains the whole simhash pipeline
+    da = deg.select(F.col("x").alias("u"), F.col("d").alias("du"))
+    db = deg.select(F.col("x").alias("v"), F.col("d").alias("dv"))
+    u_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    oriented = (
+        canon.join(da, "u")
+        .join(db, "v")
+        .select(
+            F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("a"),
+            F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("b"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    e1 = oriented.select(F.col("a"), F.col("b").alias("y"))
+    e2 = oriented.select(F.col("a"), F.col("b").alias("z"))
+    wedges = e1.join(e2, "a").filter(F.col("z") > F.col("y"))
+    # close the wedge: the third edge is oriented either y→z or z→y
+    closing = oriented.select(F.col("a").alias("y"), F.col("b").alias("z")).union(
+        oriented.select(F.col("b").alias("y"), F.col("a").alias("z"))
+    )
+    tri = wedges.join(closing, ["y", "z"])
+    member = tri.select(
+        F.explode(F.array(F.col("a"), F.col("y"), F.col("z"))).alias("doc_id")
+    )
+    return member.groupBy("doc_id").agg(F.count("*").cast("long").alias("n_triangles"))
