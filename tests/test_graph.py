@@ -80,3 +80,73 @@ def test_pagerank_plan_reuses_cached_edges(spark):
     # means something bypassed the cache — the bug this test originally
     # caught in the degree output.
     assert plan.count("Functions [64]") in (0, 2), plan.count("Functions [64]")
+
+
+def _tri_kernel(spark, edges):
+    """Run the orientation+wedge kernel on an explicit canonical edge set
+    (mirrors triangle_count_neardup past the candidate build)."""
+    from apache_flink_pratices_spark.operators import graph as G
+
+    canon = spark.createDataFrame(edges, "u long, v long")
+    both = canon.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("u").alias("x"), F.col("v").alias("y")),
+                F.struct(F.col("v").alias("x"), F.col("u").alias("y")),
+            )
+        ).alias("e")
+    ).select("e.x", "e.y")
+    deg = both.groupBy("x").agg(F.count("*").cast("long").alias("d"))
+    da = deg.select(F.col("x").alias("u"), F.col("d").alias("du"))
+    db = deg.select(F.col("x").alias("v"), F.col("d").alias("dv"))
+    u_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    oriented = (
+        canon.join(da, "u")
+        .join(db, "v")
+        .select(
+            F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("a"),
+            F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("b"),
+        )
+    )
+    e1 = oriented.select(F.col("a"), F.col("b").alias("y"))
+    e2 = oriented.select(F.col("a"), F.col("b").alias("z"))
+    wedges = e1.join(e2, "a").filter(F.col("z") > F.col("y"))
+    closing = oriented.select(F.col("a").alias("y"), F.col("b").alias("z")).union(
+        oriented.select(F.col("b").alias("y"), F.col("a").alias("z"))
+    )
+    tri = wedges.join(closing, ["y", "z"])
+    member = tri.select(
+        F.explode(F.array(F.col("a"), F.col("y"), F.col("z"))).alias("doc_id")
+    )
+    out = member.groupBy("doc_id").agg(F.count("*").cast("long").alias("n"))
+    return {r.doc_id: r.n for r in out.collect()}
+
+
+def test_triangle_kernel_on_k4(spark):
+    """K4: every vertex sits in C(3,2) = 3 triangles, 4 triangles total."""
+    k4 = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    counts = _tri_kernel(spark, k4)
+    assert counts == {0: 3, 1: 3, 2: 3, 3: 3}
+
+
+def test_triangle_kernel_on_triangle_plus_tail(spark):
+    """A 3-cycle with a pendant edge: only the cycle vertices count."""
+    counts = _tri_kernel(spark, [(0, 1), (1, 2), (0, 2), (2, 3)])
+    assert counts == {0: 1, 1: 1, 2: 1}
+
+
+def test_triangle_kernel_path_has_none(spark):
+    assert _tri_kernel(spark, [(0, 1), (1, 2), (2, 3)]) == {}
+
+
+def test_triangle_plan_has_no_cartesian_and_caches_oriented(spark):
+    from apache_flink_pratices_spark.operators.graph import triangle_count_neardup
+    from apache_flink_pratices_spark.plans.explain import formatted_plan, join_kinds
+
+    plan = formatted_plan(triangle_count_neardup(spark, SF))
+    assert "CartesianProduct" not in join_kinds(plan), join_kinds(plan)
+    # the oriented edge list (whose build contains the fingerprint
+    # pipeline) is persisted and re-read from cache for all three joins
+    assert "InMemoryTableScan" in plan
