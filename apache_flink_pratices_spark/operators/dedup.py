@@ -775,3 +775,107 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("best.n_chars").cast("long").alias("kept_n_chars"),
         )
     )
+
+
+# --- cross-document duplicated-n-gram coverage ------------------------------
+
+DUPCOV_N = 8  #: shingle width for the coverage metric (Gopher-style 8-gram)
+
+
+@register(
+    "dup_ngram_coverage",
+    oracle=f"""
+    WITH arrs AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS a
+      FROM documents
+    ),
+    starts AS (
+      SELECT doc_id, s,
+             {sql_md5_long(f"array_to_string(list_slice(a, s + 1, s + {DUPCOV_N}), ' ')")} AS h
+      FROM arrs, LATERAL (
+        SELECT unnest(generate_series(0, len(a) - {DUPCOV_N})) AS s
+      )
+    ),
+    dup AS (
+      SELECT h FROM starts GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2
+    ),
+    hits AS (
+      SELECT st.doc_id, st.s,
+             MAX(st.s + {DUPCOV_N}) OVER (
+               PARTITION BY st.doc_id ORDER BY st.s
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ) AS prev_end
+      FROM starts st JOIN dup USING (h)
+    ),
+    cov AS (
+      SELECT doc_id,
+             CAST(SUM(GREATEST(0, s + {DUPCOV_N} - GREATEST(s, COALESCE(prev_end, 0)))) AS BIGINT)
+               AS n_covered
+      FROM hits GROUP BY doc_id
+    )
+    SELECT a.doc_id,
+           CAST(len(a.a) AS BIGINT) AS n_tokens,
+           COALESCE(c.n_covered, 0) AS n_covered,
+           CAST(COALESCE(c.n_covered, 0) AS DOUBLE) / len(a.a) AS dup_frac
+    FROM arrs a LEFT JOIN cov c ON c.doc_id = a.doc_id
+    """,
+    doc=f"Cross-document repetition coverage (the RefinedWeb/Gopher "
+    f"'duplicated {DUPCOV_N}-gram fraction' quality signal): per document, "
+    "the fraction of token positions covered by at least one shingle that "
+    "also appears in ANOTHER document. Duplication is by distinct-doc "
+    "count, so within-doc repetition (quality_repetition's job) does not "
+    "trigger it. Scale shape: shingles shuffle as 8-byte hashes; the "
+    "duplicated set comes from a two-stage count-distinct; coverage is an "
+    "INTERVAL MERGE — one window over (doc, start) computing each hit's "
+    "non-overlapped extension via a running max of prior interval ends — "
+    f"instead of exploding {DUPCOV_N} positions per hit and distinct-ing "
+    "them (x8 shuffle volume plus a corpus-sized distinct, avoided "
+    "entirely). Short documents (< N tokens) report zero coverage via the "
+    "final left join.",
+    tags=("dedup", "quality", "ngram"),
+)
+def dup_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    d = _docs_repartitioned(spark, sf_dir)
+    arrs = d.select("doc_id", F.split(F.lower("text"), " ").alias("a"))
+    n = DUPCOV_N
+    starts = arrs.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.size("a") - n)).alias("s"),
+        "a",
+    ).select(
+        "doc_id",
+        "s",
+        md5_long(F.concat_ws(" ", F.slice("a", F.col("s") + 1, n))).alias("h"),
+    )
+    dup = starts.groupBy("h").agg(
+        F.count_distinct("doc_id").alias("nd")
+    ).filter(F.col("nd") >= 2).select("h")
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("s")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    hits = starts.join(dup, "h").withColumn("prev_end", F.max(F.col("s") + n).over(w))
+    cov = hits.groupBy("doc_id").agg(
+        F.sum(
+            F.greatest(
+                F.lit(0),
+                F.col("s") + n - F.greatest(F.col("s"), F.coalesce("prev_end", F.lit(0))),
+            )
+        )
+        .cast("long")
+        .alias("n_covered")
+    )
+    return (
+        arrs.join(cov, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.size("a").cast("long").alias("n_tokens"),
+            F.coalesce("n_covered", F.lit(0)).alias("n_covered"),
+            (
+                F.coalesce("n_covered", F.lit(0)).cast("double") / F.size("a")
+            ).alias("dup_frac"),
+        )
+    )

@@ -170,3 +170,27 @@ def test_gopher_rules_zero_shuffles_and_flag_consistency(spark):
         )
     )
     assert bad.count() == 0
+
+
+# --- dup_ngram_coverage kernel ---------------------------------------------
+def test_dup_ngram_coverage_hand_case(spark, tmp_path):
+    """Two docs share a 9-token run (two overlapping 8-gram hits -> merged
+    interval of 9 covered positions); a third doc shares nothing."""
+    from apache_flink_pratices_spark.operators.dedup import dup_ngram_coverage
+
+    shared = "a b c d e f g h i"  # 9 tokens => 8-gram starts at 0 and 1
+    rows = [
+        (1, shared + " x y z"),  # 12 tokens, covered 0..8 => 9
+        (2, "p q " + shared),  # 11 tokens, covered 2..10 => 9
+        (3, "u v w m n o r s t q p z"),  # nothing shared
+    ]
+    import pandas as pd
+
+    pd.DataFrame(rows, columns=["doc_id", "text"]).to_parquet(
+        tmp_path / "documents.parquet"
+    )
+    out = {r.doc_id: r for r in dup_ngram_coverage(spark, str(tmp_path)).collect()}
+    assert out[1].n_tokens == 12 and out[1].n_covered == 9
+    assert out[2].n_tokens == 11 and out[2].n_covered == 9
+    assert out[3].n_covered == 0 and out[3].dup_frac == 0.0
+    assert abs(out[1].dup_frac - 9 / 12) < 1e-12
