@@ -25,6 +25,8 @@ from pyspark.sql import functions as F
 
 def zorder_key(x: Column, y: Column, bits: int = 16) -> Column:
     """Morton-interleave the low ``bits`` bits: x→even, y→odd positions."""
+    if not 0 < bits <= 31:
+        raise ValueError(f"bits must be in 1..31 (2*bits lanes must fit int64); got {bits}")
     z: Column | None = None
     for i in range(bits):
         xb = F.shiftright(x, i).bitwiseAND(1) * F.lit(1 << (2 * i)).cast("long")
@@ -37,6 +39,8 @@ def zorder_key(x: Column, y: Column, bits: int = 16) -> Column:
 
 def sql_zorder_key(ex: str, ey: str, bits: int = 16) -> str:
     """DuckDB rendering of :func:`zorder_key` (identical bit arithmetic)."""
+    if not 0 < bits <= 31:
+        raise ValueError(f"bits must be in 1..31 (2*bits lanes must fit int64); got {bits}")
     terms = []
     for i in range(bits):
         terms.append(f"((({ex}) >> {i}) & 1) * {1 << (2 * i)}")

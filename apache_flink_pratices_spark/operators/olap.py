@@ -32,7 +32,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
+from pyspark.storagelevel import StorageLevel
 
 from apache_flink_pratices_spark.functions.hashing import md5_long, sql_md5_long
 from apache_flink_pratices_spark.functions.numeric import qlong
@@ -228,9 +228,9 @@ ZORDER_BITS = 16
     "q_zorder_key_orders",
     oracle=f"""
     SELECT o_orderkey,
-           {sql_zorder_key(f"o_custkey % {1 << 16}",
-                           f"(CAST(epoch(o_orderdate) AS BIGINT) // 86400) % {1 << 16}",
-                           16)} AS zkey
+           {sql_zorder_key(f"o_custkey % {1 << ZORDER_BITS}",
+                           f"(CAST(epoch(o_orderdate) AS BIGINT) // 86400) % {1 << ZORDER_BITS}",
+                           ZORDER_BITS)} AS zkey
     FROM orders
     """,
     doc="Morton (Z-order) clustering key over (customer, order-day): the "
@@ -246,7 +246,7 @@ ZORDER_BITS = 16
 )
 def q_zorder_key_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load(spark, sf_dir, "orders")
-    mask = F.lit((1 << 16) - 1)
+    mask = F.lit((1 << ZORDER_BITS) - 1)
     x = F.col("o_custkey").bitwiseAND(mask)
     # `div`, not `/`: float division + cast could truncate off-by-one;
     # day-aligned epochs make both engines' integer division exact
@@ -299,7 +299,12 @@ def q_zorder_key_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("sketch", "similarity"),
 )
 def sketch_kmv_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from apache_flink_pratices_spark.operators.skew import salted_bottom_k
+
     e = load(spark, sf_dir, "events")
+    # persisted: the per-user membership aggregate (the dominant stage)
+    # feeds BOTH the totals aggregate and the bottom-k — without the cache
+    # its reduce side would execute twice
     flagged = (
         e.filter(F.col("event_type").isin("click", "purchase"))
         .select(
@@ -309,24 +314,15 @@ def sketch_kmv_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("h")
         .agg(F.max("a").alias("in_a"), F.max("b").alias("in_b"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     totals = flagged.agg(
         F.count("*").alias("n_union"),
         F.sum(F.col("in_a") * F.col("in_b")).alias("n_inter"),
     )
-    # two-stage salted bottom-k (see sketch_kmv_distinct): stage 1 sorts
-    # only within (h % SALT) slices, stage 2 merges a bounded survivor set
-    w1 = Window.partitionBy("salt").orderBy("h")
-    survivors = (
-        flagged.withColumn("salt", F.col("h") % KMV_J_SALT)
-        .withColumn("rn1", F.row_number().over(w1))
-        .filter(F.col("rn1") <= KMV_J_K)
-        .select("h", "in_a", "in_b")
-    )
-    w2 = Window.orderBy("h")
-    bottom = survivors.withColumn("rn", F.row_number().over(w2)).filter(
-        F.col("rn") <= KMV_J_K
-    )
+    # two-stage salted bottom-k over the union (shared kernel — see
+    # operators/skew.py): global group, so stage 2 merges ≤ SALT·k rows
+    bottom = salted_bottom_k(flagged, [], "h", KMV_J_K, KMV_J_SALT)
     k_used = F.least(F.col("n_union"), F.lit(KMV_J_K).cast("long"))
     return (
         bottom.crossJoin(F.broadcast(totals))

@@ -485,9 +485,8 @@ _MAX56F = float(1 << 56)
     tags=("sketch", "distinct"),
 )
 def sketch_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window
-
     from apache_flink_pratices_spark.functions.hashing import md5_long
+    from apache_flink_pratices_spark.operators.skew import salted_bottom_k
 
     e = load(spark, sf_dir, "events")
     hashed = e.select(
@@ -495,21 +494,11 @@ def sketch_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).distinct()
     # exact count: plain two-stage hash aggregate — scales with partials
     exact = hashed.groupBy("event_type").agg(F.count("*").alias("n_exact"))
-    # stage 1: bottom-k inside each (key, salt) group — the sort is spread
-    # over keys × KMV_SALT tasks and each only needs its k smallest
-    w1 = Window.partitionBy("event_type", "salt").orderBy("h")
-    survivors = (
-        hashed.withColumn("salt", F.col("h") % KMV_SALT)
-        .withColumn("rn1", F.row_number().over(w1))
-        .filter(F.col("rn1") <= KMV_K)
-        .select("event_type", "h")
-    )
-    # stage 2: merge — ≤ KMV_SALT·k rows per key, a bounded-input sort.
+    # two-stage salted bottom-k: stage 1 sorts only (key, salt) slices,
+    # stage 2 merges ≤ KMV_SALT·k survivors per key (shared kernel).
     # exact is #distinct-keys rows, broadcast by size.
-    w2 = Window.partitionBy("event_type").orderBy("h")
-    merged = survivors.join(F.broadcast(exact), "event_type").withColumn(
-        "rn", F.row_number().over(w2)
-    )
+    bottom = salted_bottom_k(hashed, ["event_type"], "h", KMV_K, KMV_SALT)
+    merged = bottom.join(F.broadcast(exact), "event_type")
     est = F.when(
         F.col("n_exact") < KMV_K, F.col("n_exact").cast("double")
     ).otherwise(

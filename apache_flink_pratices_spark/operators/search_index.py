@@ -24,7 +24,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
+from pyspark.storagelevel import StorageLevel
 
 from apache_flink_pratices_spark.io import load
 from apache_flink_pratices_spark.registry import register
@@ -69,26 +69,21 @@ IDX_SALT = 16  #: stage-1 fan-out for the salted bottom-k
     tags=("text", "index", "search"),
 )
 def build_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from apache_flink_pratices_spark.operators.skew import salted_bottom_k
+
     d = load(spark, sf_dir, "documents")
+    # persisted: the term-doc distinct (the heaviest stage) feeds both the
+    # df aggregate and the bottom-k — the cache stops its reduce side from
+    # executing twice per materialization
     toks = (
         d.select("doc_id", F.explode(F.split(F.lower("text"), " ")).alias("term"))
         .filter(F.col("term") != "")
         .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     df = toks.groupBy("term").agg(F.count("*").cast("long").alias("df"))
-    # stage 1: bottom-CAP inside each (term, salt) slice
-    w1 = Window.partitionBy("term", "salt").orderBy("doc_id")
-    survivors = (
-        toks.withColumn("salt", F.col("doc_id") % IDX_SALT)
-        .withColumn("rn1", F.row_number().over(w1))
-        .filter(F.col("rn1") <= IDX_CAP)
-        .select("term", "doc_id")
-    )
-    # stage 2: merge the ≤ SALT·CAP survivors per term
-    w2 = Window.partitionBy("term").orderBy("doc_id")
-    bottom = survivors.withColumn("rn", F.row_number().over(w2)).filter(
-        F.col("rn") <= IDX_CAP
-    )
+    # two-stage salted bottom-k per term (shared kernel — operators/skew.py)
+    bottom = salted_bottom_k(toks, ["term"], "doc_id", IDX_CAP, IDX_SALT, salt_from="doc_id")
     postings = F.concat_ws(
         ",", F.transform(F.array_sort(F.collect_list("doc_id")), lambda x: x.cast("string"))
     )

@@ -113,3 +113,38 @@ def q_salted_event_type_stats(spark, sf_dir: str) -> DataFrame:
         "event_type", qlong(F.col("value"), 100).alias("value_c")
     )
     return salted_agg(e, ["event_type"], sum_cols=["value_c"], salt_n=8)
+
+
+def salted_bottom_k(
+    df: DataFrame,
+    group_cols: list[str],
+    order_col: str,
+    k: int,
+    salt_n: int,
+    salt_from: str | None = None,
+) -> DataFrame:
+    """Bottom-k rows of ``order_col`` per ``group_cols`` group, selected in
+    two salted stages so no task ever sorts a full group.
+
+    Stage 1 keeps each (group, ``salt_from`` mod ``salt_n``) slice's k
+    smallest (the heavy sort fans out over groups × salt_n tasks); stage 2
+    merges the ≤ salt_n·k survivors per group and returns them with their
+    final rank in ``rn`` (≤ k). An empty ``group_cols`` selects a global
+    bottom-k — stage 2 is then a single-task sort over ≤ salt_n·k rows.
+
+    The shared kernel behind sketch_kmv_distinct / sketch_kmv_jaccard /
+    build_inverted_index (one fix to salting or tie-handling lands in all)."""
+    from pyspark.sql.window import Window
+
+    salt = (F.col(salt_from or order_col) % salt_n).alias("__salt")
+    w1 = Window.partitionBy(*group_cols, "__salt").orderBy(order_col)
+    survivors = (
+        df.withColumn("__salt", salt)
+        .withColumn("__rn1", F.row_number().over(w1))
+        .filter(F.col("__rn1") <= k)
+        .drop("__salt", "__rn1")
+    )
+    w2 = Window.partitionBy(*group_cols).orderBy(order_col)
+    return survivors.withColumn("rn", F.row_number().over(w2)).filter(
+        F.col("rn") <= k
+    )

@@ -54,4 +54,4 @@ def test_bottom_k_sort_fans_out_over_salt(spark):
     import re
 
     plan = formatted_plan(build_inverted_index(spark, SF))
-    assert re.search(r"hashpartitioning\(term#\d+, salt#\d+", plan), plan
+    assert re.search(r"hashpartitioning\(term#\d+, __salt#\d+", plan), plan
