@@ -150,23 +150,19 @@ def pagerank_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     ranks = out_deg.select("doc_id", F.lit(PR_SCALE).cast("long").alias("rank"))
-    prev: DataFrame | None = None
     for _ in range(PR_ITERS):
-        # Pregel-style per-round persist + materialize + unpersist of the
-        # superseded round: without the cache, the engine's
-        # materialization of the next round's join input re-executes the
-        # whole prior chain (measured super-linear in rounds); without
-        # the unpersist, every round's (id, rank) frame stays pinned for
-        # the session. The count() is a graph-node-sized job; the last
-        # round (and ej/out_deg, which the returned lazy plan still
-        # reads) intentionally stays cached. If a cached block is ever
-        # evicted the lineage recomputes — a durable pipeline would
-        # checkpoint instead (see connected_components).
+        # Pregel-style per-round LAZY persist: the ranks side of the next
+        # round's join is materialized (broadcast or shuffle) by the
+        # engine, and without a cache that materialization re-executes
+        # the whole prior chain — measured super-linear in rounds. The
+        # persists are deliberately lazy (no per-round action): an
+        # eager count()+unpersist(prev) variant bounds cache lifetime to
+        # one round but serializes the rounds into extra jobs, measured
+        # ~15% slower end-to-end. The cached frames are (id, rank) =
+        # 16 bytes/row over the CONNECTED set only, and live until the
+        # session (or the bench/driver harness) clears the cache — the
+        # same lifetime as this module's fp/ej/out_deg caches.
         ranks = _pr_step(ej, ranks).persist(StorageLevel.MEMORY_AND_DISK)
-        ranks.count()
-        if prev is not None:
-            prev.unpersist()
-        prev = ranks
     connected = ranks.join(out_deg, "doc_id").select(
         "doc_id",
         F.col("deg").cast("long").alias("deg"),
@@ -246,13 +242,12 @@ def triangle_count_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     fp = _simhash_fingerprints(spark, sf_dir).persist(StorageLevel.MEMORY_AND_DISK)
     # _simhash_candidates emits doc_a < doc_b distinct — already canonical.
-    # Persisted: canon feeds the degree build AND the orientation join;
-    # fp's cache alone would still re-run the band self-join + distinct
-    # once per reference.
-    canon = (
-        _simhash_candidates(fp)
-        .select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    # canon is NOT persisted: its two consumers (degree build, orientation
+    # join) share the band-join subtree via ReusedExchange off the cached
+    # fingerprints; an extra cache here measured slower (7.4 s vs 6.5 s at
+    # sf0.1 — scale notes, review-pass entry).
+    canon = _simhash_candidates(fp).select(
+        F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
     )
     # degree over the undirected set (explode, not self-union — one pass
     # over the pairs pipeline; see pagerank_neardup)

@@ -32,7 +32,6 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.storagelevel import StorageLevel
 
 from apache_flink_pratices_spark.functions.hashing import md5_long, sql_md5_long
 from apache_flink_pratices_spark.functions.numeric import qlong
@@ -302,9 +301,11 @@ def sketch_kmv_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from apache_flink_pratices_spark.operators.skew import salted_bottom_k
 
     e = load(spark, sf_dir, "events")
-    # persisted: the per-user membership aggregate (the dominant stage)
-    # feeds BOTH the totals aggregate and the bottom-k — without the cache
-    # its reduce side would execute twice
+    # NOT persisted although totals and the bottom-k both read it:
+    # ReusedExchange shares the scan+shuffle of the membership aggregate
+    # between the two branches, and a cache would insert a materialization
+    # barrier (measured slower on the same shape — scale notes, review-pass
+    # entry)
     flagged = (
         e.filter(F.col("event_type").isin("click", "purchase"))
         .select(
@@ -314,7 +315,6 @@ def sketch_kmv_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("h")
         .agg(F.max("a").alias("in_a"), F.max("b").alias("in_b"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     totals = flagged.agg(
         F.count("*").alias("n_union"),

@@ -24,7 +24,6 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.storagelevel import StorageLevel
 
 from apache_flink_pratices_spark.io import load
 from apache_flink_pratices_spark.registry import register
@@ -72,14 +71,14 @@ def build_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     from apache_flink_pratices_spark.operators.skew import salted_bottom_k
 
     d = load(spark, sf_dir, "documents")
-    # persisted: the term-doc distinct (the heaviest stage) feeds both the
-    # df aggregate and the bottom-k — the cache stops its reduce side from
-    # executing twice per materialization
+    # NOT persisted although two consumers read it: Spark's ReusedExchange
+    # already shares the scan+explode+shuffle between the df aggregate and
+    # the bottom-k, and a cache adds a materialization barrier — measured
+    # 1.30 s vs 0.73 s at sf0.1 (see scale notes, review-pass entry)
     toks = (
         d.select("doc_id", F.explode(F.split(F.lower("text"), " ")).alias("term"))
         .filter(F.col("term") != "")
         .distinct()
-        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     df = toks.groupBy("term").agg(F.count("*").cast("long").alias("df"))
     # two-stage salted bottom-k per term (shared kernel — operators/skew.py)
