@@ -85,3 +85,46 @@ def test_registered_salted_stats_two_stage_plan(spark):
     plan = formatted_plan(q_salted_event_type_stats(spark, "/root/testdata/sf0.001"))
     assert "__salt" in plan, plan
     assert plan.count("Exchange") >= 2, plan
+
+
+def test_salted_bottom_k_matches_bruteforce(spark):
+    """The shared two-stage kernel must return exactly the k smallest rows
+    per group (with correct ranks) for adversarial layouts: hot groups,
+    singleton groups, groups smaller than k, order values colliding with
+    the salt modulus."""
+    import random
+
+    from apache_flink_pratices_spark.operators.skew import salted_bottom_k
+
+    rng = random.Random(7)
+    rows = []
+    for g in range(5):
+        n = [1, 3, 17, 64, 200][g]
+        vals = rng.sample(range(10_000), n)
+        rows += [(f"g{g}", v) for v in vals]
+    df = spark.createDataFrame(rows, "grp string, v long")
+    k, salt_n = 8, 4
+    got = {
+        (r.grp, r.rn): r.v
+        for r in salted_bottom_k(df, ["grp"], "v", k, salt_n).collect()
+    }
+    by_grp = {}
+    for g, v in rows:
+        by_grp.setdefault(g, []).append(v)
+    expect = {
+        (g, i + 1): v
+        for g, vs in by_grp.items()
+        for i, v in enumerate(sorted(vs)[:k])
+    }
+    assert got == expect
+
+
+def test_salted_bottom_k_global_group(spark):
+    """Empty group_cols = global bottom-k (the sketch_kmv_jaccard shape)."""
+    from apache_flink_pratices_spark.operators.skew import salted_bottom_k
+
+    df = spark.createDataFrame([(v,) for v in range(100, 0, -1)], "v long")
+    out = sorted(
+        (r.rn, r.v) for r in salted_bottom_k(df, [], "v", 5, 8).collect()
+    )
+    assert out == [(1, 1), (2, 2), (3, 3), (4, 4), (5, 5)]
