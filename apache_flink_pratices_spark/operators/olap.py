@@ -20,10 +20,14 @@ matter at 100 TB:
 * ``sketch_kmv_jaccard`` — deterministic KMV bottom-k sketch of the UNION
   of two behaviour cohorts with membership flags, giving Jaccard /
   intersection estimates from k rows. The sketch is mergeable and the
-  selection is the same two-stage salted bottom-k as
-  ``sketch_kmv_distinct`` (no global per-set sort).
+  selection is the shared two-stage salted bottom-k kernel
+  (operators/skew.py — no global per-set sort).
+* ``q_zorder_key_orders`` — Morton layout key as a zero-exchange shift/mask
+  chain (2-D file skipping measured in tests/test_zorder_layout.py).
+* ``q_value_winsorized`` — robust aggregation: exact discrete quantile
+  bounds (distinct-value compression) broadcast back over a clamping pass.
 
-All four are oracle-checked bit-exactly: integer/decimal accumulation per
+All are oracle-checked bit-exactly: integer/decimal accumulation per
 ``functions/numeric.py``, portable md5-derived hashes per
 ``functions/hashing.py``.
 """
@@ -335,4 +339,86 @@ def sketch_kmv_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("inter_in_sketch").cast("double") / k_used).alias("jaccard_kmv"),
             (F.col("n_inter").cast("double") / F.col("n_union")).alias("jaccard_exact"),
         )
+    )
+
+
+# --- winsorized robust statistics -------------------------------------------
+WINSOR_LO_P100 = 5
+WINSOR_HI_P100 = 95
+
+
+@register(
+    "q_value_winsorized",
+    oracle=f"""
+    WITH b AS (
+      SELECT event_type,
+             quantile_disc(value, {WINSOR_LO_P100 / 100.0}) AS p05,
+             quantile_disc(value, {WINSOR_HI_P100 / 100.0}) AS p95
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(ROUND(GREATEST(b.p05, LEAST(b.p95, e.value)) * 100.0)
+                         AS BIGINT)) AS DOUBLE) / 100.0 AS winsorized_sum,
+           CAST(SUM(CASE WHEN e.value < b.p05 THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
+           CAST(SUM(CASE WHEN e.value > b.p95 THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
+           b.p05, b.p95
+    FROM events e JOIN b USING (event_type)
+    GROUP BY e.event_type, b.p05, b.p95
+    """,
+    doc="Per-type winsorized (p05/p95-clamped) value statistics — the "
+    "robust-aggregation counterpart of q_value_zscore_outliers: instead "
+    "of flagging tails, clamp them before summing, so one fat-fingered "
+    "or adversarial value cannot move the aggregate arbitrarily. Two "
+    "bounded passes: pass 1 computes EXACT discrete per-type quantile "
+    "bounds with the distinct-value-compression + keyed-cumulative-count "
+    "plan of q_price_quantiles (no O(group) aggregation buffer); pass 2 "
+    "re-scans with the 5-row bounds table BROADCAST and clamps in the "
+    "projection — cents-quantized int64 sums keep the result "
+    "bit-identical across engines. The oracle's bounds come from "
+    "DuckDB's native quantile_disc, an independent implementation of the "
+    "same percentile_disc semantics.",
+    tags=("aggregation", "quality", "quantiles"),
+)
+def q_value_winsorized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    e = load(spark, sf_dir, "events").select("event_type", "value")
+    counts = e.groupBy("event_type", "value").agg(F.count("*").alias("c"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ranked = counts.select(
+        "*",
+        F.sum("c").over(w).alias("cum"),
+        F.sum("c").over(Window.partitionBy("event_type")).alias("n"),
+    )
+    # integer threshold comparison (cum*100 >= p*n): exact percentile_disc
+    bounds = ranked.groupBy("event_type").agg(
+        F.min(
+            F.when(F.col("cum") * 100 >= WINSOR_LO_P100 * F.col("n"), F.col("value"))
+        ).alias("p05"),
+        F.min(
+            F.when(F.col("cum") * 100 >= WINSOR_HI_P100 * F.col("n"), F.col("value"))
+        ).alias("p95"),
+    )
+    clamped = qlong(F.greatest(F.col("p05"), F.least(F.col("p95"), F.col("value"))), 100)
+    return (
+        e.join(F.broadcast(bounds), "event_type")
+        .groupBy("event_type", "p05", "p95")
+        .agg(
+            F.count("*").alias("n"),
+            (F.sum(clamped.cast("decimal(38,0)")).cast("double") / F.lit(100.0)).alias(
+                "winsorized_sum"
+            ),
+            F.sum(F.when(F.col("value") < F.col("p05"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_low"),
+            F.sum(F.when(F.col("value") > F.col("p95"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_high"),
+        )
+        .select("event_type", "n", "winsorized_sum", "n_low", "n_high", "p05", "p95")
     )
