@@ -122,6 +122,7 @@ def salted_bottom_k(
     k: int,
     salt_n: int,
     salt_from: str | None = None,
+    tiebreak_cols: list[str] | None = None,
 ) -> DataFrame:
     """Bottom-k rows of ``order_col`` per ``group_cols`` group, selected in
     two salted stages so no task ever sorts a full group.
@@ -132,19 +133,29 @@ def salted_bottom_k(
     final rank in ``rn`` (≤ k). An empty ``group_cols`` selects a global
     bottom-k — stage 2 is then a single-task sort over ≤ salt_n·k rows.
 
+    PRECONDITION: ``order_col`` values must be UNIQUE within each group,
+    OR ``tiebreak_cols`` must extend the ordering to a total order. With
+    ties and no tiebreak, the two row_number stages break ties
+    independently per salt slice, so which tied row survives (and its
+    payload columns) is nondeterministic and need not match an oracle's
+    arbitrary choice (ADVICE r5). All bottom-k-over-hash callers pass
+    distinct hashes; a caller ranking raw data should pass a unique key
+    column (e.g. the row id) as the tiebreak.
+
     The shared kernel behind sketch_kmv_distinct / sketch_kmv_jaccard /
     build_inverted_index (one fix to salting or tie-handling lands in all)."""
     from pyspark.sql.window import Window
 
+    order = [F.col(order_col), *(F.col(c) for c in tiebreak_cols or [])]
     salt = (F.col(salt_from or order_col) % salt_n).alias("__salt")
-    w1 = Window.partitionBy(*group_cols, "__salt").orderBy(order_col)
+    w1 = Window.partitionBy(*group_cols, "__salt").orderBy(*order)
     survivors = (
         df.withColumn("__salt", salt)
         .withColumn("__rn1", F.row_number().over(w1))
         .filter(F.col("__rn1") <= k)
         .drop("__salt", "__rn1")
     )
-    w2 = Window.partitionBy(*group_cols).orderBy(order_col)
+    w2 = Window.partitionBy(*group_cols).orderBy(*order)
     return survivors.withColumn("rn", F.row_number().over(w2)).filter(
         F.col("rn") <= k
     )

@@ -119,6 +119,38 @@ def test_salted_bottom_k_matches_bruteforce(spark):
     assert got == expect
 
 
+def test_salted_bottom_k_ties_deterministic_with_tiebreak(spark):
+    """With duplicate order values, the tiebreak_cols extension must make
+    the surviving rows (payload included) deterministic and equal to the
+    brute-force (order, tiebreak) sort — the ADVICE r5 footgun: without a
+    total order, stage-1 slices and stage 2 tie-break independently."""
+    from apache_flink_pratices_spark.operators.skew import salted_bottom_k
+
+    # every v duplicated across 4 distinct payload ids, several groups
+    rows = [
+        (f"g{g}", v, f"id{g}-{v}-{i}")
+        for g in range(3)
+        for v in [5, 5, 1, 1, 3, 3, 3, 9]
+        for i in range(2)
+    ]
+    df = spark.createDataFrame(rows, "grp string, v long, pid string")
+    got = sorted(
+        (r.grp, r.rn, r.v, r.pid)
+        for r in salted_bottom_k(
+            df, ["grp"], "v", 4, 3, tiebreak_cols=["pid"]
+        ).collect()
+    )
+    by_grp: dict[str, list] = {}
+    for g, v, p in rows:
+        by_grp.setdefault(g, []).append((v, p))
+    expect = sorted(
+        (g, i + 1, v, p)
+        for g, vs in by_grp.items()
+        for i, (v, p) in enumerate(sorted(vs)[:4])
+    )
+    assert got == expect
+
+
 def test_salted_bottom_k_global_group(spark):
     """Empty group_cols = global bottom-k (the sketch_kmv_jaccard shape)."""
     from apache_flink_pratices_spark.operators.skew import salted_bottom_k

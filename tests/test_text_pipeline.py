@@ -194,3 +194,30 @@ def test_dup_ngram_coverage_hand_case(spark, tmp_path):
     assert out[2].n_tokens == 11 and out[2].n_covered == 9
     assert out[3].n_covered == 0 and out[3].dup_frac == 0.0
     assert abs(out[1].dup_frac - 9 / 12) < 1e-12
+
+
+def test_dup_ngram_coverage_short_docs(spark, tmp_path):
+    """Docs with fewer than 8 tokens must report zero coverage, not crash:
+    sequence(0, size-8) is DESCENDING for short docs and slice(a, 1, 8)
+    then throws INVALID_PARAMETER_VALUE.START (ADVICE r5). The guard has
+    to match DuckDB's generate_series-returns-empty semantics."""
+    from apache_flink_pratices_spark.operators.dedup import dup_ngram_coverage
+
+    shared = "a b c d e f g h i"
+    rows = [
+        (1, shared),  # exactly n+1 tokens — still shingles
+        (2, shared + " tail"),
+        (3, "tiny"),  # 1 token
+        (4, "a b c d e f g"),  # 7 tokens: one below the shingle width
+        (5, ""),  # empty text → split gives [""]
+    ]
+    import pandas as pd
+
+    pd.DataFrame(rows, columns=["doc_id", "text"]).to_parquet(
+        tmp_path / "documents.parquet"
+    )
+    out = {r.doc_id: r for r in dup_ngram_coverage(spark, str(tmp_path)).collect()}
+    assert set(out) == {1, 2, 3, 4, 5}
+    assert out[1].n_covered == 9 and out[2].n_covered == 9
+    for short in (3, 4, 5):
+        assert out[short].n_covered == 0 and out[short].dup_frac == 0.0
