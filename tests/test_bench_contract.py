@@ -25,13 +25,42 @@ def test_bench_cli_contract():
         cwd=REPO,
     )
     assert out.returncode == 0, out.stderr[-2000:]
-    line = out.stdout.strip().splitlines()[-1]
-    doc = json.loads(line)
+    lines = out.stdout.strip().splitlines()
+    doc = json.loads(lines[-1])
     assert doc["metric"] == "headline_queries_total_wall"
     assert doc["unit"] == "sec" and doc["value"] > 0
     assert doc["sf"] == "0.001"
-    assert doc["queries"] and set(doc["rows"]) == set(doc["queries"])
+    assert doc["queries"]
     assert all(v >= 0 for v in doc["queries"].values())
+    # the driver tail-captures 2000 chars and parses the LAST line: the
+    # summary must survive that window with slack (BENCH_r05 parsed=null)
+    assert len(lines[-1]) <= 1500, len(lines[-1])
+    detail = json.loads(lines[-2])
+    assert set(detail["rows"]) == set(doc["queries"])
+    assert set(detail["queries_median"]) == set(doc["queries"])
+
+
+def test_bench_summary_line_budget():
+    """Pin the format budget WITHOUT a bench run: the compact summary line
+    for the current headline set, with worst-case float widths, must fit
+    the driver's 2000-char tail capture with slack. Fails when newly
+    bench=True queries push the set past the budget — restructure the
+    summary (shorter names / split lines) at that point, not after a round
+    artifact is lost."""
+    from apache_flink_pratices_spark.registry import bench_specs
+
+    names = list(bench_specs())
+    assert names, "headline set must not be empty"
+    worst = {
+        "metric": "headline_queries_total_wall",
+        "value": 9999.999,
+        "unit": "sec",
+        "sf": "0.001",
+        "runs": 99,
+        "queries": {n: 9999.999 for n in names},
+    }
+    line = json.dumps(worst, separators=(",", ":"))
+    assert len(line) <= 1500, (len(line), "compact summary over budget")
 
 
 def test_bench_order_is_registration_order_not_rotation(tmp_path, monkeypatch):
