@@ -200,6 +200,82 @@ def stream_cep_signals_golden(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- dedicated spoof-vanish golden (W6, 시스템 아키텍처.md:584-592) ----------
+_SPOOF_CODE = "KRW-SPF"
+
+
+def _spoof_scenario():
+    """Isolates the per-price-timer spoof-vanish rule: two watches armed in
+    the same book — one level VANISHES before its 1.5 s deadline (cond2
+    fires → BUY), one PERSISTS (its timer fires too, finds ≥25% of the
+    armed size remaining, and must produce nothing). The single-BUY golden
+    therefore pins both the fire and the non-fire path of W6."""
+
+    def ts(sec):
+        return _B + datetime.timedelta(seconds=sec)
+
+    def ob(sec, ask, bid, levels):
+        return (_SPOOF_CODE, ts(sec), _BASE_US + int(sec * 1_000_000), "orderbook",
+                None, None, ask, bid, levels, None, None, None, None)
+
+    def trade(sec, price, vol):
+        return (_SPOOF_CODE, ts(sec), _BASE_US + int(sec * 1_000_000), "trade",
+                price, vol, None, None, None, None, None, None, None)
+
+    # 0-55 s: warm-up + trailing-60s density baseline (12 samples of 1000)
+    rows = [ob(5 * k, 1000, 1000, [(100 + i, 100) for i in range(10)]) for k in range(12)]
+    rows.append(trade(55.5, 42_000.0, 10.0))  # sets last_price
+    # 56 s: density -40% (cond1) + TWO big new levels appear: 999 (300) and
+    # 888 (200), each > 5% of the 1600 book → two watches, deadline 57.5 s
+    rows.append(ob(56, 600, 1000,
+                   [(100 + i, 10) for i in range(10)] + [(999, 300), (888, 200)]))
+    # 57 s: level 999 is GONE, level 888 still fully there
+    rows.append(ob(57, 620, 1000, [(100 + i, 10) for i in range(10)] + [(888, 200)]))
+    # 58.2 s: first event past the deadline — both timers fire at 58.199 s
+    # against the 57 s book: 999 → remaining 0 < 25% of 300 → cond2 → BUY
+    # (ref = last_price 42000, before this trade updates it); 888 →
+    # remaining 200 ≥ 25% of 200 → no signal
+    rows.append(trade(58.2, 42_100.0, 5.0))
+    return rows
+
+
+def _spoof_expected() -> list[tuple]:
+    buy_us = _BASE_US + 58_199_000
+    return [
+        (_SPOOF_CODE, buy_us, "BUY", P_WAVE_REASON,
+         deterministic_signal_id(_SPOOF_CODE, "BUY", P_WAVE_REASON, buy_us), 42_000.0),
+    ]
+
+
+def _spoof_oracle() -> str:
+    values = ",\n      ".join(
+        f"('{c}', CAST({t} AS BIGINT), '{side}', '{reason}', '{sid}', CAST({price} AS DOUBLE))"
+        for c, t, side, reason, sid, price in _spoof_expected()
+    )
+    return f"""
+    SELECT * FROM (VALUES
+      {values}
+    ) AS t(code, ts_us, side, reason, signal_id, ref_price)
+    """
+
+
+@register(
+    "stream_spoof_golden",
+    oracle=_spoof_oracle(),
+    doc="W6 streaming, isolated: the per-price event-time spoof watch "
+    "(시스템 아키텍처.md:584-592 — a big new level that disappears within "
+    "1.5 s) as its own driver row. Two watches armed in one book; only "
+    "the vanishing level's timer sets cond2, so the golden output is "
+    "exactly one BUY — the persisting level's timer firing without a "
+    "signal is pinned by the row's absence.",
+    tags=("streaming", "stateful", "cep", "golden"),
+)
+def stream_spoof_golden(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _run_memory_stream(
+        spark, _spoof_scenario(), UNIFIED_SCHEMA, signal_stream, "afp_spoof_golden"
+    )
+
+
 #: watermarked-window golden corpus: 4 replay files of 2 rows each. The
 #: shape pins THREE behaviors at once: (1) append-mode windows emit only
 #: once the watermark passes their end; (2) a late row that arrives while

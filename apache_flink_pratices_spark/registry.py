@@ -39,6 +39,7 @@ CRITICAL = (
     "stream_topk_golden",
     "stream_trend_golden",  # A2 2-consecutive-decreases trend rule
     "stream_cdc_golden",  # CDC latest-state compaction (streaming twin)
+    "stream_spoof_golden",  # W6 per-price spoof-vanish timer, isolated (r6)
     # -- batch anchors per §2 component --
     "w7_signal_ids",  # W7 deterministic sha256 IDs
     "p_filter_even_clicks",  # P3

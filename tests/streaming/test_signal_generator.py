@@ -167,6 +167,25 @@ def test_no_buy_without_spoof(spark, tmp_path):
     assert signals == []
 
 
+def test_persisting_level_timer_fires_without_signal(spark, tmp_path):
+    """The dedicated spoof corpus (stream_spoof_golden): two watches armed
+    in one book, only the VANISHING level's timer may set cond2. The
+    persisting level's timer fires too — with cond1 fresh — and must
+    produce nothing; output is exactly one BUY regardless of how the
+    micro-batches split around the 1.5 s deadline."""
+    from apache_flink_pratices_spark.operators.streaming_golden import (
+        _spoof_expected,
+        _spoof_scenario,
+    )
+
+    rows = _spoof_scenario()
+    expected = [tuple(e) for e in _spoof_expected()]
+    for chunks in (1, 2, len(rows)):
+        got = _run(spark, tmp_path / f"s{chunks}", rows, chunks=chunks,
+                   name=f"spoof_c{chunks}")
+        assert [tuple(r) for r in got] == expected, f"chunks={chunks}"
+
+
 def test_feedback_failure_removes_position(spark, tmp_path):
     """A FAILED execution feedback closes the position: the subsequent
     sell-shaped book must not emit a SELL."""

@@ -30,6 +30,7 @@ S2_ANCHORS = {
     "stream_join_golden",
     "stream_topk_golden",
     "stream_trend_golden",  # A2 trend rule (r5)
+    "stream_spoof_golden",  # W6 spoof-vanish timer (r6)
     "w7_signal_ids",  # W7
     "p_filter_even_clicks",  # P3
     "win_tumbling_daily",  # A2/A6
