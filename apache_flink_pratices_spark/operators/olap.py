@@ -422,3 +422,171 @@ def q_value_winsorized(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("event_type", "n", "winsorized_sum", "n_low", "n_high", "p05", "p95")
     )
+
+
+# --- robust outliers: median absolute deviation -----------------------------
+MAD_K = 3  #: |value - median| > K·MAD flags an outlier (robust 3-sigma)
+
+
+@register(
+    "q_group_mad_outliers",
+    oracle=f"""
+    WITH v AS (
+      SELECT event_type, CAST(ROUND(value * 100.0) AS BIGINT) AS v_c FROM events
+    ),
+    med AS (
+      SELECT event_type, CAST(quantile_disc(v_c, 0.5) AS BIGINT) AS med_c
+      FROM v GROUP BY event_type
+    ),
+    dev AS (
+      SELECT v.event_type, abs(v.v_c - m.med_c) AS d_c
+      FROM v JOIN med m USING (event_type)
+    ),
+    mad AS (
+      SELECT event_type, CAST(quantile_disc(d_c, 0.5) AS BIGINT) AS mad_c
+      FROM dev GROUP BY event_type
+    )
+    SELECT d.event_type, m.med_c, md.mad_c,
+           CAST(SUM(CASE WHEN d.d_c > {MAD_K} * md.mad_c THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_outliers,
+           CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM dev d JOIN med m USING (event_type) JOIN mad md USING (event_type)
+    GROUP BY d.event_type, m.med_c, md.mad_c
+    """,
+    doc=f"Robust outlier detection via median absolute deviation — the "
+    "MAD-based twin of the z-score op for corpora where the mean/stddev "
+    "themselves are poisoned by the outliers (50% breakdown point vs 0%). "
+    "Values are cents-quantized so median, MAD and the |dev| > "
+    f"{MAD_K}·MAD flag are pure int64 arithmetic — bit-exact across "
+    "engines with no float quantile interpolation. Scale shape: ONE "
+    "corpus scan compresses to a (group, distinct value, count) table; "
+    "median, deviation counts, MAD and the outlier tally are all derived "
+    "from that compressed table (same kernel as q_price_quantiles), with "
+    "the 5-row median/MAD tables broadcast — the corpus is never "
+    "rescanned and no aggregation buffer is O(group).",
+    tags=("olap", "robust", "quantiles"),
+)
+def q_group_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from pyspark.storagelevel import StorageLevel
+
+    v = load(spark, sf_dir, "events").select(
+        "event_type", qlong(F.col("value"), 100).alias("v_c")
+    )
+    # the compressed (group, value, count) table feeds the median window
+    # AND the deviation re-group; persisting it is what makes the corpus
+    # scan run ONCE (without it each consumer re-expands the scan subtree)
+    counts = (
+        v.groupBy("event_type", "v_c")
+        .agg(F.count("*").alias("c"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+
+    def disc_median(df: DataFrame, val: str) -> DataFrame:
+        w = (
+            Window.partitionBy("event_type")
+            .orderBy(val)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        ranked = df.select(
+            "*",
+            F.sum("c").over(w).alias("cum"),
+            F.sum("c").over(Window.partitionBy("event_type")).alias("n"),
+        )
+        return ranked.groupBy("event_type").agg(
+            F.min(F.when(F.col("cum") * 2 >= F.col("n"), F.col(val))).alias(
+                f"med_{val}"
+            )
+        )
+
+    med = disc_median(counts, "v_c").withColumnRenamed("med_v_c", "med_c")
+    # deviation counts likewise feed the MAD window and the outlier tally
+    dev_counts = (
+        counts.join(F.broadcast(med), "event_type")
+        .select(
+            "event_type",
+            F.abs(F.col("v_c") - F.col("med_c")).alias("d_c"),
+            "c",
+        )
+        .groupBy("event_type", "d_c")
+        .agg(F.sum("c").alias("c"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    mad = disc_median(dev_counts, "d_c").withColumnRenamed("med_d_c", "mad_c")
+    return (
+        dev_counts.join(F.broadcast(med), "event_type")
+        .join(F.broadcast(mad), "event_type")
+        .groupBy("event_type", "med_c", "mad_c")
+        .agg(
+            F.sum(
+                F.when(F.col("d_c") > MAD_K * F.col("mad_c"), F.col("c")).otherwise(
+                    F.lit(0)
+                )
+            )
+            .cast("long")
+            .alias("n_outliers"),
+            F.sum("c").cast("long").alias("n_rows"),
+        )
+    )
+
+
+# --- range-partition boundary computation (the TeraSort pattern) ------------
+RANGE_BUCKETS = 8  #: target number of range partitions
+RANGE_SAMPLE_MOD = 20  #: deterministic ~5% sample: md5(key) % MOD == 0
+
+
+@register(
+    "q_range_partition_bounds",
+    # quantile_disc needs constant parameters in DuckDB — unroll the K-1
+    # boundaries as a UNION ALL of constant-quantile aggregates
+    oracle="WITH s AS (\n"
+    "  SELECT o_totalprice AS v\n"
+    "  FROM orders\n"
+    f"  WHERE {sql_md5_long('CAST(o_orderkey AS VARCHAR)')} % {RANGE_SAMPLE_MOD} = 0\n"
+    ")\n"
+    + "\nUNION ALL ".join(
+        f"SELECT CAST({k} AS BIGINT) AS bucket, "
+        f"CAST(quantile_disc(v, {k / RANGE_BUCKETS!r}) AS DOUBLE) AS boundary FROM s"
+        for k in range(1, RANGE_BUCKETS)
+    ),
+    doc=f"Range-partition boundary computation — the global-sort / "
+    "TeraSort planning step: a deterministic hash sample "
+    f"(md5(key) % {RANGE_SAMPLE_MOD} == 0, so both engines pick the "
+    f"identical ~5% subset) is reduced to {RANGE_BUCKETS - 1} exact "
+    "discrete quantile boundaries; range-partitioning the full corpus by "
+    "these bounds yields near-equal buckets (balance property pinned in "
+    "tests/test_olap_plans.py). Scale shape: the corpus-sized work is a "
+    "map-only filter that forwards ~1/20th of the keys; the sample is "
+    "then compressed to (distinct value, count) before one small-window "
+    "pass — the only single-task step is over the compressed sample, "
+    "which is what Spark's own RangePartitioner does at any cluster "
+    "size. Boundaries are existing data values (no interpolation) so "
+    "the output is float-arithmetic-free and hash-exact.",
+    tags=("olap", "sort", "sampling", "quantiles"),
+)
+def q_range_partition_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    s = (
+        load(spark, sf_dir, "orders")
+        .filter(
+            md5_long(F.col("o_orderkey").cast("string")) % RANGE_SAMPLE_MOD == 0
+        )
+        .select(F.col("o_totalprice").alias("v"))
+    )
+    counts = s.groupBy("v").agg(F.count("*").alias("c"))
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ranked = counts.select(
+        "v",
+        F.sum("c").over(w).alias("cum"),
+        F.sum("c").over(Window.partitionBy()).alias("n"),
+    )
+    buckets = spark.range(1, RANGE_BUCKETS).select(F.col("id").alias("bucket"))
+    # cum/n >= bucket/RANGE_BUCKETS as exact integer cross-multiplication
+    return (
+        ranked.crossJoin(F.broadcast(buckets))
+        .filter(F.col("cum") * RANGE_BUCKETS >= F.col("bucket") * F.col("n"))
+        .groupBy("bucket")
+        .agg(F.min("v").cast("double").alias("boundary"))
+    )

@@ -265,3 +265,184 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= TOP_K)
         .select("query_id", "vec_id", "label", "cosine_pq", "rn")
     )
+
+
+# --- IVF + PQ combined: probe cells, score compressed codes -----------------
+
+
+def _sql_pq_rec_ctes() -> str:
+    """DuckDB CTEs ending in ``rec(vec_id, label, k, r)`` — the int8
+    bin-center reconstruction of every corpus vector (shared with the
+    ann_pq_topk oracle shape)."""
+    return f"""
+    e AS (
+      SELECT vec_id, label,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS xs
+      FROM embeddings
+    ),
+    elems AS (
+      SELECT e.vec_id, e.label, u.x, u.k
+      FROM e, LATERAL (SELECT unnest(e.xs) AS x,
+                              generate_subscripts(e.xs, 1) AS k) u
+    ),
+    stats AS (SELECT k, MIN(x) AS mn, MAX(x) AS mx FROM elems GROUP BY k),
+    rec AS (
+      SELECT el.vec_id, el.label, el.k,
+             CASE WHEN s.mx = s.mn THEN s.mn
+                  ELSE s.mn + (CAST(LEAST(255, GREATEST(0,
+                         floor((el.x - s.mn) * {BINS} / (s.mx - s.mn)))) AS BIGINT)
+                       + 0.5) * (s.mx - s.mn) / {BINS}
+             END AS r
+      FROM elems el JOIN stats s USING (k)
+    )"""
+
+
+def _ann_ivfpq_oracle() -> str:
+    from apache_flink_pratices_spark.operators.similarity import (
+        _SCALE,
+        _SQL_IVF_DIRS,
+        IVF_NPROBE,
+        N_QUERIES,
+        TOP_K,
+    )
+
+    return f"""
+    WITH {_SQL_IVF_DIRS},
+    {_sql_pq_rec_ctes()},
+    sims AS (
+      SELECT el.vec_id, d.m,
+             SUM(CAST(floor(CAST(el.x AS DOUBLE) * d.s * {_SCALE}) AS BIGINT)) AS sim
+      FROM elems el JOIN dirs d ON d.k = el.k
+      GROUP BY el.vec_id, d.m
+    ),
+    cells AS (
+      SELECT vec_id, m AS cell,
+             ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, m) AS rk
+      FROM sims
+    ),
+    assigned AS (SELECT vec_id, cell FROM cells WHERE rk = 1),
+    probes AS (
+      SELECT vec_id AS query_id, cell
+      FROM cells WHERE vec_id < {N_QUERIES} AND rk <= {IVF_NPROBE}
+    ),
+    cand AS (
+      SELECT p.query_id, a.vec_id
+      FROM probes p JOIN assigned a ON a.cell = p.cell
+      WHERE a.vec_id <> p.query_id
+    ),
+    rnorm AS (
+      SELECT vec_id, label,
+             CAST(SUM(CAST(floor(r * r * {_SCALE}) AS BIGINT)) AS DOUBLE)
+               / {_SCALE} AS nrm
+      FROM rec GROUP BY vec_id, label
+    ),
+    qnorm AS (
+      SELECT vec_id AS query_id,
+             CAST(SUM(CAST(floor(x * x * {_SCALE}) AS BIGINT)) AS DOUBLE)
+               / {_SCALE} AS nrm
+      FROM elems WHERE vec_id < {N_QUERIES} GROUP BY vec_id
+    ),
+    dots AS (
+      SELECT c.query_id, c.vec_id,
+             CAST(SUM(CAST(floor(q.x * r.r * {_SCALE}) AS BIGINT)) AS DOUBLE)
+               / {_SCALE} AS dot
+      FROM cand c
+        JOIN elems q ON q.vec_id = c.query_id
+        JOIN rec r ON r.vec_id = c.vec_id AND r.k = q.k
+      GROUP BY c.query_id, c.vec_id
+    ),
+    scored AS (
+      SELECT d.query_id, d.vec_id, rn2.label,
+             d.dot / (sqrt(qn.nrm) * sqrt(rn2.nrm)) AS cosine_pq
+      FROM dots d
+        JOIN qnorm qn ON qn.query_id = d.query_id
+        JOIN rnorm rn2 ON rn2.vec_id = d.vec_id
+    )
+    SELECT query_id, vec_id, label, cosine_pq, rn
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY cosine_pq DESC, vec_id) AS rn
+          FROM scored)
+    WHERE rn <= {TOP_K}
+    """
+
+
+@register(
+    "ann_ivfpq_topk",
+    oracle=_ann_ivfpq_oracle(),
+    doc="IVF + PQ combined — the production shape of a billion-scale ANN "
+    "index (what FAISS calls IVFx,SQ8): the corpus is partitioned into "
+    "cells by argmax direction sim (map-side, zero shuffle), stored as "
+    "int8 codes (16x smaller), and a query touches ONLY its nprobe best "
+    "cells, scoring exact-query-vs-reconstructed-corpus asymmetric "
+    "cosine. The two prunings compose: IVF cuts the candidate set to "
+    "nprobe/cells of the corpus, PQ cuts bytes-per-candidate 16x — at "
+    "100 TB that is the difference between a memory-resident index and "
+    "a disk scan. Everything is the same exactness playbook as the "
+    "separate tiers (1e-12-floored dots, integer cell ranks); recall vs "
+    "the exact baseline is pinned in tests/test_pca_quantize.py.",
+    tags=("similarity", "ann", "ivf", "quantization"),
+)
+def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from apache_flink_pratices_spark.operators.similarity import (
+        _dot,
+        _ivf_sims,
+        IVF_NPROBE,
+        N_QUERIES,
+        TOP_K,
+    )
+
+    mn, mx = _dim_stats(spark, sf_dir)
+    lit_mn, lit_mx = F.lit(mn), F.lit(mx)
+
+    def rec_elem(x, i):
+        m = F.element_at(lit_mn, i + 1)
+        rng = F.element_at(lit_mx, i + 1) - m
+        q = F.least(
+            F.lit(255).cast("long"),
+            F.greatest(F.lit(0).cast("long"), F.floor((x - m) * BINS / rng)),
+        )
+        return F.when(rng == 0.0, m).otherwise(
+            m + (q.cast("double") + 0.5) * rng / BINS
+        )
+
+    e = load(spark, sf_dir, "embeddings")
+    xs = F.expr("transform(embedding, x -> CAST(x AS DOUBLE))")
+    # corpus: cell assignment is map-side (argmax of the direction sims);
+    # the stored representation is the reconstructed code vector
+    corpus = e.select(
+        "vec_id",
+        "label",
+        F.element_at(_ivf_sims(), 1)["cell"].alias("cell"),
+        F.transform(xs, rec_elem).alias("rec"),
+    ).withColumn("rnrm", _dot(F.col("rec"), F.col("rec")))
+    probes = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.explode(
+            F.transform(F.slice(_ivf_sims(), 1, IVF_NPROBE), lambda s: s["cell"])
+        ).alias("cell"),
+    )
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), xs.alias("qx")
+    ).withColumn("qnrm", _dot(F.col("qx"), F.col("qx")))
+    cand = (
+        corpus.join(F.broadcast(probes), "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", "label", "rec", "rnrm")
+    )
+    scored = cand.join(F.broadcast(q), "query_id").select(
+        "query_id",
+        "vec_id",
+        "label",
+        (
+            _dot(F.col("qx"), F.col("rec"))
+            / (F.sqrt(F.col("qnrm")) * F.sqrt(F.col("rnrm")))
+        ).alias("cosine_pq"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine_pq"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_K)
+        .select("query_id", "vec_id", "label", "cosine_pq", "rn")
+    )

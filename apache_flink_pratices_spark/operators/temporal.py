@@ -296,3 +296,45 @@ def range_join_binned(spark, sf_dir: str) -> DataFrame:
             F.coalesce(F.sum(value_c), F.lit(0)).alias("view_value_c"),
         )
     )
+
+
+# --- behavioral sequence mining: event-transition matrix --------------------
+@register(
+    "q_event_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT event_type,
+             LEAD(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS next_type
+      FROM events
+    )
+    SELECT event_type, next_type, CAST(COUNT(*) AS BIGINT) AS n
+    FROM seq
+    WHERE next_type IS NOT NULL
+    GROUP BY event_type, next_type
+    """,
+    doc="First-order behavioral transition matrix (Markov bigrams over each "
+    "user's time-ordered event stream) — the batch twin of the CEP layer's "
+    "sequence rules (SURVEY §2.5 J2 / funnel_conversion) and the standard "
+    "input to next-event models and anomaly scoring. Ordering is the "
+    "deterministic (ts, event_id) total order shared with "
+    "cdc_upsert_compaction. Scale shape: ONE shuffle on user_id, the lead() "
+    "is computed within each user's sorted run (no self-join — the naive "
+    "formulation pairs each event with its successor via an equi-join on "
+    "row position, a second corpus-wide shuffle), and the output is "
+    "bounded by |event_type|² regardless of corpus size, so the final "
+    "aggregation is map-side-combined down to a constant-size matrix.",
+    tags=("temporal", "sequence", "markov"),
+)
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events").select("user_id", "ts", "event_id", "event_type")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    )
+    return (
+        seq.filter(F.col("next_type").isNotNull())
+        .groupBy("event_type", "next_type")
+        .agg(F.count("*").cast("long").alias("n"))
+    )

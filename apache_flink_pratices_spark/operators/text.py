@@ -682,6 +682,38 @@ GOPHER_MIN_ALPHA_RATIO = 0.8
 GOPHER_MIN_STOPWORDS = 2
 
 
+def _gopher_metrics() -> dict[str, F.Column]:
+    """The four Gopher rule metrics + pass flag over a tokenized ``ws``
+    column — shared by quality_gopher_rules (per-doc flags) and
+    source_quality_report (per-source aggregation), so the gate and the
+    dashboard can never disagree on a rule."""
+    n_words = F.size("ws").cast("long")
+    total_chars = F.aggregate(
+        "ws", F.lit(0).cast("long"), lambda acc, w: acc + F.length(w)
+    )
+    mean_wl = total_chars.cast("double") / n_words.cast("double")
+    n_alpha = F.size(F.filter(F.col("ws"), lambda w: w.rlike("[a-z]")))
+    alpha_ratio = n_alpha.cast("double") / n_words.cast("double")
+    n_stop_distinct = F.size(
+        F.array_distinct(F.filter(F.col("ws"), lambda w: w.isin(*STOPWORDS)))
+    )
+    r_wc = (n_words >= GOPHER_MIN_WORDS) & (n_words <= GOPHER_MAX_WORDS)
+    r_mwl = (mean_wl >= GOPHER_MIN_MWL) & (mean_wl <= GOPHER_MAX_MWL)
+    r_alpha = alpha_ratio >= GOPHER_MIN_ALPHA_RATIO
+    r_stop = n_stop_distinct >= GOPHER_MIN_STOPWORDS
+    return {
+        "n_words": n_words,
+        "mean_word_len": mean_wl,
+        "alpha_ratio": alpha_ratio,
+        "r_wc": r_wc,
+        "r_mwl": r_mwl,
+        "r_alpha": r_alpha,
+        "r_stop": r_stop,
+        "passes": r_wc & r_mwl & r_alpha & r_stop,
+    }
+
+
+
 @register(
     "quality_gopher_rules",
     oracle=f"""
@@ -731,20 +763,9 @@ def quality_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     ws = tokens()
     t = d.select("doc_id", ws.alias("ws")).filter(F.size("ws") > 0)
-    n_words = F.size("ws").cast("long")
-    total_chars = F.aggregate(
-        "ws", F.lit(0).cast("long"), lambda acc, w: acc + F.length(w)
-    )
-    mean_wl = total_chars.cast("double") / n_words.cast("double")
-    n_alpha = F.size(F.filter(F.col("ws"), lambda w: w.rlike("[a-z]")))
-    alpha_ratio = n_alpha.cast("double") / n_words.cast("double")
-    n_stop_distinct = F.size(
-        F.array_distinct(F.filter(F.col("ws"), lambda w: w.isin(*STOPWORDS)))
-    )
-    r_wc = (n_words >= GOPHER_MIN_WORDS) & (n_words <= GOPHER_MAX_WORDS)
-    r_mwl = (mean_wl >= GOPHER_MIN_MWL) & (mean_wl <= GOPHER_MAX_MWL)
-    r_alpha = alpha_ratio >= GOPHER_MIN_ALPHA_RATIO
-    r_stop = n_stop_distinct >= GOPHER_MIN_STOPWORDS
+    m = _gopher_metrics()
+    n_words, mean_wl, alpha_ratio = m["n_words"], m["mean_word_len"], m["alpha_ratio"]
+    r_wc, r_mwl, r_alpha, r_stop = m["r_wc"], m["r_mwl"], m["r_alpha"], m["r_stop"]
     return t.select(
         "doc_id",
         n_words.alias("n_words"),
@@ -859,4 +880,83 @@ def bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("pmi_ratio").desc(), "w1", "w2")
         .limit(PMI_TOP_K)
+    )
+
+
+# --- per-source quality dashboard -------------------------------------------
+@register(
+    "source_quality_report",
+    oracle=f"""
+    WITH docs AS (
+      SELECT doc_id, source, lang, string_split(lower(text), ' ') AS ws
+      FROM documents
+    ),
+    toks AS (
+      SELECT doc_id, unnest(ws) AS w FROM docs WHERE len(ws) > 0
+    ),
+    m AS (
+      SELECT doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_words,
+             CAST(SUM(CASE WHEN w IN {STOPWORDS!r} THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_stop,
+             CAST(SUM(length(w)) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+               AS mean_word_len,
+             CAST(SUM(CASE WHEN regexp_matches(w, '[a-z]') THEN 1 ELSE 0 END)
+                  AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS alpha_ratio,
+             COUNT(DISTINCT CASE WHEN w IN {STOPWORDS!r} THEN w END)
+               AS n_stop_distinct
+      FROM toks GROUP BY doc_id
+    ),
+    flagged AS (
+      SELECT d.source, d.lang, m.n_words, m.n_stop,
+             CAST(m.n_words BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS}
+                  AND m.mean_word_len BETWEEN {GOPHER_MIN_MWL} AND {GOPHER_MAX_MWL}
+                  AND m.alpha_ratio >= {GOPHER_MIN_ALPHA_RATIO}
+                  AND m.n_stop_distinct >= {GOPHER_MIN_STOPWORDS}
+                  AS BIGINT) AS passes
+      FROM m JOIN docs d USING (doc_id)
+    )
+    SELECT source, lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_words) AS BIGINT) AS n_words_total,
+           CAST(SUM(n_stop) AS BIGINT) AS n_stopwords_total,
+           CAST(SUM(n_words) AS DOUBLE) / COUNT(*) AS words_per_doc,
+           CAST(SUM(n_stop) AS DOUBLE) / SUM(n_words) AS stopword_ratio,
+           CAST(SUM(passes) AS BIGINT) AS n_gopher_pass,
+           CAST(SUM(passes) AS DOUBLE) / COUNT(*) AS gopher_pass_rate
+    FROM flagged
+    GROUP BY source, lang
+    """,
+    doc="Per-(source, lang) corpus quality dashboard — the provenance "
+    "report a curation pipeline publishes per crawl/source before "
+    "deciding mixing weights: document counts, token volume, stopword "
+    "density and the Gopher-gate pass rate (rule expressions shared with "
+    "quality_gopher_rules via _gopher_metrics, so gate and report cannot "
+    "drift apart). Scale shape: ONE corpus scan — all per-document "
+    "metrics are map-side array expressions over the tokenized text, the "
+    "only shuffle carries |source|x|lang| partial-aggregate rows, and "
+    "every ratio is a single division of two exactly-aggregated integers "
+    "(bit-identical across engines).",
+    tags=("text", "quality", "curation", "llm-pipeline"),
+)
+def source_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    t = d.select("source", "lang", tokens().alias("ws")).filter(F.size("ws") > 0)
+    m = _gopher_metrics()
+    n_stop = F.size(F.filter(F.col("ws"), lambda w: w.isin(*STOPWORDS))).cast("long")
+    per_doc = t.select(
+        "source",
+        "lang",
+        m["n_words"].alias("n_words"),
+        n_stop.alias("n_stop"),
+        m["passes"].cast("long").alias("passes"),
+    )
+    return per_doc.groupBy("source", "lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_words").alias("n_words_total"),
+        F.sum("n_stop").alias("n_stopwords_total"),
+        (F.sum("n_words").cast("double") / F.count("*")).alias("words_per_doc"),
+        (F.sum("n_stop").cast("double") / F.sum("n_words")).alias("stopword_ratio"),
+        F.sum("passes").alias("n_gopher_pass"),
+        (F.sum("passes").cast("double") / F.count("*")).alias("gopher_pass_rate"),
     )

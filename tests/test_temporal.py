@@ -154,3 +154,54 @@ def test_range_join_binned_matches_model_on_bin_boundaries(spark, e_offs, v_offs
             1 for voff in v_offs if eoff <= voff < eoff + RANGE_JOIN_SECONDS
         )
     assert got == want
+
+
+def test_event_transitions_hand_case(spark, tmp_path):
+    """Bigram transitions over two users' interleaved streams; ordering by
+    (ts, event_id) with a same-timestamp pair resolved by event_id."""
+    import datetime
+
+    import pandas as pd
+
+    from apache_flink_pratices_spark.operators.temporal import q_event_transitions
+
+    t0 = datetime.datetime(2021, 1, 1)
+
+    def ts(s):
+        return t0 + datetime.timedelta(seconds=s)
+
+    rows = [
+        # user 1: a -> b -> b
+        (1, ts(0), 1, "a", 0.0, None),
+        (2, ts(1), 1, "b", 0.0, None),
+        (3, ts(2), 1, "b", 0.0, None),
+        # user 2: c -> a (same ts, event_id breaks the tie), then -> b
+        (10, ts(5), 2, "c", 0.0, None),
+        (11, ts(5), 2, "a", 0.0, None),
+        (12, ts(9), 2, "b", 0.0, None),
+        # user 3: single event, no transition
+        (20, ts(0), 3, "a", 0.0, None),
+    ]
+    pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+    ).to_parquet(tmp_path / "events.parquet")
+    got = {
+        (r.event_type, r.next_type): r.n
+        for r in q_event_transitions(spark, str(tmp_path)).collect()
+    }
+    assert got == {("a", "b"): 2, ("b", "b"): 1, ("c", "a"): 1}
+
+
+def test_event_transitions_single_shuffle(spark):
+    """One exchange on user_id feeds both the lead() window and (via the
+    bounded K² matrix) the final aggregation's partial side."""
+    from apache_flink_pratices_spark.operators.temporal import q_event_transitions
+    from apache_flink_pratices_spark.plans.explain import (
+        exchange_count,
+        formatted_plan,
+    )
+
+    plan = formatted_plan(q_event_transitions(spark, "/root/testdata/sf0.001"))
+    # window shuffle + final-agg shuffle; no join anywhere
+    assert "Join" not in plan, plan
+    assert exchange_count(plan) <= 2, plan
