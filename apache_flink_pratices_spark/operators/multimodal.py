@@ -352,3 +352,147 @@ def _audio_energy_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 def mm_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     audio = media_table(spark, sf_dir).filter(F.col("media_type") == "audio")
     return audio.mapInPandas(_audio_energy_fn, _ENERGY_SCHEMA)
+
+
+# --- perceptual-hash near-dup over images ------------------------------------
+#: brightness shift applied to each doc's twin variant (clipped at 255)
+PHASH_SHIFT = 8
+#: Hamming verify bound over the 64-bit average-hash
+PHASH_HAMMING_MAX = 3
+#: band width for candidate generation (4 bands of 16 bits, pigeonhole
+#: recall = 1 at Hamming <= 3 — same argument as dedup_simhash)
+PHASH_BAND_BITS = 16
+
+_PHASH_SCHEMA = "id bigint, phash bigint"
+_I64_MIN = -(1 << 63)
+
+
+def _ahash64(samples: np.ndarray) -> int:
+    """64-bit average hash of a 16x16x3 uint8 image: 2x2x3 blocks reduce
+    to an 8x8 gray grid; bit b set iff cell b's sum x64 > total (exact
+    integer comparison, mirrored verbatim in the SQL oracle)."""
+    img = samples.astype(np.int64).reshape(8, 2, 8, 2, 3)
+    cells = img.sum(axis=(1, 3, 4)).reshape(64)  # [gy*8+gx]
+    total = int(cells.sum())
+    h = 0
+    for b in range(64):
+        if int(cells[b]) * 64 > total:
+            h += _I64_MIN if b == 63 else (1 << b)
+    return h
+
+
+def _phash_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    codec = FakeCodec()
+    for pdf in batches:
+        out = []
+        for row in pdf.itertuples(index=False):
+            base = codec.decode(bytes(row.payload), {})
+            twin = np.minimum(base.astype(np.int64) + PHASH_SHIFT, 255)
+            out.append((int(row.doc_id) * 2, _ahash64(base)))
+            out.append((int(row.doc_id) * 2 + 1, _ahash64(twin)))
+        yield pd.DataFrame(out, columns=["id", "phash"])
+
+
+@register(
+    "mm_phash_pairs",
+    oracle=f"""
+    WITH {_SQL_MEDIA_BYTES},
+    var AS (
+      SELECT b.doc_id * 2 + g.var AS id, b.pos,
+             CASE WHEN g.var = 0 THEN b.v
+                  ELSE LEAST(b.v + {PHASH_SHIFT}, 255) END AS v
+      FROM bytes b, (SELECT unnest([0, 1]) AS var) g
+      WHERE b.media_type = 'image'
+    ),
+    cells AS (
+      SELECT id,
+             ((pos // 48) // 2) * 8 + ((pos % 48) // 3) // 2 AS cell,
+             CAST(SUM(v) AS BIGINT) AS c
+      FROM var GROUP BY id, cell
+    ),
+    tot AS (SELECT id, CAST(SUM(c) AS BIGINT) AS total FROM cells GROUP BY id),
+    ph AS (
+      SELECT c.id,
+             CAST(SUM(CASE WHEN c.c * 64 > t.total THEN
+                    CASE WHEN c.cell = 63 THEN -9223372036854775807 - 1
+                         ELSE (CAST(1 AS BIGINT) << c.cell) END
+                  ELSE 0 END) AS BIGINT) AS phash
+      FROM cells c JOIN tot t USING (id)
+      GROUP BY c.id
+    ),
+    bands AS (
+      SELECT id, g.i AS band,
+             (phash >> (g.i * {PHASH_BAND_BITS})) & {(1 << PHASH_BAND_BITS) - 1} AS bucket
+      FROM ph, (SELECT unnest(generate_series(0, 3)) AS i) g
+    ),
+    cand AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id
+    )
+    SELECT c.id_a, c.id_b,
+           CAST(bit_count(xor(pa.phash, pb.phash)) AS BIGINT) AS hamming
+    FROM cand c
+      JOIN ph pa ON pa.id = c.id_a
+      JOIN ph pb ON pb.id = c.id_b
+    WHERE bit_count(xor(pa.phash, pb.phash)) <= {PHASH_HAMMING_MAX}
+    """,
+    doc="Perceptual-hash near-duplicate detection over the IMAGE corpus — "
+    "dedup extended to the multimodal columns: each image is decoded in "
+    "an Arrow-batched mapInPandas stage (the real plumbing; the codec is "
+    "the deterministic fake) and reduced to a 64-bit average-hash (8x8 "
+    "gray grid vs mean, exact integer comparisons), then near-dup pairs "
+    f"mine via {64 // PHASH_BAND_BITS} x {PHASH_BAND_BITS}-bit bands + "
+    f"Hamming <= {PHASH_HAMMING_MAX} verify — the dedup_simhash plan "
+    "shape, so the pair join shuffles 8-byte hashes, never pixels. Each "
+    f"doc also emits a +{PHASH_SHIFT}-brightness twin: aHash is "
+    "shift-invariant up to clipping, so twins pair with their originals "
+    "(the invariance a perceptual hash exists for, pinned in "
+    "tests/test_multimodal.py) while unrelated images stay unpaired. "
+    "Scale: payloads never shuffle; at 100 TB the phash table is the "
+    "materialized artifact, exactly like the simhash pair store.",
+    tags=("multimodal", "dedup", "binary", "llm-pipeline"),
+)
+def mm_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.storagelevel import StorageLevel
+
+    imgs = media_table(spark, sf_dir).filter(F.col("media_type") == "image")
+    # phash table feeds the band join AND both verify sides: persist
+    ph = imgs.mapInPandas(_phash_fn, _PHASH_SCHEMA).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    mask = (1 << PHASH_BAND_BITS) - 1
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band"),
+                (
+                    F.shiftright(F.col("phash"), i * PHASH_BAND_BITS).bitwiseAND(mask)
+                ).alias("bucket"),
+            )
+            for i in range(64 // PHASH_BAND_BITS)
+        ]
+    )
+    bands = ph.select("id", F.explode(band_structs).alias("bb")).select(
+        "id", "bb.band", "bb.bucket"
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    pa = ph.select(F.col("id").alias("id_a"), F.col("phash").alias("ph_a"))
+    pb = ph.select(F.col("id").alias("id_b"), F.col("phash").alias("ph_b"))
+    ham = F.bit_count(F.col("ph_a").bitwiseXOR(F.col("ph_b")))
+    return (
+        cand.join(pa, "id_a")
+        .join(pb, "id_b")
+        .filter(ham <= PHASH_HAMMING_MAX)
+        .select("id_a", "id_b", ham.cast("long").alias("hamming"))
+    )

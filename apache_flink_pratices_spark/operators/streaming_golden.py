@@ -276,6 +276,97 @@ def stream_spoof_golden(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- W4 MapState+TTL restore-guard golden (시스템 아키텍처.md:702-718) --------
+_RST_CODE = "KRW-RST"
+
+
+def _restore_scenario():
+    """Full position lifecycle with BOTH restore outcomes: a restore 5 s
+    after the SELL is REJECTED by the 30 s recently-removed TTL guard (the
+    sell-shaped book at 72 s then fires nothing — no position), and a
+    restore at 100 s (TTL expired) is ACCEPTED, so the identical book at
+    102 s fires the second SELL. The golden output BUY/SELL/SELL plus the
+    72 s row's absence pins the reference's stale-restore-rejection design
+    (W4 MapState + TTL)."""
+
+    def ts(sec):
+        return _B + datetime.timedelta(seconds=sec)
+
+    def us(sec):
+        return _BASE_US + int(sec * 1_000_000)
+
+    def ob(sec, ask, bid, levels):
+        return (_RST_CODE, ts(sec), us(sec), "orderbook",
+                None, None, ask, bid, levels, None, None, None, None)
+
+    def trade(sec, price, vol):
+        return (_RST_CODE, ts(sec), us(sec), "trade",
+                price, vol, None, None, None, None, None, None, None)
+
+    def restore(sec, sid, entry):
+        return (_RST_CODE, ts(sec), us(sec), "restore",
+                None, None, None, None, None, sid, None, P_WAVE_REASON, entry)
+
+    stable = [(100 + i, 100) for i in range(10)]
+    rows = [ob(5 * k, 1000, 1000, stable) for k in range(12)]
+    rows.append(trade(55.5, 50_000.0, 10.0))
+    rows.append(ob(56, 600, 1000, [(100 + i, 30) for i in range(10)] + [(999, 300)]))
+    rows.append(ob(57, 600, 1000, [(100 + i, 60) for i in range(10)]))
+    rows.append(ob(58.2, 600, 1000, [(100 + i, 60) for i in range(10)]))
+    rows.append(trade(60, 50_100.0, 9.0))
+    rows.append(trade(62, 50_200.0, 1.0))
+    rows.append(trade(64, 50_300.0, 1.0))
+    sell_book = [(100 + i, 90) for i in range(10)]
+    rows.append(ob(65, 900, 300, sell_book))  # SELL #1, guard armed
+    rows.append(restore(70, "sid-restore-1", 42.0))  # within TTL: rejected
+    rows.append(ob(72, 900, 300, sell_book))  # must fire NOTHING
+    rows.append(restore(100, "sid-restore-2", 42.0))  # TTL expired: accepted
+    rows.append(ob(102, 900, 300, sell_book))  # SELL #2
+    return rows
+
+
+def _restore_expected() -> list[tuple]:
+    buy_us = _BASE_US + 58_199_000
+    out = [(_RST_CODE, buy_us, "BUY", P_WAVE_REASON,
+            deterministic_signal_id(_RST_CODE, "BUY", P_WAVE_REASON, buy_us),
+            50_000.0)]
+    for sec, price in ((65, 50_300.0), (102, 50_300.0)):
+        t = _BASE_US + sec * 1_000_000
+        out.append((_RST_CODE, t, "SELL", P_WAVE_REASON,
+                    deterministic_signal_id(_RST_CODE, "SELL", P_WAVE_REASON, t),
+                    price))
+    return out
+
+
+def _restore_oracle() -> str:
+    values = ",\n      ".join(
+        f"('{c}', CAST({t} AS BIGINT), '{side}', '{reason}', '{sid}', CAST({price} AS DOUBLE))"
+        for c, t, side, reason, sid, price in _restore_expected()
+    )
+    return f"""
+    SELECT * FROM (VALUES
+      {values}
+    ) AS t(code, ts_us, side, reason, signal_id, ref_price)
+    """
+
+
+@register(
+    "stream_restore_golden",
+    oracle=_restore_oracle(),
+    doc="W4 streaming, isolated: the MapState+TTL stale-restore guard "
+    "(시스템 아키텍처.md:702-718) as its own driver row. After the first "
+    "SELL arms the 30 s recently-removed guard, a restore 5 s later is "
+    "rejected (the sell-shaped book that follows fires nothing — pinned "
+    "by absence) and a restore after TTL expiry is accepted (the same "
+    "book then fires the second SELL). Golden output: BUY, SELL, SELL.",
+    tags=("streaming", "stateful", "cep", "golden"),
+)
+def stream_restore_golden(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _run_memory_stream(
+        spark, _restore_scenario(), UNIFIED_SCHEMA, signal_stream, "afp_restore_golden"
+    )
+
+
 #: watermarked-window golden corpus: 4 replay files of 2 rows each. The
 #: shape pins THREE behaviors at once: (1) append-mode windows emit only
 #: once the watermark passes their end; (2) a late row that arrives while

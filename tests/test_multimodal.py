@@ -80,3 +80,42 @@ def test_frame_sample_fanout(spark):
     assert counts and all(r["count"] == 2 for r in counts)
     idx = {r.frame_idx for r in out.select("frame_idx").distinct().collect()}
     assert idx == {0, 2}
+
+
+def test_phash_twins_pair_and_strangers_dont(spark):
+    """The brightness-shifted twin of every image must pair with its
+    original within Hamming <= 3 (the shift-invariance an average hash
+    exists for), and — on this md5-random corpus — no two unrelated
+    images may collide."""
+    from apache_flink_pratices_spark.operators.multimodal import mm_phash_pairs
+
+    pairs = sorted(
+        (r.id_a, r.id_b, r.hamming)
+        for r in mm_phash_pairs(spark, SF).collect()
+    )
+    n_imgs = sum(1 for a, b, _ in pairs if b == a + 1 and a % 2 == 0)
+    assert n_imgs == len(pairs), "unrelated images collided"
+    # every image doc produced its twin pair
+    from apache_flink_pratices_spark.operators.multimodal import media_table
+
+    expected = (
+        media_table(spark, SF).filter("media_type = 'image'").count()
+    )
+    assert n_imgs == expected
+    assert all(h <= 3 for _, _, h in pairs)
+
+
+def test_phash_pair_join_never_shuffles_payloads(spark):
+    """Only 8-byte (id, phash) rows may cross an exchange: the binary
+    payload column must not appear in any operator above the Arrow
+    mapInPandas stage."""
+    from apache_flink_pratices_spark.operators.multimodal import mm_phash_pairs
+    from apache_flink_pratices_spark.plans.explain import formatted_plan
+
+    spark.catalog.clearCache()
+    plan = formatted_plan(mm_phash_pairs(spark, SF))
+    # exchanges list their output attributes; none may carry the payload
+    for line in plan.splitlines():
+        if "Exchange" in line and "payload" in line:
+            raise AssertionError(line)
+    assert "MapInPandas" in plan or "mapInPandas" in plan.lower()
