@@ -975,3 +975,104 @@ def stratified_exact_n(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("sample_rank") <= EXACT_N_PER_STRATUM)
         .select("event_id", "event_type", F.col("sample_rank").cast("long").alias("sample_rank"))
     )
+
+
+# --- deterministic negative sampling (contrastive training pairs) -----------
+#: hash-bucket count. At production scale this grows with the corpus
+#: (B ≈ N / desired_bucket_rows) so per-probe join fan-out stays constant;
+#: the constant here matches the test corpus sizes.
+NEG_BUCKETS = 64
+NEG_PER_ANCHOR = 4  #: probes per anchor
+NEG_ANCHOR_MOD = 10  #: anchors = every 10th document
+
+
+@register(
+    "negative_sampling_pairs",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, source,
+             {sql_md5_long("CAST(doc_id AS VARCHAR)")} % {NEG_BUCKETS} AS bucket
+      FROM documents
+    ),
+    probes AS (
+      SELECT a.doc_id AS anchor_id, a.source AS a_source, g.j,
+             {sql_md5_long("CAST(a.doc_id AS VARCHAR) || '#' || CAST(g.j AS VARCHAR)")}
+               % {NEG_BUCKETS} AS pb
+      FROM d a, (SELECT unnest(generate_series(1, {NEG_PER_ANCHOR})) AS j) g
+      WHERE a.doc_id % {NEG_ANCHOR_MOD} = 0
+    ),
+    cand AS (
+      SELECT p.anchor_id, p.j, c.doc_id AS neg_id,
+             {sql_md5_long(
+                 "CAST(p.anchor_id AS VARCHAR) || '#' || CAST(p.j AS VARCHAR) "
+                 "|| '#' || CAST(c.doc_id AS VARCHAR)"
+             )} AS rank_h
+      FROM probes p JOIN d c ON c.bucket = p.pb
+      WHERE c.source <> p.a_source AND c.doc_id <> p.anchor_id
+    )
+    SELECT anchor_id, j, neg_id
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY anchor_id, j
+                                       ORDER BY rank_h, neg_id) AS rn
+          FROM cand)
+    WHERE rn = 1
+    """,
+    doc=f"Deterministic negative sampling for contrastive training pairs "
+    "— replay-idempotent (same corpus → same negatives, the property a "
+    "resumable 100 TB data job needs; random sampling would break "
+    "checkpoint recovery): every {NEG_ANCHOR_MOD}th document anchors "
+    f"{NEG_PER_ANCHOR} probes, each probe hashes to one of "
+    f"{NEG_BUCKETS} corpus buckets and takes that bucket's min-rank-hash "
+    "document from a DIFFERENT source (cross-source negatives avoid "
+    "near-positive leakage). Scale shape: NO anchor x corpus cross join "
+    "— the probe-bucket equi-join bounds fan-out to bucket size, and the "
+    "bucket count is the knob that keeps bucket size constant as the "
+    "corpus grows. Spark picks each probe's winner with min(struct(rank, "
+    "id)) (map-side combinable aggregate), the oracle with an equivalent "
+    "window — two independent formulations of the same total order.",
+    tags=("curation", "sampling", "llm-pipeline"),
+)
+def negative_sampling_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        (md5_long(F.col("doc_id").cast("string")) % NEG_BUCKETS).alias("bucket"),
+    )
+    probes = (
+        d.filter(F.col("doc_id") % NEG_ANCHOR_MOD == 0)
+        .select(
+            F.col("doc_id").alias("anchor_id"),
+            F.col("source").alias("a_source"),
+            F.explode(F.sequence(F.lit(1), F.lit(NEG_PER_ANCHOR))).alias("j"),
+        )
+        .withColumn(
+            "pb",
+            md5_long(
+                F.concat_ws(
+                    "#", F.col("anchor_id").cast("string"), F.col("j").cast("string")
+                )
+            )
+            % NEG_BUCKETS,
+        )
+    )
+    cand = (
+        probes.join(d, probes.pb == d.bucket)
+        .filter((F.col("source") != F.col("a_source")) & (F.col("doc_id") != F.col("anchor_id")))
+        .select(
+            "anchor_id",
+            "j",
+            F.col("doc_id").alias("neg_id"),
+            md5_long(
+                F.concat_ws(
+                    "#",
+                    F.col("anchor_id").cast("string"),
+                    F.col("j").cast("string"),
+                    F.col("doc_id").cast("string"),
+                )
+            ).alias("rank_h"),
+        )
+    )
+    return (
+        cand.groupBy("anchor_id", "j")
+        .agg(F.min(F.struct("rank_h", "neg_id")).alias("w"))
+        .select("anchor_id", "j", F.col("w.neg_id").alias("neg_id"))
+    )

@@ -451,6 +451,7 @@ def _phash_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     "tests/test_multimodal.py) while unrelated images stay unpaired. "
     "Scale: payloads never shuffle; at 100 TB the phash table is the "
     "materialized artifact, exactly like the simhash pair store.",
+    bench=True,
     tags=("multimodal", "dedup", "binary", "llm-pipeline"),
 )
 def mm_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1466,3 +1466,60 @@ def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return activity.groupBy("cohort_day", "day_offset").agg(
         F.count("*").alias("active_users")
     )
+
+
+# --- order-insensitive table checksum ----------------------------------------
+@register(
+    "table_checksum",
+    oracle=f"""
+    WITH h AS (
+      SELECT {sql_md5_long(
+          "concat_ws('|', CAST(o_orderkey AS VARCHAR), CAST(o_custkey AS VARCHAR), "
+          "o_orderstatus, CAST(CAST(ROUND(o_totalprice * 100.0) AS BIGINT) AS VARCHAR), "
+          "CAST(CAST(o_orderdate AS DATE) AS VARCHAR), o_orderpriority)"
+      )} AS rh
+      FROM orders
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(rh) % 9007199254740881 AS BIGINT) AS checksum,
+           CAST(MIN(rh) AS BIGINT) AS min_rh,
+           CAST(MAX(rh) AS BIGINT) AS max_rh
+    FROM h
+    """,
+    doc="Order-insensitive whole-table checksum — the integrity audit a "
+    "100 TB migration/backfill runs on both sides of a copy (the same "
+    "role as the driver's own value-hash gate, expressed as an engine "
+    "operator): each row folds to a portable md5-derived 56-bit hash of "
+    "its canonical string form (dates ISO, floats cents-quantized to "
+    "int64 first — raw double-to-string rendering diverges between "
+    "engines past 1e7), and the table reduces to (count, "
+    "mod-prime hash sum, min, max). Map-only + one single-row aggregate "
+    "— no shuffle of data rows at any size, partial sums combine "
+    "map-side, and the sum is order-independent by construction so "
+    "partitioning/parallelism cannot change the answer. The string "
+    "canonicalization (dates as ISO, numerics via engine-identical "
+    "casts) is the contract both engines evaluate verbatim.",
+    tags=("relational", "integrity", "checksum"),
+)
+def table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from apache_flink_pratices_spark.functions.hashing import md5_long
+
+    o = load(spark, sf_dir, "orders")
+    row_str = F.concat_ws(
+        "|",
+        F.col("o_orderkey").cast("string"),
+        F.col("o_custkey").cast("string"),
+        F.col("o_orderstatus"),
+        qlong(F.col("o_totalprice"), 100).cast("string"),
+        F.col("o_orderdate").cast("date").cast("string"),
+        F.col("o_orderpriority"),
+    )
+    rh = md5_long(row_str)
+    return o.select(rh.alias("rh")).agg(
+        F.count("*").alias("n_rows"),
+        (F.sum(F.col("rh").cast("decimal(38,0)")) % F.lit(9007199254740881))
+        .cast("long")
+        .alias("checksum"),
+        F.min("rh").alias("min_rh"),
+        F.max("rh").alias("max_rh"),
+    )

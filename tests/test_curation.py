@@ -422,3 +422,35 @@ def test_star_cc_round_count_logarithmic_on_long_chain(spark):
     assert connected_components_star.last_rounds <= 12, (
         connected_components_star.last_rounds
     )
+
+
+def test_negative_sampling_cross_source_and_deterministic(spark):
+    """Every sampled negative comes from a different source than its
+    anchor, anchors are exactly the doc_id % 10 == 0 set (minus probes
+    whose bucket held no cross-source candidate), and two runs produce
+    identical pairs (replay idempotence — the property random sampling
+    breaks)."""
+    from apache_flink_pratices_spark.operators.curation import (
+        NEG_ANCHOR_MOD,
+        NEG_PER_ANCHOR,
+        negative_sampling_pairs,
+    )
+    from apache_flink_pratices_spark.io import load
+
+    SF = "/root/testdata/sf0.001"
+    pairs = sorted(
+        (r.anchor_id, r.j, r.neg_id)
+        for r in negative_sampling_pairs(spark, SF).collect()
+    )
+    again = sorted(
+        (r.anchor_id, r.j, r.neg_id)
+        for r in negative_sampling_pairs(spark, SF).collect()
+    )
+    assert pairs == again
+    src = {
+        r.doc_id: r.source
+        for r in load(spark, SF, "documents").select("doc_id", "source").collect()
+    }
+    for a, j, n in pairs:
+        assert a % NEG_ANCHOR_MOD == 0 and 1 <= j <= NEG_PER_ANCHOR
+        assert src[a] != src[n] and a != n
