@@ -1076,3 +1076,53 @@ def negative_sampling_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min(F.struct("rank_h", "neg_id")).alias("w"))
         .select("anchor_id", "j", F.col("w.neg_id").alias("neg_id"))
     )
+
+
+# --- slowly-changing-dimension (type 2) history build ------------------------
+@register(
+    "scd2_history",
+    oracle="""
+    SELECT user_id,
+           CAST(ROW_NUMBER() OVER w AS BIGINT) AS version,
+           ts AS valid_from,
+           LEAD(ts) OVER w AS valid_to,
+           event_type AS state,
+           CAST(ROUND(value * 100.0) AS BIGINT) AS value_c,
+           CAST(LEAD(ts) OVER w IS NULL AS BIGINT) AS is_current
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+    doc="SCD Type-2 history build — the full-history twin of "
+    "cdc_upsert_compaction (which keeps only the latest state): every "
+    "changelog row becomes a versioned validity interval [valid_from, "
+    "valid_to) with the open (is_current) row carrying NULL valid_to — "
+    "the standard warehouse dimension-history shape and the "
+    "point-in-time-join input a training pipeline needs to avoid label "
+    "leakage (reconstruct any entity's state as of any cutoff with a "
+    "single BETWEEN predicate). Scale shape: ONE shuffle on user_id; "
+    "version numbers, interval ends and the current flag all come from "
+    "the same sorted run (row_number + lead share one window frame, so "
+    "Spark plans a single Sort+Window), and the deterministic "
+    "(ts, event_id) total order is shared with cdc_upsert_compaction / "
+    "q_event_transitions.",
+    tags=("curation", "cdc", "temporal", "llm-pipeline"),
+)
+def scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from apache_flink_pratices_spark.functions.numeric import qlong
+
+    e = load(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type", "value"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = F.lead("ts").over(w)
+    return e.select(
+        "user_id",
+        F.row_number().over(w).cast("long").alias("version"),
+        F.col("ts").alias("valid_from"),
+        nxt.alias("valid_to"),
+        F.col("event_type").alias("state"),
+        qlong(F.col("value"), 100).alias("value_c"),
+        nxt.isNull().cast("long").alias("is_current"),
+    )

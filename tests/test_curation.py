@@ -454,3 +454,24 @@ def test_negative_sampling_cross_source_and_deterministic(spark):
     for a, j, n in pairs:
         assert a % NEG_ANCHOR_MOD == 0 and 1 <= j <= NEG_PER_ANCHOR
         assert src[a] != src[n] and a != n
+
+
+def test_scd2_intervals_tile_and_single_current(spark):
+    """Per user: versions are 1..n contiguous, intervals tile exactly
+    (valid_to of version k == valid_from of k+1), and exactly ONE open
+    (is_current) row exists — the SCD2 invariants a point-in-time join
+    relies on."""
+    from apache_flink_pratices_spark.operators.curation import scd2_history
+
+    rows = scd2_history(spark, "/root/testdata/sf0.001").collect()
+    by_user: dict[int, list] = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append(r)
+    assert by_user
+    for uid, vs in by_user.items():
+        vs.sort(key=lambda r: r.version)
+        assert [r.version for r in vs] == list(range(1, len(vs) + 1))
+        assert sum(r.is_current for r in vs) == 1 and vs[-1].is_current == 1
+        assert vs[-1].valid_to is None
+        for a, b in zip(vs, vs[1:]):
+            assert a.valid_to == b.valid_from, (uid, a.version)
