@@ -30,6 +30,14 @@ def _cpus() -> int:
 def tune(builder: SparkSession.Builder, shuffle_partitions: int | None = None) -> SparkSession.Builder:
     """Apply engine configuration to any builder (also used on the driver's
     own session via ``spark.conf`` where dynamically settable)."""
+    # Bridge google.protobuf (vendored cloud-sdk runtime) into this process
+    # and — because tune() runs before getOrCreate — into future Python
+    # workers via PYTHONPATH, unblocking transformWithStateInPandas where
+    # no protobuf wheel exists (see streaming/pb_compat.py). No-op when a
+    # real wheel is installed or the vendored runtime is absent.
+    from apache_flink_pratices_spark.streaming.pb_compat import ensure_protobuf
+
+    ensure_protobuf()
     sp = shuffle_partitions or max(_cpus(), 2) * 2
     return (
         builder.config("spark.sql.session.timeZone", "UTC")

@@ -1,0 +1,50 @@
+"""Worker-side half of the google.protobuf bridge (see
+``apache_flink_pratices_spark/streaming/pb_compat.py``).
+
+This directory is prepended to ``$PYTHONPATH`` by ``ensure_protobuf``,
+so every Python interpreter the JVM launches (pyspark.daemon and its
+forked workers) imports this module at startup — the standard
+``sitecustomize`` hook. It installs the ``google.protobuf.
+runtime_version`` stand-in that pyspark's generated protobuf code
+imports but the vendored 4.23 runtime (also on ``$PYTHONPATH``)
+predates. Strictly defensive: any failure leaves the interpreter
+exactly as it was.
+"""
+
+try:  # pragma: no cover - exercised inside Spark workers
+    import importlib.util as _ilu
+    import os as _os
+    import sys as _sys
+    import types as _types
+
+    _VENDORED = "/usr/lib/google-cloud-sdk/lib/third_party/cloudsdk"
+    # the vendored runtime imports itself as cloudsdk.google.protobuf.*;
+    # register a path-only alias instead of exposing all of third_party
+    if "cloudsdk" not in _sys.modules and _os.path.isdir(_VENDORED):
+        _pkg = _types.ModuleType("cloudsdk")
+        _pkg.__path__ = [_VENDORED]
+        _sys.modules["cloudsdk"] = _pkg
+
+    if (
+        _ilu.find_spec("google.protobuf") is not None
+        and "google.protobuf.runtime_version" not in _sys.modules
+        and _ilu.find_spec("google.protobuf.runtime_version") is None
+    ):
+        _mod = _types.ModuleType("google.protobuf.runtime_version")
+
+        class _Domain:
+            PUBLIC = 1
+            GOOGLE_INTERNAL = 2
+
+        class _VersionError(Exception):
+            pass
+
+        def _validate(*args, **kwargs):
+            return None
+
+        _mod.Domain = _Domain
+        _mod.VersionError = _VersionError
+        _mod.ValidateProtobufRuntimeVersion = _validate
+        _sys.modules["google.protobuf.runtime_version"] = _mod
+except Exception:  # noqa: BLE001
+    pass

@@ -11,14 +11,20 @@ against the RocksDB store — at 100× state size a batch only touches what
 it changes, which is exactly the bottleneck the monolithic tuple hits.
 
 Availability: the Python-side state server of ``transformWithStateInPandas``
-speaks protobuf to the JVM and hard-requires the ``google-protobuf`` wheel
-in the worker environment (import error surfaces as
-``STREAMING_PYTHON_RUNNER_INITIALIZATION_FAILURE``). This sandbox does not
-ship the wheel, so :func:`native_state_available` gates every native code
-path and the ``impl="auto"`` dispatchers fall back to
-``applyInPandasWithState``; on a real cluster with the wheel present the
-native path is selected automatically and
-``tests/streaming/test_native_state.py`` runs instead of skipping.
+speaks protobuf to the JVM and hard-requires the ``google.protobuf``
+runtime in the worker environment (import error surfaces as
+``STREAMING_PYTHON_RUNNER_INITIALIZATION_FAILURE``). No wheel is
+installed here, but ``streaming/pb_compat.py`` bridges the Google Cloud
+SDK's vendored pure-Python runtime into driver AND workers (PYTHONPATH +
+sitecustomize shim, installed by ``session.tune`` before the JVM
+launches), so on this box the native path RUNS for real — the 4 tests in
+``tests/streaming/test_native_state.py`` execute the fraud detector and
+signal generator against the actual JVM state server with real
+event-time timers. :func:`native_state_available` still gates every
+native code path: sessions created before the bridge (e.g. the driver
+harness's own session) keep the ``applyInPandasWithState`` fallback,
+because a late driver-side sys.path fix says nothing about the workers
+the already-running JVM will spawn.
 
 Reference parity: ``src/pyflink_examples/fraud_detection/
 fraud_detector.py:39-149`` (state decl :44-62, logic :64-114, timers
@@ -57,8 +63,23 @@ def native_state_available() -> bool:
     """True when ``transformWithStateInPandas`` can actually run here.
 
     The API exists on Spark 4 regardless; what decides is whether the
-    worker-side state server can import ``google.protobuf`` (see module
-    docstring)."""
+    WORKER-side state server can import ``google.protobuf``. Two ways it
+    can: a real wheel in site-packages (workers share it), or the
+    vendored cloud-sdk runtime bridged onto PYTHONPATH before the JVM
+    launched (streaming/pb_compat.py — sessions built by session.tune/
+    get_spark). A session created before the bridge ran keeps the
+    applyInPandasWithState fallback: the driver importing protobuf via a
+    late sys.path edit says nothing about its workers."""
+    from apache_flink_pratices_spark.streaming.pb_compat import (
+        ensure_protobuf,
+        vendored_bridge_active_for_workers,
+    )
+
+    mode = ensure_protobuf()
+    if mode is None:
+        return False
+    if mode == "vendored" and not vendored_bridge_active_for_workers():
+        return False
     try:
         spec = importlib.util.find_spec("google.protobuf.descriptor")
     except (ImportError, ModuleNotFoundError, ValueError):
