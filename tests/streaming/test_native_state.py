@@ -245,3 +245,37 @@ def test_native_signal_generator_golden(spark, tmp_path):
         ("BUY", "P_WAVE_EARTHQUAKE_DETECTED"),
         ("SELL", "P_WAVE_EARTHQUAKE_DETECTED"),
     ]
+
+
+def test_pb_compat_sitecustomize_is_defensive():
+    """The worker-side shim must be importable standalone and must leave
+    an interpreter that already has a runtime_version module untouched."""
+    import subprocess
+    import sys
+
+    from apache_flink_pratices_spark.streaming import pb_compat
+
+    # runs in a bare interpreter with only the shim dir on the path
+    out = subprocess.run(
+        [sys.executable, "-c", "import sitecustomize; print('ok')"],
+        capture_output=True,
+        text=True,
+        env={"PYTHONPATH": pb_compat.SHIM_DIR, "PATH": "/usr/bin:/bin"},
+        timeout=60,
+    )
+    assert out.returncode == 0 and "ok" in out.stdout, out.stderr
+
+
+def test_pb_compat_bridge_modes():
+    """ensure_protobuf is idempotent and reports a usable mode on this
+    box; the worker flag is only honored when set (the plain-session
+    driver-harness case keeps the fallback — see the module docstring)."""
+    from apache_flink_pratices_spark.streaming.pb_compat import ensure_protobuf
+
+    mode1 = ensure_protobuf()
+    mode2 = ensure_protobuf()
+    assert mode1 in ("wheel", "vendored") and mode2 == mode1
+    import google.protobuf.descriptor  # noqa: F401
+    import google.protobuf.runtime_version as rv
+
+    assert rv.ValidateProtobufRuntimeVersion(rv.Domain.PUBLIC, 6, 33, 0, "", "x") is None
