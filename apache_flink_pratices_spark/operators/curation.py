@@ -1019,7 +1019,7 @@ NEG_ANCHOR_MOD = 10  #: anchors = every 10th document
     doc=f"Deterministic negative sampling for contrastive training pairs "
     "— replay-idempotent (same corpus → same negatives, the property a "
     "resumable 100 TB data job needs; random sampling would break "
-    "checkpoint recovery): every {NEG_ANCHOR_MOD}th document anchors "
+    f"checkpoint recovery): every {NEG_ANCHOR_MOD}th document anchors "
     f"{NEG_PER_ANCHOR} probes, each probe hashes to one of "
     f"{NEG_BUCKETS} corpus buckets and takes that bucket's min-rank-hash "
     "document from a DIFFERENT source (cross-source negatives avoid "

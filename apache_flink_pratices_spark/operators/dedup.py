@@ -542,19 +542,12 @@ SQL_SIMHASH_PAIR_CTES = f"""
     tags=("dedup", "simhash"),
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # the fingerprint table feeds the band join AND both verify sides;
-    # persist it so the 64-term sign-sum aggregate runs once, not 3×
-    fp = _simhash_fingerprints(spark, sf_dir).persist(StorageLevel.MEMORY_AND_DISK)
-    cand = _simhash_candidates(fp)
-    fa = fp.select(F.col("doc_id").alias("doc_a"), F.col("fp").alias("fp_a"))
-    fb = fp.select(F.col("doc_id").alias("doc_b"), F.col("fp").alias("fp_b"))
-    ham = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
-    return (
-        cand.join(fa, "doc_a")
-        .join(fb, "doc_b")
-        .filter(ham <= SIMHASH_HAMMING_MAX)
-        .select("doc_a", "doc_b", ham.cast("long").alias("hamming"))
-    )
+    # one definition of the fingerprint→candidate→Hamming pipeline: the
+    # live benchmark query is the UNFILTERED build plus the verify filter
+    # (Catalyst pushes it through the aliasing select, so the physical
+    # plan is identical to filtering on the raw bit_count expression)
+    pairs, _fp = _build_candidate_pairs(spark, sf_dir)
+    return pairs.filter(F.col("hamming") <= SIMHASH_HAMMING_MAX)
 
 
 # --- materialized near-dup edge artifact ------------------------------------
@@ -591,19 +584,28 @@ def _neardup_artifact_path(sf_dir: str) -> str:
     return os.path.join(base, key)
 
 
-def _build_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _build_candidate_pairs(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
     """All band-collision candidate pairs with Hamming distance, UNFILTERED
-    (the verified set is the hamming ≤ SIMHASH_HAMMING_MAX subset)."""
+    (the verified set is the hamming ≤ SIMHASH_HAMMING_MAX subset).
+
+    Returns ``(pairs, fp)`` where ``fp`` is the persisted fingerprint
+    frame feeding the band join AND both verify sides (the 64-term
+    sign-sum aggregate runs once, not 3×). The caller owns the persist:
+    ``dedup_simhash`` keeps it live for the query's duration; the
+    artifact builder unpersists it right after the one-shot write."""
     fp = _simhash_fingerprints(spark, sf_dir).persist(StorageLevel.MEMORY_AND_DISK)
     cand = _simhash_candidates(fp)
     fa = fp.select(F.col("doc_id").alias("doc_a"), F.col("fp").alias("fp_a"))
     fb = fp.select(F.col("doc_id").alias("doc_b"), F.col("fp").alias("fp_b"))
     ham = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
-    return (
+    pairs = (
         cand.join(fa, "doc_a")
         .join(fb, "doc_b")
         .select("doc_a", "doc_b", ham.cast("long").alias("hamming"))
     )
+    return pairs, fp
 
 
 def simhash_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -616,7 +618,14 @@ def simhash_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = _neardup_artifact_path(sf_dir)
     if not os.path.isdir(path):
         tmp = f"{path}.tmp.{os.getpid()}"
-        _build_candidate_pairs(spark, sf_dir).write.mode("overwrite").parquet(tmp)
+        pairs, fp = _build_candidate_pairs(spark, sf_dir)
+        try:
+            pairs.write.mode("overwrite").parquet(tmp)
+        finally:
+            # release the fingerprint cache: the artifact now serves every
+            # future read, so keeping it pinned for the session's lifetime
+            # would only add storage pressure (review pass r6)
+            fp.unpersist()
         try:
             os.rename(tmp, path)
         except OSError:

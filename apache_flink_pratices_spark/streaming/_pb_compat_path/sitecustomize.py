@@ -8,7 +8,10 @@ forked workers) imports this module at startup — the standard
 runtime_version`` stand-in that pyspark's generated protobuf code
 imports but the vendored 4.23 runtime (also on ``$PYTHONPATH``)
 predates. Strictly defensive: any failure leaves the interpreter
-exactly as it was.
+exactly as it was. The shim and the chain-load below sit in SEPARATE
+try blocks: a bare interpreter with no ``google`` package at all makes
+``find_spec("google.protobuf")`` raise ModuleNotFoundError, and that
+must not also swallow the chain step.
 """
 
 try:  # pragma: no cover - exercised inside Spark workers
@@ -45,6 +48,33 @@ try:  # pragma: no cover - exercised inside Spark workers
         _mod.Domain = _Domain
         _mod.VersionError = _VersionError
         _mod.ValidateProtobufRuntimeVersion = _validate
+        _mod._AFP_SHIM = True
         _sys.modules["google.protobuf.runtime_version"] = _mod
+except Exception:  # noqa: BLE001
+    pass
+
+try:  # pragma: no cover - exercised inside Spark workers
+    import importlib.util as _ilu
+    import os as _os
+    import sys as _sys
+
+    # Python imports only the FIRST sitecustomize on sys.path, so being
+    # prepended means this shim shadows any other sitecustomize (a venv's,
+    # coverage.py's process_startup hook, ...). Chain-load the first one
+    # found further along sys.path under a private name so its side
+    # effects still run.
+    _here = _os.path.dirname(_os.path.abspath(__file__))
+    for _p in _sys.path:
+        _dir = _os.path.abspath(_p) if _p else _os.getcwd()
+        if _dir == _here:
+            continue
+        _cand = _os.path.join(_dir, "sitecustomize.py")
+        if _os.path.isfile(_cand):
+            _spec = _ilu.spec_from_file_location("_afp_shadowed_sitecustomize", _cand)
+            if _spec is not None and _spec.loader is not None:
+                _shadowed = _ilu.module_from_spec(_spec)
+                _sys.modules["_afp_shadowed_sitecustomize"] = _shadowed
+                _spec.loader.exec_module(_shadowed)
+            break
 except Exception:  # noqa: BLE001
     pass

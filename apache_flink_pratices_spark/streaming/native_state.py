@@ -72,13 +72,16 @@ def native_state_available() -> bool:
     late sys.path edit says nothing about its workers."""
     from apache_flink_pratices_spark.streaming.pb_compat import (
         ensure_protobuf,
-        vendored_bridge_active_for_workers,
+        workers_can_import_gencode,
     )
 
     mode = ensure_protobuf()
     if mode is None:
         return False
-    if mode == "vendored" and not vendored_bridge_active_for_workers():
+    # driver importability is necessary but not sufficient: fresh worker
+    # interpreters must ALSO be able to import the gencode — via a >=5.27
+    # wheel, or the pre-JVM PYTHONPATH shim (old wheel / vendored runtime)
+    if not workers_can_import_gencode():
         return False
     try:
         spec = importlib.util.find_spec("google.protobuf.descriptor")

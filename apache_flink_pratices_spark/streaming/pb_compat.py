@@ -87,6 +87,7 @@ def install_runtime_version_shim() -> None:
     mod.Domain = Domain
     mod.VersionError = VersionError
     mod.ValidateProtobufRuntimeVersion = ValidateProtobufRuntimeVersion
+    mod._AFP_SHIM = True  # lets _real_runtime_version_present tell shim from real
     sys.modules["google.protobuf.runtime_version"] = mod
     import google.protobuf as _gp
 
@@ -100,16 +101,57 @@ def _wheel_present() -> bool:
         return False
 
 
+def _real_runtime_version_present() -> bool:
+    """True when the INSTALLED protobuf runtime itself ships
+    ``runtime_version`` (>= 5.27) — i.e. fresh worker interpreters can
+    import pyspark's gencode with no shim. Our driver-side stand-in
+    (marked ``_AFP_SHIM``) deliberately does not count."""
+    mod = sys.modules.get("google.protobuf.runtime_version")
+    if mod is not None:
+        return not getattr(mod, "_AFP_SHIM", False)
+    try:
+        return importlib.util.find_spec("google.protobuf.runtime_version") is not None
+    except (ImportError, ModuleNotFoundError, ValueError):
+        return False
+
+
+def _install_worker_pythonpath(parts: list[str]) -> None:
+    """Prepend ``parts`` to ``$PYTHONPATH`` so future Python WORKERS
+    inherit them — effective only while no JVM exists. Gate on the
+    gateway as well as the active context: ``SparkContext.stop()`` clears
+    ``_active_spark_context`` but the gateway JVM survives and is reused
+    by the next context, and workers inherit the env captured at the
+    ORIGINAL JVM launch (review pass r6)."""
+    from pyspark import SparkContext
+
+    if (
+        SparkContext._active_spark_context is None
+        and getattr(SparkContext, "_gateway", None) is None
+        and not os.environ.get(PREJVM_FLAG)
+    ):
+        prev = os.environ.get("PYTHONPATH")
+        entries = list(parts) + ([prev] if prev else [])
+        os.environ["PYTHONPATH"] = os.pathsep.join(entries)
+        os.environ[PREJVM_FLAG] = "1"
+
+
 def ensure_protobuf() -> str | None:
     """Make ``google.protobuf`` importable here and (when possible) in
     future Python workers. Returns ``"wheel"`` (real install),
     ``"vendored"`` (cloud-sdk runtime bridged), or ``None``.
 
-    Must be called BEFORE SparkSession creation for the vendored bridge
-    to reach workers; a later call still fixes the driver process but
-    leaves :data:`PREJVM_FLAG` unset so the native path stays gated off.
+    Must be called BEFORE SparkSession creation for the worker-side
+    bridge to reach workers; a later call still fixes the driver process
+    but leaves :data:`PREJVM_FLAG` unset so the native path stays gated
+    off (:func:`workers_can_import_gencode`).
     """
     if _wheel_present() and VENDORED_DIR not in sys.path:
+        # a real wheel older than 5.27 still lacks runtime_version: the
+        # driver gets the in-process shim, but fresh worker interpreters
+        # need the sitecustomize shim on PYTHONPATH (wheel itself is in
+        # site-packages, so SHIM_DIR alone suffices)
+        if not _real_runtime_version_present():
+            _install_worker_pythonpath([SHIM_DIR])
         install_runtime_version_shim()
         return "wheel"
     if not os.path.isdir(os.path.join(VENDORED_DIR, "google", "protobuf")):
@@ -121,18 +163,21 @@ def ensure_protobuf() -> str | None:
     if not _wheel_present():
         return None
     # worker side: only effective if the JVM has not launched yet
-    from pyspark import SparkContext
-
-    if SparkContext._active_spark_context is None and not os.environ.get(PREJVM_FLAG):
-        parts = [SHIM_DIR, VENDORED_DIR]
-        prev = os.environ.get("PYTHONPATH")
-        if prev:
-            parts.append(prev)
-        os.environ["PYTHONPATH"] = os.pathsep.join(parts)
-        os.environ[PREJVM_FLAG] = "1"
+    _install_worker_pythonpath([SHIM_DIR, VENDORED_DIR])
     return "vendored"
 
 
 def vendored_bridge_active_for_workers() -> bool:
     """True when workers of the CURRENT environment inherit the bridge."""
     return os.environ.get(PREJVM_FLAG) == "1"
+
+
+def workers_can_import_gencode() -> bool:
+    """True when FRESH worker interpreters can import pyspark's protobuf
+    gencode (``StateMessage_pb2``): either the installed wheel already
+    ships ``runtime_version`` (>= 5.27), or the PYTHONPATH shim (and,
+    for the vendored runtime, the runtime itself) was installed before
+    any JVM launched. This — not merely :func:`ensure_protobuf`
+    succeeding in the driver — is the condition the native
+    ``transformWithStateInPandas`` path must gate on."""
+    return _real_runtime_version_present() or vendored_bridge_active_for_workers()

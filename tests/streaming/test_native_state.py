@@ -279,3 +279,80 @@ def test_pb_compat_bridge_modes():
     import google.protobuf.runtime_version as rv
 
     assert rv.ValidateProtobufRuntimeVersion(rv.Domain.PUBLIC, 6, 33, 0, "", "x") is None
+
+
+def test_pb_compat_gateway_survival_blocks_worker_flag(monkeypatch):
+    """SparkContext.stop() clears _active_spark_context but the gateway
+    JVM survives and is REUSED by the next context — workers of that JVM
+    inherit the env captured at the original launch, so the bridge must
+    not report itself worker-reachable merely because no context is
+    active (review pass r6)."""
+    from pyspark import SparkContext
+
+    from apache_flink_pratices_spark.streaming import pb_compat
+
+    monkeypatch.delenv(pb_compat.PREJVM_FLAG, raising=False)
+    monkeypatch.setattr(SparkContext, "_active_spark_context", None)
+    monkeypatch.setattr(SparkContext, "_gateway", object(), raising=False)
+    pb_compat._install_worker_pythonpath([pb_compat.SHIM_DIR])
+    assert pb_compat.PREJVM_FLAG not in os.environ
+    assert not pb_compat.workers_can_import_gencode() or (
+        pb_compat._real_runtime_version_present()
+    )
+
+
+def test_pb_compat_shim_is_marked_not_real():
+    """The driver-side runtime_version stand-in must NOT satisfy the
+    worker-safety check: a <5.27 wheel plus a driver-only shim leaves
+    fresh worker interpreters unable to import pyspark's gencode, so
+    _real_runtime_version_present has to tell shim from real (review
+    pass r6)."""
+    import sys
+    import types
+
+    from apache_flink_pratices_spark.streaming import pb_compat
+
+    saved = sys.modules.get("google.protobuf.runtime_version")
+    try:
+        shim = types.ModuleType("google.protobuf.runtime_version")
+        shim._AFP_SHIM = True
+        sys.modules["google.protobuf.runtime_version"] = shim
+        assert not pb_compat._real_runtime_version_present()
+        real = types.ModuleType("google.protobuf.runtime_version")
+        sys.modules["google.protobuf.runtime_version"] = real
+        assert pb_compat._real_runtime_version_present()
+    finally:
+        if saved is None:
+            sys.modules.pop("google.protobuf.runtime_version", None)
+        else:
+            sys.modules["google.protobuf.runtime_version"] = saved
+
+
+def test_pb_compat_sitecustomize_chains_shadowed(tmp_path):
+    """Prepending SHIM_DIR shadows any other sitecustomize (Python
+    imports only the first on sys.path); the shim must chain-load the
+    shadowed one so e.g. coverage.py's process_startup hook still runs
+    (review pass r6)."""
+    import subprocess
+    import sys
+
+    from apache_flink_pratices_spark.streaming import pb_compat
+
+    (tmp_path / "sitecustomize.py").write_text(
+        "import os\nos.environ['AFP_CHAIN_TEST'] = 'ran'\n"
+    )
+    out = subprocess.run(
+        [
+            sys.executable,
+            "-c",
+            "import os; print(os.environ.get('AFP_CHAIN_TEST', 'missing'))",
+        ],
+        capture_output=True,
+        text=True,
+        env={
+            "PYTHONPATH": os.pathsep.join([pb_compat.SHIM_DIR, str(tmp_path)]),
+            "PATH": "/usr/bin:/bin",
+        },
+        timeout=60,
+    )
+    assert out.returncode == 0 and "ran" in out.stdout, out.stderr + out.stdout

@@ -5,6 +5,8 @@ recurrence itself on hand-computable graphs."""
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import functions as F
 
 from apache_flink_pratices_spark.operators.graph import (
@@ -82,7 +84,10 @@ def test_pagerank_plan_reads_artifact_not_pipeline(spark):
     # the fingerprint pipeline executes ONLY inside the artifact build
     # (a separate, write-once job) — never in the graph query's plan
     assert plan.count("Functions [64]") == 0, plan.count("Functions [64]")
-    assert "afp_neardup_pairs" in plan or "SPARK_GRAFT_ARTIFACT_DIR" in plan, (
+    # the plan can only contain the artifact PATH (default tmpdir name, or
+    # the value of $SPARK_GRAFT_ARTIFACT_DIR when the user overrode it)
+    art_dir = os.environ.get("SPARK_GRAFT_ARTIFACT_DIR")
+    assert "afp_neardup_pairs" in plan or (art_dir and art_dir in plan), (
         "edge scan should read the materialized pair artifact"
     )
 
