@@ -973,3 +973,82 @@ def dup_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("dup_frac"),
         )
     )
+
+
+# --- C4-style exact span dedup ----------------------------------------------
+SEG_N = 16  #: tokens per non-overlapping segment (C4 uses 3-sentence spans)
+
+
+@register(
+    "dedup_segment_exact",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS a FROM documents),
+    segs AS (
+      SELECT doc_id, i AS seg_idx,
+             md5(array_to_string(a[(i*{SEG_N}+1):(i*{SEG_N}+{SEG_N})], ' ')) AS d,
+             doc_id * 1048576 + i AS k
+      FROM t, LATERAL (
+        SELECT unnest(generate_series(0, CAST(len(a) // {SEG_N} AS BIGINT) - 1)) AS i
+      ) g
+    ),
+    win AS (SELECT d, MIN(k) AS wk FROM segs GROUP BY d)
+    SELECT s.doc_id,
+           COUNT(*) AS n_segments,
+           CAST(SUM(CASE WHEN s.k <> w.wk THEN 1 ELSE 0 END) AS BIGINT) AS dup_segments,
+           CAST(SUM(CASE WHEN s.k <> w.wk THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
+             AS dup_frac
+    FROM segs s JOIN win w USING (d)
+    GROUP BY s.doc_id
+    """,
+    doc=f"C4-style exact span dedup: each document is cut into non-overlapping "
+    f"{SEG_N}-token segments, a segment is a duplicate when an identical "
+    "segment occurs earlier in the corpus (first occurrence = smallest "
+    "(doc_id, seg_idx), encoded as one comparable int64 key), and the "
+    "output is the per-document duplicated-span fraction a curation pass "
+    "thresholds on. Scale shape: only 16-byte digests + 8-byte keys ever "
+    "shuffle (segment text stays inside the scan projection); the winner "
+    "table is a map-side-combinable MIN per digest; docs shorter than "
+    f"{SEG_N} tokens yield no segments (guarded sequence — Spark's "
+    "sequence(0,-1) would DESCEND; generate_series returns empty).",
+    tags=("dedup", "text", "llm-pipeline"),
+)
+def dedup_segment_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    a = F.split(F.lower(F.col("text")), " ")
+    nseg = F.floor(F.size("a") / SEG_N).cast("long")
+    t = d.select("doc_id", a.alias("a")).select(
+        "doc_id",
+        "a",
+        F.when(
+            nseg > 0, F.sequence(F.lit(0).cast("long"), nseg - 1)
+        ).otherwise(F.array().cast("array<long>")).alias("idxs"),
+    )
+    segs = t.select("doc_id", F.explode("idxs").alias("seg_idx"), "a").select(
+        "doc_id",
+        "seg_idx",
+        F.md5(
+            F.array_join(
+                F.slice("a", (F.col("seg_idx") * SEG_N + 1).cast("int"), SEG_N), " "
+            )
+        ).alias("d"),
+        (F.col("doc_id") * F.lit(1 << 20) + F.col("seg_idx")).alias("k"),
+    )
+    win = segs.groupBy("d").agg(F.min("k").alias("wk"))
+    flagged = segs.join(win, "d").select(
+        "doc_id", (F.col("k") != F.col("wk")).cast("int").alias("dup")
+    )
+    return (
+        flagged.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_segments"),
+            F.sum("dup").cast("long").alias("dup_segments"),
+        )
+        .select(
+            "doc_id",
+            "n_segments",
+            "dup_segments",
+            (F.col("dup_segments").cast("double") / F.col("n_segments")).alias(
+                "dup_frac"
+            ),
+        )
+    )

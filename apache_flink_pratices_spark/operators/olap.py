@@ -38,7 +38,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from apache_flink_pratices_spark.functions.hashing import md5_long, sql_md5_long
-from apache_flink_pratices_spark.functions.numeric import qlong
+from apache_flink_pratices_spark.functions.numeric import qlong, sql_qsum
 from apache_flink_pratices_spark.functions.zorder import sql_zorder_key, zorder_key
 from apache_flink_pratices_spark.io import load
 from apache_flink_pratices_spark.registry import register
@@ -589,4 +589,56 @@ def q_range_partition_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cum") * RANGE_BUCKETS >= F.col("bucket") * F.col("n"))
         .groupBy("bucket")
         .agg(F.min("v").cast("double").alias("boundary"))
+    )
+
+
+# --- incremental materialized-view maintenance ------------------------------
+MV_CUTOFF = "1999-01-01"  #: base/delta split point for the refresh demo
+
+
+@register(
+    "mv_incremental_refresh",
+    oracle=f"""
+    SELECT o_orderstatus,
+           COUNT(*) AS n_orders,
+           {sql_qsum('o_totalprice', 100)} AS revenue
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+    doc="Incremental materialized-view maintenance: the per-status revenue "
+    f"MV is computed as BASE partials (orders before {MV_CUTOFF}) merged "
+    "with DELTA partials (orders on/after it) — union of two partial "
+    "aggregates re-aggregated, NOT a rescan of history. The oracle is the "
+    "full-table GROUP BY, pinning the algebraic property the whole pattern "
+    "rests on: count/sum partials are mergeable, so a 100 TB MV refresh "
+    "touches only the delta partition plus a dimension-sized partial table "
+    "(the CDC twin: cdc_upsert_compaction / stream_cdc_golden maintain "
+    "latest-state the same way). Revenue accumulates as scaled-int64 cents "
+    "so base+delta merge is exact regardless of split point.",
+    tags=("olap", "aggregation", "incremental", "cdc"),
+)
+def mv_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    cutoff = F.lit(MV_CUTOFF).cast("timestamp")
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy("o_orderstatus").agg(
+            F.count("*").alias("n_orders"),
+            F.sum(qlong("o_totalprice", 100)).alias("rev_cents"),
+        )
+
+    base = partial(o.filter(F.col("o_orderdate") < cutoff))
+    delta = partial(o.filter(F.col("o_orderdate") >= cutoff))
+    return (
+        base.unionByName(delta)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.sum("n_orders").alias("n_orders"),
+            F.sum("rev_cents").alias("rev_cents"),
+        )
+        .select(
+            "o_orderstatus",
+            "n_orders",
+            (F.col("rev_cents").cast("double") / F.lit(100.0)).alias("revenue"),
+        )
     )

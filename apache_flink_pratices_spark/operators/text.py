@@ -960,3 +960,56 @@ def source_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("passes").alias("n_gopher_pass"),
         (F.sum("passes").cast("double") / F.count("*")).alias("gopher_pass_rate"),
     )
+
+
+# --- linear quality classifier (fasttext-shaped scoring plumbing) -----------
+CLF_MOD = 2001  #: weight range: md5-derived ints in [-1000, 1000]
+
+
+@register(
+    "quality_linear_classifier",
+    oracle=f"""
+    WITH f AS (
+      SELECT doc_id,
+             list_distinct(list_filter(string_split(lower(text), ' '),
+                                       w -> w <> '')) AS feats
+      FROM documents
+    ),
+    scored AS (
+      SELECT doc_id,
+             CAST(len(feats) AS BIGINT) AS n_feats,
+             CAST(COALESCE(list_sum(list_transform(feats,
+                    w -> {sql_md5_long('w')} % {CLF_MOD} - 1000)), 0) AS BIGINT)
+               AS score
+      FROM f
+    )
+    SELECT doc_id, n_feats, score, score >= 0 AS passes FROM scored
+    """,
+    doc="Model-based quality filtering, fasttext/DCLM-shaped: each document "
+    "is scored by a linear model over binary bag-of-words features (distinct "
+    "tokens) and thresholded. The weight table is a deterministic md5-derived "
+    "stand-in for trained weights (no model ships in this sandbox) — the "
+    "Spark-side shape is the real thing: scoring is a ZERO-exchange map-only "
+    "plan (array_distinct + aggregate inside the row, weights as a pure "
+    "function of the token ≙ a broadcast weight vector), so classifier "
+    "filtering at 100 TB is embarrassingly parallel with no shuffle at all. "
+    "Integer weights keep the score exact and order-independent.",
+    tags=("text", "quality", "llm-pipeline", "classifier"),
+)
+def quality_linear_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    feats = F.array_distinct(F.filter(tokens(), lambda w: w != ""))
+
+    def weight(w: F.Column) -> F.Column:
+        return md5_long(w) % CLF_MOD - F.lit(1000)
+
+    t = d.select("doc_id", feats.alias("feats"))
+    score = F.aggregate(
+        F.col("feats"), F.lit(0).cast("long"), lambda acc, w: acc + weight(w)
+    )
+    return t.select(
+        "doc_id",
+        F.size("feats").cast("long").alias("n_feats"),
+        score.alias("score"),
+        (score >= 0).alias("passes"),
+    )

@@ -1,0 +1,105 @@
+"""Round-6 additions: C4-style segment dedup, linear quality classifier,
+incremental MV refresh. Oracle equivalence is covered by
+tests/test_oracle_parity.py; these pin the edge cases and plan shapes the
+oracles cannot see."""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from apache_flink_pratices_spark.operators.dedup import SEG_N, dedup_segment_exact
+from apache_flink_pratices_spark.operators.olap import mv_incremental_refresh
+from apache_flink_pratices_spark.operators.text import (
+    CLF_MOD,
+    quality_linear_classifier,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _seg_frame(spark, tmp_path, texts):
+    """Write a tiny documents table and point the operator at it."""
+    sf = str(tmp_path)
+    rows = [(i, t, "en", "src0", len(t)) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(f"{sf}/documents.parquet")
+    return sf
+
+
+def test_segment_dedup_short_doc_yields_no_rows(spark, tmp_path):
+    """Docs with < SEG_N tokens produce ZERO segments, not a crash: the
+    guarded sequence must not go descending (the dup_ngram_coverage bug
+    class from ADVICE r5)."""
+    short = " ".join(f"w{i}" for i in range(SEG_N - 1))
+    full = " ".join(f"w{i}" for i in range(SEG_N))
+    sf = _seg_frame(spark, tmp_path, [short, full])
+    rows = {r.doc_id: r for r in dedup_segment_exact(spark, sf).collect()}
+    assert 0 not in rows  # short doc: no segments at all
+    assert rows[1].n_segments == 1 and rows[1].dup_segments == 0
+
+
+def test_segment_dedup_first_occurrence_wins(spark, tmp_path):
+    """An identical segment later in the corpus (or later in the SAME doc)
+    is the duplicate; the smallest (doc_id, seg_idx) is the original."""
+    seg = " ".join(f"s{i}" for i in range(SEG_N))
+    other = " ".join(f"o{i}" for i in range(SEG_N))
+    # doc0 = [seg, other]; doc1 = [other, seg, seg]
+    sf = _seg_frame(spark, tmp_path, [f"{seg} {other}", f"{other} {seg} {seg}"])
+    rows = {r.doc_id: r for r in dedup_segment_exact(spark, sf).collect()}
+    assert rows[0].n_segments == 2 and rows[0].dup_segments == 0
+    assert rows[1].n_segments == 3 and rows[1].dup_segments == 3
+    assert rows[1].dup_frac == 1.0
+
+
+def test_linear_classifier_matches_python_model(spark):
+    """Spark's in-row aggregate equals a row-at-a-time Python scorer with
+    the same md5-derived weights, on the real sf0.001 corpus."""
+    got = {
+        r.doc_id: (r.n_feats, r.score, r.passes)
+        for r in quality_linear_classifier(spark, SF).collect()
+    }
+    from apache_flink_pratices_spark.io import load
+
+    for row in load(spark, SF, "documents").select("doc_id", "text").collect():
+        feats = sorted({w for w in row.text.lower().split(" ") if w})
+        score = sum(
+            int(hashlib.md5(w.encode()).hexdigest()[:14], 16) % CLF_MOD - 1000
+            for w in feats
+        )
+        assert got[row.doc_id] == (len(feats), score, score >= 0)
+
+
+def test_linear_classifier_zero_exchange(spark):
+    plan = quality_linear_classifier(spark, SF)._jdf.queryExecution().executedPlan()
+    assert "Exchange" not in plan.toString()
+
+
+def test_mv_refresh_plan_is_partial_merge(spark):
+    """The plan must aggregate base and delta separately and merge partials
+    (a Union feeding the final aggregate), not rescan the full table once."""
+    df = mv_incremental_refresh(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Union" in plan
+    assert plan.count("Scan parquet") == 2
+    # and the merged result is what a single full aggregate would produce
+    from apache_flink_pratices_spark.functions.numeric import qlong
+    from apache_flink_pratices_spark.io import load
+
+    o = load(spark, SF, "orders")
+    full = {
+        r.o_orderstatus: (r.n, round(r.rev, 2))
+        for r in o.groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n"),
+            (F.sum(qlong("o_totalprice", 100)).cast("double") / 100.0).alias("rev"),
+        )
+        .collect()
+    }
+    merged = {
+        r.o_orderstatus: (r.n_orders, round(r.revenue, 2)) for r in df.collect()
+    }
+    assert merged == full
