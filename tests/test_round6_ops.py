@@ -103,3 +103,74 @@ def test_mv_refresh_plan_is_partial_merge(spark):
         r.o_orderstatus: (r.n_orders, round(r.revenue, 2)) for r in df.collect()
     }
     assert merged == full
+
+
+# --- hypothesis property tests against brute-force models -------------------
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+# small word alphabet so identical segments actually occur
+corpus_strategy = st.lists(
+    st.lists(st.sampled_from(["x", "y"]), min_size=0, max_size=3 * 16 + 5).map(
+        " ".join
+    ),
+    min_size=1,
+    max_size=6,
+)
+
+
+def _segments(text: str):
+    toks = text.lower().split(" ")
+    return [
+        " ".join(toks[i * 16 : (i + 1) * 16]) for i in range(len(toks) // 16)
+    ]
+
+
+@settings(max_examples=10, deadline=None)
+@given(texts=corpus_strategy)
+def test_segment_dedup_matches_python_model(spark, tmp_path_factory, texts):
+    sf = _seg_frame(spark, tmp_path_factory.mktemp("segdedup"), texts)
+    got = {
+        r.doc_id: (r.n_segments, r.dup_segments)
+        for r in dedup_segment_exact(spark, sf).collect()
+    }
+    seen: set[str] = set()
+    expect: dict[int, tuple[int, int]] = {}
+    for doc_id, text in enumerate(texts):
+        segs = _segments(text)
+        dup = 0
+        for s in segs:
+            if s in seen:
+                dup += 1
+            seen.add(s)
+        if segs:
+            expect[doc_id] = (len(segs), dup)
+    assert got == expect
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    texts=st.lists(
+        st.lists(
+            st.sampled_from(["alpha", "beta", "gamma", "delta"]),
+            min_size=0,
+            max_size=12,
+        ).map(" ".join),
+        min_size=1,
+        max_size=5,
+    )
+)
+def test_linear_classifier_matches_model_on_arbitrary_corpora(
+    spark, tmp_path_factory, texts
+):
+    sf = _seg_frame(spark, tmp_path_factory.mktemp("clf"), texts)
+    got = {
+        r.doc_id: (r.n_feats, r.score, r.passes)
+        for r in quality_linear_classifier(spark, sf).collect()
+    }
+    for doc_id, text in enumerate(texts):
+        feats = {w for w in text.lower().split(" ") if w}
+        score = sum(
+            int(hashlib.md5(w.encode()).hexdigest()[:14], 16) % CLF_MOD - 1000
+            for w in feats
+        )
+        assert got[doc_id] == (len(feats), score, score >= 0)
