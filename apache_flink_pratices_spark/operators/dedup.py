@@ -1006,8 +1006,10 @@ SEG_N = 16  #: tokens per non-overlapping segment (C4 uses 3-sentence spans)
     "(doc_id, seg_idx), encoded as one comparable int64 key), and the "
     "output is the per-document duplicated-span fraction a curation pass "
     "thresholds on. Scale shape: only 16-byte digests + 8-byte keys ever "
-    "shuffle (segment text stays inside the scan projection); the winner "
-    "table is a map-side-combinable MIN per digest; docs shorter than "
+    "shuffle (segment text stays inside the scan projection), and they "
+    "shuffle ONCE — the winner is a whole-partition window MIN on the "
+    "digest, so there is no separate winner table and no join; docs "
+    "shorter than "
     f"{SEG_N} tokens yield no segments (guarded sequence — Spark's "
     "sequence(0,-1) would DESCEND; generate_series returns empty).",
     tags=("dedup", "text", "llm-pipeline"),
@@ -1033,9 +1035,17 @@ def dedup_segment_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("d"),
         (F.col("doc_id") * F.lit(1 << 20) + F.col("seg_idx")).alias("k"),
     )
-    win = segs.groupBy("d").agg(F.min("k").alias("wk"))
-    flagged = segs.join(win, "d").select(
-        "doc_id", (F.col("k") != F.col("wk")).cast("int").alias("dup")
+    # winner lookup as a whole-partition window min: ONE shuffle of the
+    # segment rows on the digest, no separate winner table and no join —
+    # the groupBy+join formulation shuffles the segment rows AND a
+    # distinct-digest table, then pays SMJ sorts at scale anyway
+    from pyspark.sql import Window
+
+    flagged = segs.select(
+        "doc_id",
+        (F.col("k") != F.min("k").over(Window.partitionBy("d")))
+        .cast("int")
+        .alias("dup"),
     )
     return (
         flagged.groupBy("doc_id")
