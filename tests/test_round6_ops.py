@@ -174,3 +174,15 @@ def test_linear_classifier_matches_model_on_arbitrary_corpora(
             for w in feats
         )
         assert got[doc_id] == (len(feats), score, score >= 0)
+
+
+def test_segment_dedup_plan_single_digest_shuffle(spark):
+    """The winner must come from a window min on the digest partition:
+    no join node, and exactly two exchanges (digest, then doc_id)."""
+    import re
+
+    df = dedup_segment_exact(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+    assert "Window" in plan
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 2, plan
