@@ -592,9 +592,10 @@ def _build_candidate_pairs(
 
     Returns ``(pairs, fp)`` where ``fp`` is the persisted fingerprint
     frame feeding the band join AND both verify sides (the 64-term
-    sign-sum aggregate runs once, not 3×). The caller owns the persist:
-    ``dedup_simhash`` keeps it live for the query's duration; the
-    artifact builder unpersists it right after the one-shot write."""
+    sign-sum aggregate runs once, not 3×). The persist is left live:
+    CacheManager keys entries by canonicalized-plan equality, so every
+    caller in the session shares ONE entry, and an unpersist by any of
+    them would evict it for all (see simhash_candidate_pairs)."""
     fp = _simhash_fingerprints(spark, sf_dir).persist(StorageLevel.MEMORY_AND_DISK)
     cand = _simhash_candidates(fp)
     fa = fp.select(F.col("doc_id").alias("doc_a"), F.col("fp").alias("fp_a"))
@@ -618,14 +619,15 @@ def simhash_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = _neardup_artifact_path(sf_dir)
     if not os.path.isdir(path):
         tmp = f"{path}.tmp.{os.getpid()}"
-        pairs, fp = _build_candidate_pairs(spark, sf_dir)
-        try:
-            pairs.write.mode("overwrite").parquet(tmp)
-        finally:
-            # release the fingerprint cache: the artifact now serves every
-            # future read, so keeping it pinned for the session's lifetime
-            # would only add storage pressure (review pass r6)
-            fp.unpersist()
+        pairs, _fp = _build_candidate_pairs(spark, sf_dir)
+        pairs.write.mode("overwrite").parquet(tmp)
+        # Deliberately NOT unpersisted: Spark's CacheManager dedupes cache
+        # entries by canonicalized-plan equality, so this fingerprint cache
+        # is the SAME entry a live dedup_simhash run (bench=True, same
+        # session) hits — unpersisting here would evict it out from under
+        # any lazily-built sibling and silently revert its 64-term
+        # aggregate to 3x recomputation (review pass r6). Session cache
+        # pressure is handled where it belongs: bench.py/clearCache.
         try:
             os.rename(tmp, path)
         except OSError:
@@ -985,25 +987,30 @@ SEG_N = 16  #: tokens per non-overlapping segment (C4 uses 3-sentence spans)
     WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS a FROM documents),
     segs AS (
       SELECT doc_id, i AS seg_idx,
-             md5(array_to_string(a[(i*{SEG_N}+1):(i*{SEG_N}+{SEG_N})], ' ')) AS d,
-             doc_id * 1048576 + i AS k
+             md5(array_to_string(a[(i*{SEG_N}+1):(i*{SEG_N}+{SEG_N})], ' ')) AS d
       FROM t, LATERAL (
         SELECT unnest(generate_series(0, CAST(len(a) // {SEG_N} AS BIGINT) - 1)) AS i
       ) g
     ),
-    win AS (SELECT d, MIN(k) AS wk FROM segs GROUP BY d)
-    SELECT s.doc_id,
+    flagged AS (
+      SELECT doc_id,
+             CASE WHEN ROW(doc_id, seg_idx)
+                       <> MIN(ROW(doc_id, seg_idx)) OVER (PARTITION BY d)
+                  THEN 1 ELSE 0 END AS dup
+      FROM segs
+    )
+    SELECT doc_id,
            COUNT(*) AS n_segments,
-           CAST(SUM(CASE WHEN s.k <> w.wk THEN 1 ELSE 0 END) AS BIGINT) AS dup_segments,
-           CAST(SUM(CASE WHEN s.k <> w.wk THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
-             AS dup_frac
-    FROM segs s JOIN win w USING (d)
-    GROUP BY s.doc_id
+           CAST(SUM(dup) AS BIGINT) AS dup_segments,
+           CAST(SUM(dup) AS DOUBLE) / COUNT(*) AS dup_frac
+    FROM flagged
+    GROUP BY doc_id
     """,
     doc=f"C4-style exact span dedup: each document is cut into non-overlapping "
     f"{SEG_N}-token segments, a segment is a duplicate when an identical "
-    "segment occurs earlier in the corpus (first occurrence = smallest "
-    "(doc_id, seg_idx), encoded as one comparable int64 key), and the "
+    "segment occurs earlier in the corpus (first occurrence = the "
+    "lexicographically smallest (doc_id, seg_idx) struct — no packed-int "
+    "encoding, so no index-width cap or overflow at any doc size), and the "
     "output is the per-document duplicated-span fraction a curation pass "
     "thresholds on. Scale shape: only 16-byte digests + 8-byte keys ever "
     "shuffle (segment text stays inside the scan projection), and they "
@@ -1033,19 +1040,20 @@ def dedup_segment_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.slice("a", (F.col("seg_idx") * SEG_N + 1).cast("int"), SEG_N), " "
             )
         ).alias("d"),
-        (F.col("doc_id") * F.lit(1 << 20) + F.col("seg_idx")).alias("k"),
     )
     # winner lookup as a whole-partition window min: ONE shuffle of the
     # segment rows on the digest, no separate winner table and no join —
     # the groupBy+join formulation shuffles the segment rows AND a
-    # distinct-digest table, then pays SMJ sorts at scale anyway
+    # distinct-digest table, then pays SMJ sorts at scale anyway. The
+    # winner is the lexicographic struct min: a packed doc_id*2^k+seg_idx
+    # int64 would collide/overflow for huge docs or id spaces (review
+    # pass r6), and struct ordering is engine-portable (DuckDB ROW min).
     from pyspark.sql import Window
 
+    me = F.struct("doc_id", "seg_idx")
     flagged = segs.select(
         "doc_id",
-        (F.col("k") != F.min("k").over(Window.partitionBy("d")))
-        .cast("int")
-        .alias("dup"),
+        (me != F.min(me).over(Window.partitionBy("d"))).cast("int").alias("dup"),
     )
     return (
         flagged.groupBy("doc_id")

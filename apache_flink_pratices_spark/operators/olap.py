@@ -627,7 +627,13 @@ def mv_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(qlong("o_totalprice", 100)).alias("rev_cents"),
         )
 
-    base = partial(o.filter(F.col("o_orderdate") < cutoff))
+    # base/delta must PARTITION the table: a NULL order date satisfies
+    # neither `< cutoff` nor `>= cutoff` and would silently vanish from
+    # the merged MV while the oracle's full GROUP BY keeps it (review
+    # pass r6) — bucket NULLs with the base
+    base = partial(
+        o.filter((F.col("o_orderdate") < cutoff) | F.col("o_orderdate").isNull())
+    )
     delta = partial(o.filter(F.col("o_orderdate") >= cutoff))
     return (
         base.unionByName(delta)

@@ -971,8 +971,8 @@ CLF_MOD = 2001  #: weight range: md5-derived ints in [-1000, 1000]
     oracle=f"""
     WITH f AS (
       SELECT doc_id,
-             list_distinct(list_filter(string_split(lower(text), ' '),
-                                       w -> w <> '')) AS feats
+             COALESCE(list_distinct(list_filter(string_split(lower(text), ' '),
+                                                w -> w <> '')), []) AS feats
       FROM documents
     ),
     scored AS (
@@ -998,7 +998,13 @@ CLF_MOD = 2001  #: weight range: md5-derived ints in [-1000, 1000]
 )
 def quality_linear_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
-    feats = F.array_distinct(F.filter(tokens(), lambda w: w != ""))
+    # NULL text must mean an EMPTY feature set (score 0, passes), not a
+    # NULL score: F.aggregate propagates a NULL array where the oracle's
+    # COALESCE(list_sum(...), 0) yields 0 (review pass r6)
+    feats = F.coalesce(
+        F.array_distinct(F.filter(tokens(), lambda w: w != "")),
+        F.array().cast("array<string>"),
+    )
 
     def weight(w: F.Column) -> F.Column:
         return md5_long(w) % CLF_MOD - F.lit(1000)

@@ -63,13 +63,18 @@ try:  # pragma: no cover - exercised inside Spark workers
     # coverage.py's process_startup hook, ...). Chain-load the first one
     # found further along sys.path under a private name so its side
     # effects still run.
-    _here = _os.path.dirname(_os.path.abspath(__file__))
+    # realpath, not abspath: a symlinked PYTHONPATH entry pointing at this
+    # directory must still be recognized as "self", or the loop would
+    # exec this module recursively and never reach the shadowed one
+    _here = _os.path.realpath(_os.path.dirname(_os.path.abspath(__file__)))
     for _p in _sys.path:
-        _dir = _os.path.abspath(_p) if _p else _os.getcwd()
+        _dir = _os.path.realpath(_p) if _p else _os.getcwd()
         if _dir == _here:
             continue
         _cand = _os.path.join(_dir, "sitecustomize.py")
         if _os.path.isfile(_cand):
+            if _os.path.realpath(_cand) == _os.path.realpath(__file__):
+                continue  # file-level symlink back to this very shim
             _spec = _ilu.spec_from_file_location("_afp_shadowed_sitecustomize", _cand)
             if _spec is not None and _spec.loader is not None:
                 _shadowed = _ilu.module_from_spec(_spec)

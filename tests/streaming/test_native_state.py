@@ -296,9 +296,13 @@ def test_pb_compat_gateway_survival_blocks_worker_flag(monkeypatch):
     monkeypatch.setattr(SparkContext, "_gateway", object(), raising=False)
     pb_compat._install_worker_pythonpath([pb_compat.SHIM_DIR])
     assert pb_compat.PREJVM_FLAG not in os.environ
-    assert not pb_compat.workers_can_import_gencode() or (
-        pb_compat._real_runtime_version_present()
-    )
+    # with the flag blocked and no real >=5.27 runtime, the worker-safety
+    # predicate must be False (stub the runtime check so the assert is
+    # about the FLAG path, not a tautology over the box's runtime)
+    monkeypatch.setattr(pb_compat, "_real_runtime_version_present", lambda: False)
+    assert not pb_compat.workers_can_import_gencode()
+    monkeypatch.setenv(pb_compat.PREJVM_FLAG, "1")
+    assert pb_compat.workers_can_import_gencode()
 
 
 def test_pb_compat_shim_is_marked_not_real():

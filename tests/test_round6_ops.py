@@ -110,7 +110,7 @@ from hypothesis import given, settings, strategies as st  # noqa: E402
 
 # small word alphabet so identical segments actually occur
 corpus_strategy = st.lists(
-    st.lists(st.sampled_from(["x", "y"]), min_size=0, max_size=3 * 16 + 5).map(
+    st.lists(st.sampled_from(["x", "y"]), min_size=0, max_size=3 * SEG_N + 5).map(
         " ".join
     ),
     min_size=1,
@@ -121,7 +121,8 @@ corpus_strategy = st.lists(
 def _segments(text: str):
     toks = text.lower().split(" ")
     return [
-        " ".join(toks[i * 16 : (i + 1) * 16]) for i in range(len(toks) // 16)
+        " ".join(toks[i * SEG_N : (i + 1) * SEG_N])
+        for i in range(len(toks) // SEG_N)
     ]
 
 
