@@ -1019,3 +1019,67 @@ def quality_linear_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         score.alias("score"),
         (score >= 0).alias("passes"),
     )
+
+
+# --- tokenizer vocabulary coverage ------------------------------------------
+VOCAB_MIN_DF = 5  #: a token is in-vocabulary when its corpus count >= this
+
+
+@register(
+    "tokenizer_vocab_coverage",
+    oracle=f"""
+    WITH tok AS (
+      SELECT source, w
+      FROM (SELECT source, unnest(string_split(lower(text), ' ')) AS w
+            FROM documents)
+      WHERE w <> ''
+    ),
+    vocab AS (SELECT w FROM tok GROUP BY w HAVING COUNT(*) >= {VOCAB_MIN_DF})
+    SELECT t.source,
+           COUNT(*) AS n_tokens,
+           CAST(SUM(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_oov,
+           CAST(SUM(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*) AS oov_rate
+    FROM tok t LEFT JOIN vocab v USING (w)
+    GROUP BY t.source
+    """,
+    doc="Tokenizer-fit diagnostic: per-source out-of-vocabulary rate "
+    f"against the corpus-frequency vocabulary (count >= {VOCAB_MIN_DF}). "
+    "Scale shape: the vocabulary is VOCABULARY-bounded (a few million rows "
+    "at web scale regardless of corpus size — Heaps' law), built by one "
+    "map-side-combinable count and then BROADCAST back over the token "
+    "stream, so the scoring pass is a broadcast hash join with no shuffle "
+    "of the corpus-sized token stream; per-source totals are a "
+    "dimension-sized aggregate. The real-pipeline twin scores a trained "
+    "tokenizer's vocab file instead of a corpus-derived one — same plan, "
+    "the vocab table just arrives as a broadcast side input.",
+    tags=("text", "tokens", "llm-pipeline"),
+)
+def tokenizer_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    tok = (
+        d.select("source", F.explode(tokens()).alias("w"))
+        .filter(F.col("w") != "")
+    )
+    vocab = (
+        tok.groupBy("w")
+        .agg(F.count("*").alias("c"))
+        .filter(F.col("c") >= VOCAB_MIN_DF)
+        .select("w", F.lit(1).alias("hit"))
+    )
+    n_oov = F.sum(F.when(F.col("hit").isNull(), 1).otherwise(0)).cast("long")
+    return (
+        tok.join(F.broadcast(vocab), "w", "left")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            n_oov.alias("n_oov"),
+        )
+        .select(
+            "source",
+            "n_tokens",
+            "n_oov",
+            (F.col("n_oov").cast("double") / F.col("n_tokens")).alias("oov_rate"),
+        )
+    )

@@ -187,3 +187,39 @@ def test_segment_dedup_plan_single_digest_shuffle(spark):
     assert "Join" not in plan
     assert "Window" in plan
     assert len(re.findall(r"Exchange hashpartitioning", plan)) == 2, plan
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    texts=st.lists(
+        st.lists(
+            # tiny alphabet -> some tokens cross VOCAB_MIN_DF, some don't
+            st.sampled_from(["p", "q", "r", "s", "t"]),
+            min_size=0,
+            max_size=10,
+        ).map(" ".join),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_vocab_coverage_matches_python_model(spark, tmp_path_factory, texts):
+    from collections import Counter
+
+    from apache_flink_pratices_spark.operators.text import (
+        VOCAB_MIN_DF,
+        tokenizer_vocab_coverage,
+    )
+
+    sf = _seg_frame(spark, tmp_path_factory.mktemp("vocab"), texts)
+    got = {
+        r.source: (r.n_tokens, r.n_oov)
+        for r in tokenizer_vocab_coverage(spark, sf).collect()
+    }
+    toks = [w for t in texts for w in t.lower().split(" ") if w]
+    counts = Counter(toks)
+    vocab = {w for w, c in counts.items() if c >= VOCAB_MIN_DF}
+    if toks:  # all docs share source 'src0' in the fixture
+        expect = (len(toks), sum(1 for w in toks if w not in vocab))
+        assert got == {"src0": expect}
+    else:
+        assert got == {}
