@@ -567,21 +567,52 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 # invalidates it. dedup_simhash itself keeps building live — it IS the
 # benchmark of the fingerprint pipeline.
 
-def _neardup_artifact_path(sf_dir: str) -> str:
-    import hashlib
+#: Version of the fingerprint/candidate IMPLEMENTATION baked into the
+#: artifact key. BUMP THIS on any semantic change to
+#: ``_simhash_fingerprints`` / ``_simhash_candidates`` /
+#: ``_build_candidate_pairs`` (ADVICE r6): the artifact is trusted by
+#: existence alone, so a silent implementation change would serve stale
+#: pairs to pagerank_neardup / triangle_count_neardup / dedup_clusters
+#: while their DuckDB oracles recompute live.
+_NEARDUP_IMPL_VERSION = "v2-hotbucket-cap"
+
+
+def _neardup_artifact_base() -> str:
+    """Artifact base directory, created 0o700 and ownership-checked.
+
+    The default lives under the world-writable tempdir, where another
+    user could pre-create the keyed directory and have us trust poisoned
+    parquet (ADVICE r6): create with mode 0o700 and refuse a base we do
+    not own by falling back to a per-uid path."""
     import os
     import tempfile
 
     base = os.environ.get("SPARK_GRAFT_ARTIFACT_DIR") or os.path.join(
-        tempfile.gettempdir(), "afp_neardup_pairs"
+        tempfile.gettempdir(), f"afp_neardup_pairs_{os.getuid()}"
     )
+    os.makedirs(base, mode=0o700, exist_ok=True)
+    st = os.stat(base)
+    if st.st_uid != os.getuid():
+        base = os.path.join(
+            tempfile.gettempdir(), f"afp_neardup_pairs_{os.getuid()}"
+        )
+        os.makedirs(base, mode=0o700, exist_ok=True)
+    os.chmod(base, 0o700)
+    return base
+
+
+def _neardup_artifact_path(sf_dir: str) -> str:
+    import hashlib
+    import os
+
     src = os.path.join(sf_dir, "documents.parquet")
     st = os.stat(src)
     key = hashlib.sha256(
         f"{os.path.abspath(sf_dir)}|{st.st_size}|{st.st_mtime_ns}|"
-        f"{SIMHASH_BITS}|{SIMHASH_BAND_BITS}|{SIMHASH_HAMMING_MAX}|v1".encode()
+        f"{SIMHASH_BITS}|{SIMHASH_BAND_BITS}|{SIMHASH_HAMMING_MAX}|"
+        f"{_NEARDUP_IMPL_VERSION}".encode()
     ).hexdigest()[:16]
-    return os.path.join(base, key)
+    return os.path.join(_neardup_artifact_base(), key)
 
 
 def _build_candidate_pairs(

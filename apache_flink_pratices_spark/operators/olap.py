@@ -545,9 +545,14 @@ RANGE_SAMPLE_MOD = 20  #: deterministic ~5% sample: md5(key) % MOD == 0
     "  FROM orders\n"
     f"  WHERE {sql_md5_long('CAST(o_orderkey AS VARCHAR)')} % {RANGE_SAMPLE_MOD} = 0\n"
     ")\n"
+    # HAVING COUNT(*) > 0 keeps the degenerate empty-sample case aligned
+    # with the Spark side (which emits 0 rows); without it the constant
+    # quantiles would emit NULL boundaries (ADVICE r6 — unreachable at the
+    # shipped scale factors, guarded anyway)
     + "\nUNION ALL ".join(
         f"SELECT CAST({k} AS BIGINT) AS bucket, "
-        f"CAST(quantile_disc(v, {k / RANGE_BUCKETS!r}) AS DOUBLE) AS boundary FROM s"
+        f"CAST(quantile_disc(v, {k / RANGE_BUCKETS!r}) AS DOUBLE) AS boundary "
+        f"FROM s HAVING COUNT(*) > 0"
         for k in range(1, RANGE_BUCKETS)
     ),
     doc=f"Range-partition boundary computation — the global-sort / "

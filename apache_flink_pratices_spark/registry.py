@@ -40,27 +40,38 @@ CRITICAL = (
     "stream_trend_golden",  # A2 2-consecutive-decreases trend rule
     "stream_cdc_golden",  # CDC latest-state compaction (streaming twin)
     "stream_spoof_golden",  # W6 per-price spoof-vanish timer, isolated (r6)
+    "stream_restore_golden",  # W4 MapState+TTL restore guard (ADVICE r6)
     # -- batch anchors per §2 component --
-    "w7_signal_ids",  # W7 deterministic sha256 IDs
-    "p_filter_even_clicks",  # P3
-    "win_tumbling_daily",  # A2/A6
-    "win_sliding_5d_1d",  # A2
-    "win_sessionization",
-    "kafka_wire_trades",  # K2
-    "kafka_wire_routed",  # K3
+    "proto_roundtrip_trades",  # P8 protobuf wire codec
     "fraud_alerts",  # J2 temporal correlation (reference flagship, batch twin)
-    # J2 interval join: semantics changed in r5 (round-then-cast cents
-    # quantization) — pinned so the change always carries a fresh hard
-    # driver row rather than riding its pre-change green
-    "interval_join_error_views",
     "p_market_pipeline",  # P4-P7 parse/validate/normalize/event-time
-    "wordcount",  # P2 flat_map + A1 keyed reduce
-    "ob_imbalance",  # A4
-    "ob_density_change",  # A3 + A5
-    "proto_roundtrip_trades",  # P8
-    "proto_roundtrip_orderbook",  # P8
-    "q_distinct_users",  # A6 counters
-    "q1_pricing_summary",  # flagship TPC-H shape (entry())
+)
+
+#: Former anchors demoted to rotation in round 7 (VERDICT r6 #2: 27 slots
+#: re-burned every round and starved the stale backlog). They stay
+#: registered and rotate back in as their driver rows age — the policy is
+#: RE-ANCHOR ON CODE CHANGE: any semantic change to one of these queries
+#: (or the operators it exercises) must move it back into ``CRITICAL``
+#: for at least one round so the change carries a fresh hard driver row
+#: (the rule applied to ``interval_join_error_views`` in r5). Notes:
+#: ``q1_pricing_summary`` keeps an independent per-round hard signal via
+#: the driver's ``entry()`` smoke check; ``proto_roundtrip_orderbook``
+#: shares the codec with the still-anchored trades twin.
+DEMOTED_ANCHORS = (
+    "w7_signal_ids",
+    "p_filter_even_clicks",
+    "win_tumbling_daily",
+    "win_sliding_5d_1d",
+    "win_sessionization",
+    "kafka_wire_trades",
+    "kafka_wire_routed",
+    "interval_join_error_views",
+    "wordcount",
+    "ob_imbalance",
+    "ob_density_change",
+    "proto_roundtrip_orderbook",
+    "q_distinct_users",
+    "q1_pricing_summary",
 )
 
 
@@ -179,7 +190,7 @@ def all_specs() -> dict[str, QuerySpec]:
        the moment the driver committed their green rows);
     3. everything else — never-checked first, then stalest-green first.
 
-    With 23 anchors the remaining ~27 window slots rotate the stale
+    With 14 anchors the remaining ~36 window slots rotate the stale
     backlog through in ≤2 rounds. The history is re-read from the
     CORRECTNESS files the driver commits, so this adapts each round.
 

@@ -1,0 +1,243 @@
+"""Real stdlib media codecs (PNG / WAV): round-trip matrix, hand-built
+golden bytes, corruption handling, and FakeCodec-vs-real equality of the
+phash pipeline on the committed PNG corpus (VERDICT r6 #3).
+
+Rigor model: the reference's protobuf mapper round-trip matrix
+(/root/reference tests/.../serialization/test_protobuf_mapper_extended.py:1-131
+— field preservation, zero values, edge cases, deliberate corruption)."""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import struct
+import zlib
+
+import numpy as np
+import pytest
+
+from apache_flink_pratices_spark.operators.media_codecs import (
+    PngCodec,
+    PngFormatError,
+    WavCodec,
+)
+from apache_flink_pratices_spark.operators.multimodal import (
+    IMG_C,
+    IMG_H,
+    IMG_W,
+    PHASH_SHIFT,
+    FakeCodec,
+    _ahash64,
+    _N_BLOCKS,
+)
+
+CORPUS = os.path.join(os.path.dirname(__file__), "data", "png_corpus")
+
+
+def _payload(doc_id: int) -> np.ndarray:
+    raw = b"".join(
+        hashlib.md5(f"{doc_id}-{i}".encode()).digest()
+        for i in range(1, _N_BLOCKS["image"] + 1)
+    )
+    return np.frombuffer(raw, dtype=np.uint8)
+
+
+# --- hand-built golden (encoder-independent chunk layout) -------------------
+def _hand_built_png() -> tuple[bytes, np.ndarray]:
+    """A 2x2 RGB PNG assembled from raw chunk bytes WITHOUT PngCodec's
+    encoder: independent evidence the decoder reads the real format, not
+    merely its own writer's dialect."""
+    pixels = np.array(
+        [255, 0, 0, 0, 255, 0, 0, 0, 255, 7, 77, 200], dtype=np.uint8
+    )
+    scanlines = b"\x00" + pixels[:6].tobytes() + b"\x00" + pixels[6:].tobytes()
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(scanlines))
+        + chunk(b"IEND", b"")
+    )
+    return png, pixels
+
+
+def test_decode_hand_built_golden():
+    png, pixels = _hand_built_png()
+    assert np.array_equal(PngCodec().decode(png, {}), pixels)
+
+
+def test_decode_hand_built_with_split_idat():
+    """Real writers may split the zlib stream across several IDAT chunks;
+    the decoder must concatenate before inflating."""
+    png, pixels = _hand_built_png()
+    codec = PngCodec()
+    # rebuild with the IDAT split into 1-byte chunks
+    w, h, ch, idat = codec._parse(png)
+    from apache_flink_pratices_spark.operators.media_codecs import _chunk
+
+    split = b"".join(_chunk(b"IDAT", idat[i : i + 1]) for i in range(len(idat)))
+    rebuilt = (
+        png[:8]
+        + _chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 0))
+        + split
+        + _chunk(b"IEND", b"")
+    )
+    assert np.array_equal(codec.decode(rebuilt, {}), pixels)
+
+
+# --- round-trip matrix ------------------------------------------------------
+@pytest.mark.parametrize("filter_type", [0, 1, 2, 3, 4])
+@pytest.mark.parametrize("channels,w,h", [(1, 7, 5), (3, 16, 16), (4, 3, 9)])
+def test_png_roundtrip_all_filters_and_colortypes(filter_type, channels, w, h):
+    rng = np.random.RandomState(filter_type * 100 + channels)
+    pixels = rng.randint(0, 256, size=w * h * channels, dtype=np.int64).astype(
+        np.uint8
+    )
+    codec = PngCodec()
+    png = codec.encode(pixels, w, h, channels, filter_type=filter_type)
+    assert np.array_equal(codec.decode(png, {}), pixels)
+
+
+def test_png_roundtrip_extreme_values():
+    codec = PngCodec()
+    for fill in (0, 255):
+        pixels = np.full(IMG_W * IMG_H * IMG_C, fill, dtype=np.uint8)
+        for ft in range(5):
+            png = codec.encode(pixels, IMG_W, IMG_H, IMG_C, filter_type=ft)
+            assert np.array_equal(codec.decode(png, {}), pixels)
+
+
+def test_png_meta_consistency_check():
+    codec = PngCodec()
+    png = codec.encode(_payload(0), IMG_W, IMG_H, IMG_C)
+    assert len(codec.decode(png, {"width": IMG_W, "height": IMG_H})) == 768
+    with pytest.raises(PngFormatError, match="contradicts"):
+        codec.decode(png, {"width": 99, "height": IMG_H})
+
+
+# --- corruption handling ----------------------------------------------------
+def test_png_corruption_raises():
+    codec = PngCodec()
+    png = codec.encode(_payload(0), IMG_W, IMG_H, IMG_C)
+    with pytest.raises(PngFormatError, match="signature"):
+        codec.decode(b"JUNK" + png[4:], {})
+    # flip one IDAT payload byte -> CRC must catch it
+    idx = png.index(b"IDAT") + 10
+    corrupted = png[:idx] + bytes([png[idx] ^ 0xFF]) + png[idx + 1 :]
+    with pytest.raises(PngFormatError, match="CRC"):
+        codec.decode(corrupted, {})
+    with pytest.raises(PngFormatError):
+        codec.decode(png[: len(png) // 2], {})  # truncated
+    # unsupported bit depth
+    bad_ihdr = struct.pack(">IIBBBBB", 2, 2, 16, 2, 0, 0, 0)
+    from apache_flink_pratices_spark.operators.media_codecs import _chunk
+
+    bad = png[:8] + _chunk(b"IHDR", bad_ihdr) + png[8 + 12 + 13 :]
+    with pytest.raises(PngFormatError, match="bit depth"):
+        codec.decode(bad, {})
+
+
+# --- WAV --------------------------------------------------------------------
+def test_wav_roundtrip_preserves_samples_and_rate():
+    import io
+    import wave
+
+    codec = WavCodec()
+    samples = _payload(1)[:256]
+    payload = codec.encode(samples, sample_rate=8000)
+    assert np.array_equal(codec.decode(payload, {}), samples)
+    with wave.open(io.BytesIO(payload), "rb") as w:
+        assert w.getframerate() == 8000
+        assert w.getnframes() == 256
+        assert w.getsampwidth() == 1
+
+
+def test_wav_rejects_wide_samples():
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        w.writeframes(b"\x00\x01" * 4)
+    with pytest.raises(ValueError, match="sample width"):
+        WavCodec().decode(buf.getvalue(), {})
+
+
+# --- committed corpus: golden bytes + fake-vs-real phash equality -----------
+def test_committed_corpus_decodes_to_md5_chain():
+    """The committed PNG files are golden: the real decoder must recover
+    the exact md5-chain pixels (base) and +shift twin for every file,
+    across all five scanline filters the corpus rotates through."""
+    codec = PngCodec()
+    files = sorted(os.listdir(CORPUS), key=lambda n: int(n.split(".")[0]))
+    assert len(files) == 8
+    seen_filters = set()
+    for name in files:
+        img_id = int(name.split(".")[0])
+        with open(os.path.join(CORPUS, name), "rb") as f:
+            png = f.read()
+        seen_filters.add(img_id % 5)
+        base = _payload(img_id // 2)
+        expected = (
+            base
+            if img_id % 2 == 0
+            else np.minimum(base.astype(np.int64) + PHASH_SHIFT, 255).astype(
+                np.uint8
+            )
+        )
+        assert np.array_equal(codec.decode(png, {}), expected), name
+    assert seen_filters == {0, 1, 2, 3, 4}
+
+
+def test_phash_pipeline_fake_vs_real_equality(spark):
+    """VERDICT r6 #3 pin: the full phash near-dup pipeline (decode →
+    aHash → banded Hamming pairs) must produce IDENTICAL (id, phash)
+    tables and pair sets whether pixels come from the FakeCodec payload
+    or from genuine committed PNG bytes through the real chunk parser."""
+    from apache_flink_pratices_spark.operators.multimodal import (
+        phash_band_pairs,
+        phash_table_from_pngs,
+    )
+
+    files = spark.read.format("binaryFile").load(
+        os.path.join(CORPUS, "*.png")
+    )
+    real_ph = phash_table_from_pngs(files)
+    real_rows = {r.id: r.phash for r in real_ph.collect()}
+
+    fake = FakeCodec()
+    fake_rows = {}
+    for name in os.listdir(CORPUS):
+        img_id = int(name.split(".")[0])
+        base = fake.decode(_payload(img_id // 2).tobytes(), {})
+        pixels = (
+            base
+            if img_id % 2 == 0
+            else np.minimum(base.astype(np.int64) + PHASH_SHIFT, 255).astype(
+                np.uint8
+            )
+        )
+        fake_rows[img_id] = _ahash64(pixels)
+    assert real_rows == fake_rows
+
+    pairs = sorted(
+        (r.id_a, r.id_b, r.hamming)
+        for r in phash_band_pairs(real_ph).collect()
+    )
+    # every base/twin pair present, nothing else (md5-random strangers)
+    expected_pairs = sorted(
+        (d * 2, d * 2 + 1) for d in {int(n.split(".")[0]) // 2 for n in os.listdir(CORPUS)}
+    )
+    assert [(a, b) for a, b, _ in pairs] == expected_pairs
+    assert all(h <= 3 for _, _, h in pairs)

@@ -24,9 +24,18 @@ from apache_flink_pratices_spark.operators.multimodal import (
 SF = "/root/testdata/sf0.001"
 
 
-def test_real_codec_is_stubbed():
-    with pytest.raises(NotImplementedError, match="pillow"):
-        get_codec("image", implementation="real")
+def test_real_codec_dispatch():
+    """Round 7: image/audio have REAL stdlib codecs; only video (no
+    stdlib container demuxer) still raises."""
+    from apache_flink_pratices_spark.operators.media_codecs import (
+        PngCodec,
+        WavCodec,
+    )
+
+    assert isinstance(get_codec("image", implementation="real"), PngCodec)
+    assert isinstance(get_codec("audio", implementation="real"), WavCodec)
+    with pytest.raises(NotImplementedError, match="video"):
+        get_codec("video", implementation="real")
     with pytest.raises(ValueError):
         get_codec("image", implementation="nope")
 

@@ -20,7 +20,11 @@ from apache_flink_pratices_spark.registry import (
 
 WINDOW = 50
 
-# §2-anchoring queries that must always be driver-checked (SURVEY §8)
+# §2-anchoring queries that must always be driver-checked (SURVEY §8).
+# Shrunk in round 7 (VERDICT r6 #2): the 11 streaming goldens + protobuf
+# wire codec + the J2 batch twin + the P4-P7 market pipeline. Everything
+# demoted rotates as regular backlog under the RE-ANCHOR ON CODE CHANGE
+# rule (registry.DEMOTED_ANCHORS).
 S2_ANCHORS = {
     "stream_fraud_golden",  # W1/W2 flagship
     "stream_cep_signals_golden",  # J1/W4-W6
@@ -30,22 +34,12 @@ S2_ANCHORS = {
     "stream_join_golden",
     "stream_topk_golden",
     "stream_trend_golden",  # A2 trend rule (r5)
+    "stream_cdc_golden",  # CDC streaming twin
     "stream_spoof_golden",  # W6 spoof-vanish timer (r6)
-    "w7_signal_ids",  # W7
-    "p_filter_even_clicks",  # P3
-    "win_tumbling_daily",  # A2/A6
-    "win_sliding_5d_1d",  # A2
-    "win_sessionization",
-    "kafka_wire_trades",  # K2
-    "kafka_wire_routed",  # K3
+    "stream_restore_golden",  # W4 MapState+TTL restore guard (ADVICE r6)
+    "proto_roundtrip_trades",  # P8
     "fraud_alerts",  # J2
     "p_market_pipeline",  # P4-P7
-    "wordcount",  # P2/A1
-    "ob_imbalance",  # A4
-    "ob_density_change",  # A3/A5
-    "proto_roundtrip_trades",  # P8
-    "proto_roundtrip_orderbook",
-    "q_distinct_users",  # A6
 }
 
 
@@ -158,8 +152,20 @@ def test_entry_contract_same_order():
 def test_critical_set_leaves_rotation_capacity():
     """The anchors are pinned into the ~50-slot window every round; keep
     enough slack that never-checked newcomers plus a meaningful stale
-    rotation still fit (≥20 free slots), or gate coverage stalls."""
-    assert len(CRITICAL) <= WINDOW - 20, len(CRITICAL)
+    rotation still fit (≥28 free slots per VERDICT r6 #2), or gate
+    coverage stalls."""
+    assert len(CRITICAL) <= WINDOW - 28, len(CRITICAL)
+
+
+def test_demoted_anchors_are_registered_and_not_critical():
+    """Demoted anchors must stay registered (they rotate, not retire) and
+    must not silently re-enter CRITICAL without removing them from the
+    demoted list (the re-anchor rule is an explicit move, not a copy)."""
+    from apache_flink_pratices_spark.registry import DEMOTED_ANCHORS
+
+    specs = set(all_specs())
+    assert set(DEMOTED_ANCHORS) <= specs, sorted(set(DEMOTED_ANCHORS) - specs)
+    assert not set(DEMOTED_ANCHORS) & set(CRITICAL)
 
 
 def test_backlog_rotates_after_r5_checks(tmp_path, monkeypatch):
