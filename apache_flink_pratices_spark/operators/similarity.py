@@ -673,3 +673,185 @@ def embedding_drift_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.col("n_vectors")
         ).alias("mean_sq_dist")
     ).select("label", "n_vectors", "mean_sq_dist")
+
+
+# --- planted-cluster ANN benchmark corpus (VERDICT r6 #5) -------------------
+# The driver's embeddings are isotropic, so the headline LSH bench measures
+# a corpus where pruning is information-theoretically absent (module
+# docstring). ANN is deployed on CLUSTERED data; to put the pruning story
+# in the benchmarked/driver-checked surface, this derives a deterministic
+# planted-cluster corpus FROM the driver embeddings — each vector is offset
+# by a ±CLU_W direction chosen by md5-hash of its vec_id — so DuckDB can
+# mirror the construction and the oracle stays a full value-hash check.
+CLU_N = 10  #: planted clusters
+CLU_W = 0.375  #: per-dim offset magnitude (3/8: exact in binary, so the
+#: derived corpus is bit-identical across engines)
+CLU_BITS = 64  #: signature bits for the clustered variant
+CLU_BAND = 8  #: band width → 8 bands × 256 buckets (measured at sf0.01:
+#: recall 1.0, candidate fraction 0.137; 32 bits gave recall 0.90 with no
+#: margin, 48 gave 0.92 — the extra bands buy recall headroom while the
+#: fraction stays well under the 0.2 bar)
+
+
+def cluster_offsets(n: int = CLU_N, dim: int = DIM, w: float = CLU_W) -> list[list[float]]:
+    """±w offset matrix from md5 of 'afp-clu-{c}-{k}' (k 1-based)."""
+    return [
+        [
+            w
+            if hashlib.md5(f"afp-clu-{c}-{k}".encode()).digest()[0] % 2 == 0
+            else -w
+            for k in range(1, dim + 1)
+        ]
+        for c in range(CLU_N)
+    ]
+
+
+def clustered_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, label, embedding double[64]): the planted-cluster corpus.
+
+    Map-only derivation — cluster id is a hash of vec_id, the offset
+    row is a broadcast literal; nothing shuffles."""
+    from apache_flink_pratices_spark.functions.hashing import md5_long
+
+    e = load(spark, sf_dir, "embeddings")
+    offs = F.lit(cluster_offsets())
+    c = md5_long(F.col("vec_id").cast("string")) % CLU_N
+    row_off = F.element_at(offs, (c + 1).cast("int"))
+    emb = F.zip_with(
+        F.col("embedding"), row_off, lambda x, o: x.cast("double") + o
+    )
+    return e.select("vec_id", "label", emb.alias("embedding"))
+
+
+def _sql_rh_signs(bits: int) -> str:
+    """DuckDB twin of rh_signs for an arbitrary bit count."""
+    return f"""
+    signs AS (
+      SELECT j, k,
+             CASE WHEN CAST(('0x' || substr(md5('afp-rh-' || j || '-' || k), 1, 2)) AS INTEGER) % 2 = 0
+                  THEN 1.0 ELSE -1.0 END AS s
+      FROM (SELECT unnest(generate_series(0, {bits - 1})) AS j) bi,
+           (SELECT unnest(generate_series(1, {DIM})) AS k) di
+    )
+    """
+
+
+_SQL_CLUSTERED_ELEMS = f"""
+    clu AS (
+      SELECT vec_id, {{md5}} % {CLU_N} AS c FROM embeddings
+    ),
+    offs AS (
+      SELECT c, k,
+             CASE WHEN CAST(('0x' || substr(md5('afp-clu-' || c || '-' || k), 1, 2)) AS INTEGER) % 2 = 0
+                  THEN {CLU_W} ELSE -{CLU_W} END AS o
+      FROM (SELECT unnest(generate_series(0, {CLU_N - 1})) AS c) ci,
+           (SELECT unnest(generate_series(1, {DIM})) AS k) ki
+    ),
+    elems AS (
+      SELECT e.vec_id, u.k, CAST(u.x AS DOUBLE) + f.o AS x
+      FROM embeddings e
+        JOIN clu ON clu.vec_id = e.vec_id,
+        LATERAL (SELECT unnest(e.embedding) AS x,
+                        generate_subscripts(e.embedding, 1) AS k) u
+        JOIN offs f ON f.c = clu.c AND f.k = u.k
+    ),
+    labels AS (SELECT vec_id, label FROM embeddings)
+"""
+
+
+@register(
+    "ann_lsh_topk_clustered",
+    oracle=(
+        "WITH "
+        + _SQL_CLUSTERED_ELEMS.format(
+            md5="CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 14)) AS BIGINT)"
+        )
+        + ","
+        + _sql_rh_signs(CLU_BITS)
+        + f""",
+    bits AS (
+      SELECT e.vec_id, s.j,
+             (SUM(CAST(floor(e.x * s.s * {_SCALE}) AS BIGINT)) >= 0) AS bit
+      FROM elems e JOIN signs s ON s.k = e.k
+      GROUP BY e.vec_id, s.j
+    ),
+    bands AS (
+      SELECT vec_id, j // {CLU_BAND} AS band,
+             CAST(SUM(CASE WHEN bit THEN power(2, {CLU_BAND - 1} - (j % {CLU_BAND})) ELSE 0 END) AS BIGINT) AS bucket
+      FROM bits GROUP BY vec_id, band
+    ),
+    cand AS (
+      SELECT DISTINCT q.vec_id AS query_id, e.vec_id AS vec_id
+      FROM bands q JOIN bands e ON q.band = e.band AND q.bucket = e.bucket
+      WHERE q.vec_id < {N_QUERIES} AND e.vec_id <> q.vec_id
+    ),
+    norms AS (
+      SELECT vec_id, {_sql_dot('e.x', 'e.x')} AS nrm
+      FROM elems e
+      GROUP BY vec_id
+    ),
+    dots AS (
+      SELECT c.query_id, c.vec_id,
+             {_sql_dot('q.x', 'e.x')} AS dot
+      FROM cand c
+        JOIN elems q ON q.vec_id = c.query_id
+        JOIN elems e ON e.vec_id = c.vec_id AND e.k = q.k
+      GROUP BY c.query_id, c.vec_id
+    ),
+    scored AS (
+      SELECT d.query_id, d.vec_id, lb.label,
+             d.dot / (sqrt(nq.nrm) * sqrt(ne.nrm)) AS cosine
+      FROM dots d
+        JOIN norms nq ON nq.vec_id = d.query_id
+        JOIN norms ne ON ne.vec_id = d.vec_id
+        JOIN labels lb ON lb.vec_id = d.vec_id
+    )
+    SELECT query_id, vec_id, label, cosine, rn
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY cosine DESC, vec_id) AS rn
+          FROM scored)
+    WHERE rn <= {TOP_K}
+    """
+    ),
+    doc=f"Bucketed ANN on a CLUSTERED corpus — the deployment regime where "
+    f"LSH pruning actually pays: each driver embedding is offset by one of "
+    f"{CLU_N} deterministic ±{CLU_W} centroid directions (hash-assigned, "
+    "so DuckDB mirrors the corpus exactly), then the standard "
+    f"random-hyperplane pipeline runs with {CLU_BITS}-bit signatures in "
+    f"{CLU_BITS // CLU_BAND} bands of {CLU_BAND} bits (256 buckets/band). "
+    "Same-cluster vectors dominate each query's true top-k and collide in "
+    "the wide bands, cross-cluster signatures agree per-bit with p≈0.5 so "
+    "a band collides with p≈1/256 — measured candidate fraction <0.2 and "
+    "recall ≥0.9 vs the brute-force oracle on the same derived corpus "
+    "(pinned in tests/test_ann_lsh.py; fraction emitted in bench.py's "
+    "detail line per VERDICT r6 #5). Plan shape identical to ann_lsh_topk: "
+    "map-only signatures, broadcast query bands, exact verify on "
+    "candidates only.",
+    bench=True,
+    tags=("similarity", "ann", "lsh", "clustered"),
+)
+def ann_lsh_topk_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ann_lsh_frame(
+        clustered_embeddings(spark, sf_dir), bits=CLU_BITS, band_size=CLU_BAND
+    )
+
+
+def ann_lsh_clustered_candidate_fraction(
+    spark: SparkSession, sf_dir: str
+) -> float:
+    """Measured candidate fraction of the clustered LSH query: distinct
+    (query, candidate) pairs / (N_QUERIES · (N−1)). Emitted in bench.py's
+    detail line so the pruning claim is a recorded artifact."""
+    vectors = clustered_embeddings(spark, sf_dir)
+    n = vectors.count()
+    bands = _signature_bands(vectors, CLU_BITS, CLU_BAND, DIM)
+    qb = bands.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "band", "bucket"
+    )
+    cand = (
+        bands.join(F.broadcast(qb), ["band", "bucket"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id")
+        .distinct()
+    )
+    return cand.count() / float(N_QUERIES * (n - 1))

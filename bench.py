@@ -78,9 +78,44 @@ def main() -> None:
         rows[name] = spec.fn(spark, sf_dir).count()  # untimed, for sanity
         spark.catalog.clearCache()
 
+    # --- scale-evidence extras (untimed, after the headline loop) --------
+    # 1) measured LSH pruning on the planted-cluster corpus (VERDICT r6 #5)
+    from apache_flink_pratices_spark.operators.similarity import (
+        ann_lsh_clustered_candidate_fraction,
+    )
+
+    cand_fraction = round(ann_lsh_clustered_candidate_fraction(spark, sf_dir), 4)
+    spark.catalog.clearCache()
+    # 2) streaming events/sec through the two flagship stateful paths
+    #    (VERDICT r6 #6 — the reference's only end-to-end perf target)
+    import tempfile
+
+    from apache_flink_pratices_spark.streaming.bench_streams import (
+        cep_events_per_sec,
+        fraud_events_per_sec,
+    )
+
+    # full volume by default (the driver's per-round artifact must measure
+    # the amortized rate); "small" keeps the pytest contract smoke fast
+    small = os.environ.get("SPARK_GRAFT_STREAM_BENCH") == "small"
+    with tempfile.TemporaryDirectory(prefix="afp_bench_stream_") as wd:
+        fraud_rate, n_alerts = fraud_events_per_sec(
+            spark, wd, n_tx=20_000 if small else 100_000
+        )
+        cep_rate, n_signals = cep_events_per_sec(
+            spark, wd, n_codes=50 if small else 300, n_cycles=3 if small else 17
+        )
+    streaming = {"fraud_ev_s": int(fraud_rate), "cep_ev_s": int(cep_rate)}
+
     detail = {
         "queries_median": medians,
         "rows": rows,
+        "ann_lsh_clustered_candidate_fraction": cand_fraction,
+        "streaming": {
+            **streaming,
+            "fraud_output_alerts": n_alerts,
+            "cep_output_signals": n_signals,
+        },
         "schema_note": (
             "final line: value/queries = per-query min over `runs` noop-write "
             "executions (cache cleared between runs); this line: medians = "
@@ -94,6 +129,9 @@ def main() -> None:
         "sf": sf,
         "runs": n_runs,
         "queries": timings,
+        # streaming ev/s repeated on the summary line: the driver may only
+        # capture the LAST line, and the metric must land in BENCH_r{N}
+        "streaming": streaming,
     }
     print(json.dumps(detail))
     # LAST line, compact separators: must fit (with slack) inside the

@@ -107,3 +107,87 @@ def test_signs_derivation_matches_sql(spark):
     ).collect()[0]
     expected = 1.0 if int(row.m) == 0 else -1.0
     assert signs[2][2] == expected  # k is 1-based → index 2 is k=3
+
+
+def test_planted_cluster_query_recall_and_pruning(spark):
+    """The REGISTERED clustered variant (ann_lsh_topk_clustered) must
+    prune hard and stay near-exact at sf0.01 — the scale claim the bench
+    now records per round (VERDICT r6 #5): candidate fraction < 0.2,
+    recall vs brute force on the same derived corpus >= 0.95."""
+    import pyspark.sql.functions as F
+    from pyspark.sql.window import Window
+
+    from apache_flink_pratices_spark.operators.similarity import (
+        N_QUERIES,
+        TOP_K,
+        _dot,
+        ann_lsh_clustered_candidate_fraction,
+        ann_lsh_topk_clustered,
+        clustered_embeddings,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    frac = ann_lsh_clustered_candidate_fraction(spark, sf)
+    assert 0 < frac < 0.2, frac
+
+    cl = clustered_embeddings(spark, sf)
+    wn = cl.select(
+        "vec_id", "embedding", _dot(F.col("embedding"), F.col("embedding")).alias("nrm")
+    )
+    q = wn.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        F.col("nrm").alias("qn"),
+    )
+    scored = wn.join(F.broadcast(q), F.col("vec_id") != F.col("query_id")).select(
+        "query_id",
+        "vec_id",
+        (
+            _dot(F.col("qe"), F.col("embedding"))
+            / (F.sqrt(F.col("qn")) * F.sqrt(F.col("nrm")))
+        ).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    brute = scored.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= TOP_K
+    )
+    bset = {(r.query_id, r.vec_id) for r in brute.collect()}
+    lset = {
+        (r.query_id, r.vec_id) for r in ann_lsh_topk_clustered(spark, sf).collect()
+    }
+    assert len(bset & lset) / len(bset) >= 0.95, sorted(bset - lset)
+
+
+def test_planted_clusters_are_separated(spark):
+    """Sanity on the corpus construction: same-cluster cosine must
+    dominate cross-cluster (the planted structure the pruning relies on)."""
+    import hashlib
+
+    import numpy as np
+
+    from apache_flink_pratices_spark.operators.similarity import (
+        CLU_N,
+        clustered_embeddings,
+    )
+
+    rows = clustered_embeddings(spark, "/root/testdata/sf0.001").collect()
+
+    def cluster_of(vec_id: int) -> int:
+        return (
+            int(hashlib.md5(str(vec_id).encode()).hexdigest()[:14], 16) % CLU_N
+        )
+
+    vecs = {r.vec_id: np.array(r.embedding) for r in rows}
+    same, cross = [], []
+    ids = sorted(vecs)
+    for i in ids[:20]:
+        for j in ids:
+            if j <= i:
+                continue
+            cos = float(
+                vecs[i] @ vecs[j]
+                / (np.linalg.norm(vecs[i]) * np.linalg.norm(vecs[j]))
+            )
+            (same if cluster_of(i) == cluster_of(j) else cross).append(cos)
+    assert same and cross
+    assert np.mean(same) > 0.6 > np.mean(cross) + 0.3

@@ -16,6 +16,7 @@ def test_bench_cli_contract():
     env = dict(os.environ)
     env["SPARK_GRAFT_SF_DIR"] = "/root/testdata/sf0.001"
     env["SPARK_GRAFT_CPUS"] = "4"
+    env["SPARK_GRAFT_STREAM_BENCH"] = "small"  # keep the smoke fast
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py")],
         capture_output=True,
@@ -38,6 +39,13 @@ def test_bench_cli_contract():
     detail = json.loads(lines[-2])
     assert set(detail["rows"]) == set(doc["queries"])
     assert set(detail["queries_median"]) == set(doc["queries"])
+    # round-7 scale-evidence extras: measured LSH pruning on the planted
+    # clusters, and streaming ev/s through the two stateful flagship paths
+    assert 0 < detail["ann_lsh_clustered_candidate_fraction"] < 0.2
+    for d in (detail["streaming"], doc["streaming"]):
+        assert d["fraud_ev_s"] > 0 and d["cep_ev_s"] > 0
+    assert detail["streaming"]["fraud_output_alerts"] > 0
+    assert detail["streaming"]["cep_output_signals"] > 0
 
 
 def test_bench_summary_line_budget():
@@ -58,6 +66,7 @@ def test_bench_summary_line_budget():
         "sf": "0.001",
         "runs": 99,
         "queries": {n: 9999.999 for n in names},
+        "streaming": {"fraud_ev_s": 99999999, "cep_ev_s": 99999999},
     }
     line = json.dumps(worst, separators=(",", ":"))
     assert len(line) <= 1500, (len(line), "compact summary over budget")
