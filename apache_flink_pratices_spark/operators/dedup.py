@@ -320,12 +320,16 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
 
     h31 = F.col("h") % P31
+    # persisted: the 16-min signature aggregate feeds the band-join
+    # kernel's pre-check plus both self-join sides (see
+    # banded_candidate_pairs — the kernel expects callers to cache the
+    # expensive upstream rather than paying a second materialization)
     sigs = sh.groupBy("doc_id").agg(
         *[
             F.min((F.lit(a) * h31 + F.lit(b)) % P31).alias(f"s{i}")
             for i, (a, b) in enumerate(MH_COEFFS)
         ]
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     band_structs = F.array(
         *[
             F.struct(
@@ -343,17 +347,10 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     bands = sigs.select("doc_id", F.explode(band_structs).alias("bb")).select(
         "doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
     )
-    a = bands.alias("a")
-    b = bands.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
+    # hot-bucket-guarded band join (shared kernel; identical pairs to the
+    # plain self-join below the cap — see banded_candidate_pairs)
+    cand = banded_candidate_pairs(bands).select(
+        F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b")
     )
     # Candidate-bounded verify: expand each candidate pair by doc_a's
     # shingles, then equi-join (doc_b, h) against the shingle table. Work is
@@ -421,7 +418,120 @@ def _simhash_fingerprints_of(d: DataFrame) -> DataFrame:
     return sums.select("doc_id", fp_col.alias("fp"))
 
 
-def _simhash_candidates(fp: DataFrame, band_bits: int = SIMHASH_BAND_BITS) -> DataFrame:
+#: Adversarial hot-bucket guard for every banded candidate join (VERDICT
+#: r6 #7). A single band bucket holding B members emits O(B²) candidate
+#: pairs from the self-join — bounded today only by data properties
+#: (max simhash bucket at sf0.1: 203 rows, p99 = 37). Buckets past the
+#: cap switch to REPRESENTATIVE PAIRING: every member pairs with the
+#: bucket's HOT_BUCKET_REPS hash-smallest members instead of with
+#: everyone, bounding the bucket's fan-out to B·reps while keeping every
+#: member connected to the bucket's pair graph (any two members share a
+#: representative neighbor, so dedup clustering via connected components
+#: is unaffected). Below the cap the pair set is IDENTICAL to the plain
+#: self-join — the shipped corpora never trip the cap (5× headroom at
+#: sf0.1), so the uncapped DuckDB oracles still value-hash-match; the
+#: bound itself is pinned by a planted-hot-bucket property test
+#: (tests/test_simhash_scale.py).
+HOT_BUCKET_CAP = 1024
+HOT_BUCKET_REPS = 8
+
+
+def banded_candidate_pairs(
+    bands: DataFrame,
+    id_col: str = "doc_id",
+    cap: int = HOT_BUCKET_CAP,
+    n_reps: int = HOT_BUCKET_REPS,
+) -> DataFrame:
+    """(id_a, id_b) pairs sharing a (band, bucket), hot buckets bounded.
+
+    Shared kernel behind the simhash / minhash / phash band joins.
+
+    ADAPTIVE plan choice (the AQE pattern, applied where AQE cannot see:
+    the blowup is in the join's OUTPUT size, which no static rule
+    bounds). The input is persisted (both self-join sides need it
+    anyway), then one cheap pre-check aggregate — map-side-combinable to
+    one row per distinct bucket, reduced to a single scalar — reads the
+    max bucket size off the cache. At or below the cap the kernel
+    returns the plain all-pairs self-join, bit-identical to the
+    unguarded plan (normal corpora pay only the small pre-check job, and
+    the uncapped DuckDB oracles stay value-hash-green). Only when a
+    pathological bucket actually exists does the guarded plan build: a
+    sort-free window (whole-partition count frame — streams with spill,
+    never an O(B log B) single-task sort) tags bucket sizes, the
+    self-join runs over at-or-below-cap rows only, and hot buckets emit
+    member×representative pairs, representatives chosen by the salted
+    bottom-k kernel so no task ever sorts a whole pathological bucket."""
+    from pyspark.sql.window import Window
+
+    from apache_flink_pratices_spark.functions.hashing import md5_long
+    from apache_flink_pratices_spark.operators.skew import salted_bottom_k
+
+    # No kernel-side persist: every caller already persists the expensive
+    # upstream (simhash fp, minhash sigs, phash table), so re-deriving the
+    # band explode per consumer is a cheap cache scan — and an extra
+    # persist here would just pay materialization twice.
+    a_id, b_id = f"a.{id_col}", f"b.{id_col}"
+    max_bsz = (
+        bands.groupBy("band", "bucket")
+        .agg(F.count("*").alias("c"))
+        .agg(F.max("c"))
+        .collect()[0][0]
+    )
+    if max_bsz is None or max_bsz <= cap:
+        a, b = bands.alias("a"), bands.alias("b")
+        return (
+            a.join(
+                b,
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.bucket") == F.col("b.bucket"))
+                & (F.col(a_id) < F.col(b_id)),
+            )
+            .select(F.col(a_id).alias("id_a"), F.col(b_id).alias("id_b"))
+            .distinct()
+        )
+
+    w = Window.partitionBy("band", "bucket")
+    tagged = bands.withColumn("__bsz", F.count("*").over(w)).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+
+    normal = tagged.filter(F.col("__bsz") <= cap).select(id_col, "band", "bucket")
+    a, b = normal.alias("a"), normal.alias("b")
+    pairs_normal = a.join(
+        b,
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col(a_id) < F.col(b_id)),
+    ).select(F.col(a_id).alias("id_a"), F.col(b_id).alias("id_b"))
+
+    hot = tagged.filter(F.col("__bsz") > cap).select(id_col, "band", "bucket")
+    hashed = hot.withColumn("__hh", md5_long(F.col(id_col).cast("string")))
+    reps = salted_bottom_k(
+        hashed,
+        ["band", "bucket"],
+        "__hh",
+        n_reps,
+        salt_n=8,
+        tiebreak_cols=[id_col],
+    ).select(F.col(id_col).alias("__rep"), "band", "bucket")
+    pairs_hot = (
+        hot.alias("m")
+        .join(F.broadcast(reps.alias("r")), ["band", "bucket"])
+        .filter(F.col(f"m.{id_col}") != F.col("__rep"))
+        .select(
+            F.least(F.col(f"m.{id_col}"), F.col("__rep")).alias("id_a"),
+            F.greatest(F.col(f"m.{id_col}"), F.col("__rep")).alias("id_b"),
+        )
+    )
+    return pairs_normal.unionByName(pairs_hot).distinct()
+
+
+def _simhash_candidates(
+    fp: DataFrame,
+    band_bits: int = SIMHASH_BAND_BITS,
+    cap: int = HOT_BUCKET_CAP,
+    n_reps: int = HOT_BUCKET_REPS,
+) -> DataFrame:
     """(doc_a, doc_b) pairs sharing at least one exact band of the fp."""
     n_bands = SIMHASH_BITS // band_bits
     mask = (1 << band_bits) - 1
@@ -437,17 +547,8 @@ def _simhash_candidates(fp: DataFrame, band_bits: int = SIMHASH_BAND_BITS) -> Da
     bands = fp.select("doc_id", F.explode(band_structs).alias("bb")).select(
         "doc_id", "bb.band", "bb.bucket"
     )
-    a = bands.alias("a")
-    b = bands.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
+    return banded_candidate_pairs(bands, cap=cap, n_reps=n_reps).select(
+        F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b")
     )
 
 

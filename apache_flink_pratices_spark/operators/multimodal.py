@@ -466,17 +466,13 @@ def phash_band_pairs(ph: DataFrame) -> DataFrame:
     bands = ph.select("id", F.explode(band_structs).alias("bb")).select(
         "id", "bb.band", "bb.bucket"
     )
-    a, b = bands.alias("a"), bands.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.id") < F.col("b.id")),
-        )
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .distinct()
+    # hot-bucket-guarded band join (same kernel as the simhash/minhash
+    # joins: identical pairs below the cap, B·reps bound above it)
+    from apache_flink_pratices_spark.operators.dedup import (
+        banded_candidate_pairs,
     )
+
+    cand = banded_candidate_pairs(bands, id_col="id")
     pa = ph.select(F.col("id").alias("id_a"), F.col("phash").alias("ph_a"))
     pb = ph.select(F.col("id").alias("id_b"), F.col("phash").alias("ph_b"))
     ham = F.bit_count(F.col("ph_a").bitwiseXOR(F.col("ph_b")))

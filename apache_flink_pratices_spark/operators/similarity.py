@@ -168,44 +168,52 @@ def _signature_bands(
 ) -> DataFrame:
     """(vec_id, band, bucket): banded sign signature per vector.
 
-    Each bit is sign(Σ ±x_k) with the sum accumulated exactly in decimals
-    (order-independent), so buckets match bit-for-bit across engines.
+    Each bit is sign(Σ floor(x_k·s_k·1e12)) with the per-element products
+    floor-quantized into int64 BEFORE summing — order-independent and
+    bit-identical to the SQL oracle derivation.
+
+    Implementation note (round 7): this is a vectorized Arrow
+    ``mapInPandas`` stage, not a higher-order-function expression. Spark's
+    ``transform``/``aggregate`` lambdas execute interpreted per element —
+    the 64-bit clustered signature (bits × dim = 4096 lambda invocations
+    per row) measured ~4 s for a 2,000-row corpus, while the numpy
+    formulation does the same exact arithmetic as (rows × dim) array ops
+    per bit in ~0.3 s. Per-row work is O(bits·dim) either way; only the
+    constant changed. Quantization stays exact: x (float32→float64 is
+    exact) times ±1 is exact, so ``floor((x·s)·1e12)`` in numpy float64
+    equals the JVM/DuckDB double result bit for bit.
     """
-    # Each band's hyperplane sub-matrix is ONE nested-array literal looped
-    # by transform (data, not unrolled code) — lower plan-compile cost than
-    # per-bit unrolling. Bands deliberately do NOT share one bits array:
-    # a shared array referenced from several band lambdas defeats common-
-    # subexpression elimination and re-evaluates every bit per band
-    # (measured 1.8× slower); slicing the literal per band keeps each dot
-    # product computed exactly once.
-    signs = rh_signs(bits, dim)
+    import numpy as np
+    import pandas as pd
+
+    signs = np.array(rh_signs(bits, dim), dtype=np.float64)  # (bits, dim)
     n_bands = bits // band_size
-    bands = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.aggregate(
-                    F.transform(
-                        F.lit(signs[b * band_size : (b + 1) * band_size]),
-                        lambda d: (
-                            F.aggregate(
-                                _scaled_products(F.col("embedding"), d),
-                                F.lit(0).cast("long"),
-                                lambda acc, v: acc + v,
-                            )
-                            >= 0
-                        ).cast("long"),
-                    ),
-                    F.lit(0).cast("long"),
-                    lambda acc, x: acc * 2 + x,
-                ).alias("bucket"),
+    weights = (1 << np.arange(band_size - 1, -1, -1)).astype(np.int64)
+
+    def fn(batches):
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            emb = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+            bitvals = np.empty((n, bits), dtype=bool)
+            for j in range(bits):
+                q = np.floor((emb * signs[j]) * _SCALE).astype(np.int64)
+                bitvals[:, j] = q.sum(axis=1) >= 0
+            buckets = (
+                bitvals.reshape(n, n_bands, band_size).astype(np.int64) * weights
+            ).sum(axis=2)
+            yield pd.DataFrame(
+                {
+                    "vec_id": np.repeat(pdf["vec_id"].to_numpy(), n_bands),
+                    "band": np.tile(np.arange(n_bands, dtype=np.int32), n),
+                    "bucket": buckets.reshape(-1),
+                }
             )
-            for b in range(n_bands)
-        ]
+
+    return vectors.select("vec_id", "embedding").mapInPandas(
+        fn, "vec_id bigint, band int, bucket bigint"
     )
-    return vectors.select(
-        "vec_id", F.explode(bands).alias("bb")
-    ).select("vec_id", "bb.band", "bb.bucket")
 
 
 def ann_lsh_frame(
@@ -225,11 +233,19 @@ def ann_lsh_frame(
     """
     from pyspark.sql.window import Window
 
+    from pyspark.storagelevel import StorageLevel
+
     with_norm = vectors.select(
         "vec_id", "label", "embedding",
         _dot(F.col("embedding"), F.col("embedding")).alias("nrm"),
     )
-    bands = _signature_bands(vectors, bits, band_size, dim)
+    # the signature pass is the dominant map work (bits x dim products per
+    # row) and feeds BOTH the query side and the corpus side of the band
+    # join — persist so it runs once (matters most for the 64-bit
+    # clustered variant: measured 4.6 -> ~2.5 s at sf0.1)
+    bands = _signature_bands(vectors, bits, band_size, dim).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     qb = bands.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"), "band", "bucket"
     )
