@@ -444,7 +444,7 @@ def _phash_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         yield pd.DataFrame(out, columns=["id", "phash"])
 
 
-def phash_band_pairs(ph: DataFrame) -> DataFrame:
+def phash_band_pairs(ph: DataFrame, sf_dir: str | None = None) -> DataFrame:
     """(id, phash) → verified near-dup pairs via banded Hamming join.
 
     Factored out so the FakeCodec production query and the real-PNG path
@@ -467,12 +467,20 @@ def phash_band_pairs(ph: DataFrame) -> DataFrame:
         "id", "bb.band", "bb.bucket"
     )
     # hot-bucket-guarded band join (same kernel as the simhash/minhash
-    # joins: identical pairs below the cap, B·reps bound above it)
+    # joins: identical pairs below the cap, B·reps bound above it); the
+    # pre-check scalar is a write-once corpus statistic
     from apache_flink_pratices_spark.operators.dedup import (
+        _max_bucket_size,
         banded_candidate_pairs,
+        corpus_probe,
     )
 
-    cand = banded_candidate_pairs(bands, id_col="id")
+    hint = (
+        corpus_probe(sf_dir, "phash_max_bucket", lambda: _max_bucket_size(bands))
+        if sf_dir is not None
+        else None
+    )
+    cand = banded_candidate_pairs(bands, id_col="id", max_bucket_hint=hint)
     pa = ph.select(F.col("id").alias("id_a"), F.col("phash").alias("ph_a"))
     pb = ph.select(F.col("id").alias("id_b"), F.col("phash").alias("ph_b"))
     ham = F.bit_count(F.col("ph_a").bitwiseXOR(F.col("ph_b")))
@@ -578,4 +586,4 @@ def mm_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ph = imgs.mapInPandas(_phash_fn, _PHASH_SCHEMA).persist(
         StorageLevel.MEMORY_AND_DISK
     )
-    return phash_band_pairs(ph)
+    return phash_band_pairs(ph, sf_dir=sf_dir)

@@ -195,3 +195,28 @@ def test_planted_hot_bucket_through_simhash_pipeline(spark):
     assert 0 < len(boiler) <= 4 * 300 * 4, len(boiler)
     ids = sorted({r.doc_a for r in boiler} | {r.doc_b for r in boiler})
     assert len(ids) == 300  # every boilerplate doc participates
+
+
+def test_corpus_probe_is_write_once(tmp_path, monkeypatch):
+    """The pre-check statistic is computed once per (corpus, config) and
+    then served from the artifact dir; the key covers the implementation
+    version, so bumping it invalidates cached verdicts."""
+    import apache_flink_pratices_spark.operators.dedup as dd
+
+    monkeypatch.setenv("SPARK_GRAFT_ARTIFACT_DIR", str(tmp_path))
+    calls = []
+
+    def compute():
+        calls.append(1)
+        return 7
+
+    sf = "/root/testdata/sf0.001"
+    assert dd.corpus_probe(sf, "t_probe", compute) == 7
+    assert dd.corpus_probe(sf, "t_probe", compute) == 7
+    assert len(calls) == 1  # second read served from the cache file
+    # a different probe name gets its own slot
+    assert dd.corpus_probe(sf, "t_probe2", lambda: 9) == 9
+    # an implementation-version bump invalidates
+    monkeypatch.setattr(dd, "_NEARDUP_IMPL_VERSION", "v-test-bump")
+    assert dd.corpus_probe(sf, "t_probe", compute) == 7
+    assert len(calls) == 2
