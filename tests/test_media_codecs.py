@@ -241,3 +241,43 @@ def test_phash_pipeline_fake_vs_real_equality(spark):
     )
     assert [(a, b) for a, b, _ in pairs] == expected_pairs
     assert all(h <= 3 for _, _, h in pairs)
+
+
+# --- property-based round trip (hypothesis) ----------------------------------
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        w=st.integers(min_value=1, max_value=24),
+        h=st.integers(min_value=1, max_value=24),
+        channels=st.sampled_from([1, 3, 4]),
+        filter_type=st.integers(min_value=0, max_value=4),
+        seed=st.integers(min_value=0, max_value=2**31 - 1),
+    )
+    def test_png_roundtrip_property(w, h, channels, filter_type, seed):
+        """decode(encode(x)) == x for arbitrary geometry × color type ×
+        scanline filter × pixel content — the invariant the whole real
+        media path rests on."""
+        rng = np.random.RandomState(seed)
+        pixels = rng.randint(0, 256, size=w * h * channels).astype(np.uint8)
+        codec = PngCodec()
+        png = codec.encode(pixels, w, h, channels, filter_type=filter_type)
+        assert np.array_equal(codec.decode(png, {}), pixels)
+
+    @settings(max_examples=20, deadline=None)
+    @given(
+        n=st.integers(min_value=1, max_value=2048),
+        rate=st.sampled_from([8000, 16000, 44100]),
+        seed=st.integers(min_value=0, max_value=2**31 - 1),
+    )
+    def test_wav_roundtrip_property(n, rate, seed):
+        rng = np.random.RandomState(seed)
+        samples = rng.randint(0, 256, size=n).astype(np.uint8)
+        codec = WavCodec()
+        assert np.array_equal(
+            codec.decode(codec.encode(samples, sample_rate=rate), {}), samples
+        )
+except ImportError:  # hypothesis is baked into this environment; belt+braces
+    pass

@@ -395,3 +395,23 @@ def test_bigram_pmi_vocab_tables_broadcast(spark):
         assert "SortMergeJoin" not in plan, plan
     finally:
         df.sparkSession.catalog.clearCache()
+
+
+def test_ann_lsh_clustered_no_cartesian_and_vectorized_signatures(spark):
+    """The planted-cluster ANN query must keep the ann_lsh plan shape:
+    signature generation is ONE Arrow mapInPandas stage (round 7 — the
+    interpreted higher-order-function formulation measured ~4 s for 64-bit
+    signatures), query bands broadcast into the candidate join, and no
+    cartesian/nested-loop join anywhere."""
+    from apache_flink_pratices_spark.operators.similarity import (
+        ann_lsh_topk_clustered,
+    )
+
+    spark.catalog.clearCache()
+    df = ann_lsh_topk_clustered(spark, SF)
+    plan = formatted_plan(df)
+    kinds = join_kinds(plan)
+    assert "CartesianProduct" not in kinds
+    assert "BroadcastNestedLoopJoin" not in kinds
+    assert "MapInPandas" in plan
+    assert "BroadcastHashJoin" in kinds  # query bands + query vectors
