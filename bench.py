@@ -96,15 +96,33 @@ def main() -> None:
     )
 
     # full volume by default (the driver's per-round artifact must measure
-    # the amortized rate); "small" keeps the pytest contract smoke fast
+    # the amortized rate); "small" keeps the pytest contract smoke fast.
+    # Same min-over-runs policy as the headline queries: the first run of
+    # each streaming path pays one-time Python-worker + state-server
+    # spin-up (~2x the steady rate on this box), so an untimed warm-up
+    # precedes the measured runs and the best rate is reported.
     small = os.environ.get("SPARK_GRAFT_STREAM_BENCH") == "small"
+    stream_runs = 1 if small else 2
+    fraud_rate = cep_rate = 0.0
+    n_alerts = n_signals = 0
     with tempfile.TemporaryDirectory(prefix="afp_bench_stream_") as wd:
-        fraud_rate, n_alerts = fraud_events_per_sec(
-            spark, wd, n_tx=20_000 if small else 100_000
-        )
-        cep_rate, n_signals = cep_events_per_sec(
-            spark, wd, n_codes=50 if small else 300, n_cycles=3 if small else 17
-        )
+        if not small:  # warm-up: spin up workers/state server, untimed
+            fraud_events_per_sec(spark, os.path.join(wd, "w0"), n_tx=2_000)
+            cep_events_per_sec(
+                spark, os.path.join(wd, "w1"), n_codes=10, n_cycles=1
+            )
+        for r in range(stream_runs):
+            rd = os.path.join(wd, f"r{r}")
+            fr, n_alerts = fraud_events_per_sec(
+                spark, os.path.join(rd, "f"), n_tx=20_000 if small else 100_000
+            )
+            cr, n_signals = cep_events_per_sec(
+                spark,
+                os.path.join(rd, "c"),
+                n_codes=50 if small else 300,
+                n_cycles=3 if small else 17,
+            )
+            fraud_rate, cep_rate = max(fraud_rate, fr), max(cep_rate, cr)
     streaming = {"fraud_ev_s": int(fraud_rate), "cep_ev_s": int(cep_rate)}
 
     detail = {
