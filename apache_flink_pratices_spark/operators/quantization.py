@@ -366,6 +366,92 @@ def _ann_ivfpq_oracle() -> str:
     """
 
 
+def ivfpq_corpus_expr(e: DataFrame, mn: list, mx: list) -> DataFrame:
+    """Expression-twin of :func:`ivfpq_corpus` (higher-order functions).
+
+    The cross-engine reference formulation — the DuckDB oracle mirrors
+    this arithmetic, and tests pin :func:`ivfpq_corpus` bit-equal to it.
+    Not used on the corpus hot path (interpreted lambda evaluation:
+    cells × dim argmax + per-element reconstruction per row)."""
+    from apache_flink_pratices_spark.operators.similarity import _dot, _ivf_sims
+
+    lit_mn, lit_mx = F.lit(mn), F.lit(mx)
+
+    def rec_elem(x, i):
+        m = F.element_at(lit_mn, i + 1)
+        rng = F.element_at(lit_mx, i + 1) - m
+        q = F.least(
+            F.lit(255).cast("long"),
+            F.greatest(F.lit(0).cast("long"), F.floor((x - m) * BINS / rng)),
+        )
+        return F.when(rng == 0.0, m).otherwise(
+            m + (q.cast("double") + 0.5) * rng / BINS
+        )
+
+    xs = F.expr("transform(embedding, x -> CAST(x AS DOUBLE))")
+    return e.select(
+        "vec_id",
+        "label",
+        F.element_at(_ivf_sims(), 1)["cell"].alias("cell"),
+        F.transform(xs, rec_elem).alias("rec"),
+    ).withColumn("rnrm", _dot(F.col("rec"), F.col("rec")))
+
+
+def ivfpq_corpus(e: DataFrame, mn: list, mx: list) -> DataFrame:
+    """(vec_id, label, cell, rec, rnrm): map-side IVF cell assignment plus
+    int8-reconstructed code vectors, one vectorized Arrow stage.
+
+    Round 7: same rewrite as similarity.ivf_assign — the argmax +
+    reconstruction arithmetic is identical floor-quantized IEEE float64
+    in numpy (division-by-zero rows resolve through the same rng==0
+    guard the expression's WHEN applies), pinned bit-equal to
+    :func:`ivfpq_corpus_expr` in tests/test_pca_quantize.py."""
+    import numpy as np
+    import pandas as pd
+
+    from apache_flink_pratices_spark.operators.similarity import (
+        _SCALE,
+        ivf_directions,
+    )
+
+    dirs = np.array(ivf_directions(), dtype=np.float64)  # (cells, dim)
+    mn_a = np.array(mn, dtype=np.float64)
+    rng_a = np.array(mx, dtype=np.float64) - mn_a
+
+    def fn(batches):
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            x = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+            sims = np.empty((n, len(dirs)), dtype=np.int64)
+            for m_ in range(len(dirs)):
+                sims[:, m_] = (
+                    np.floor((x * dirs[m_]) * _SCALE).astype(np.int64).sum(axis=1)
+                )
+            with np.errstate(divide="ignore", invalid="ignore"):
+                q = np.floor(((x - mn_a) * BINS) / rng_a)
+            q = np.minimum(255.0, np.maximum(0.0, q))
+            rec = np.where(rng_a == 0.0, mn_a, mn_a + ((q + 0.5) * rng_a) / BINS)
+            rnrm = (
+                np.floor(rec * rec * _SCALE).astype(np.int64).sum(axis=1)
+                / float(_SCALE)
+            )
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(),
+                    "label": pdf["label"].to_numpy(),
+                    "cell": sims.argmax(axis=1).astype(np.int32),
+                    "rec": list(rec),
+                    "rnrm": rnrm,
+                }
+            )
+
+    return e.select("vec_id", "label", "embedding").mapInPandas(
+        fn, "vec_id bigint, label int, cell int, rec array<double>, rnrm double"
+    )
+
+
 @register(
     "ann_ivfpq_topk",
     oracle=_ann_ivfpq_oracle(),
@@ -394,29 +480,12 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     mn, mx = _dim_stats(spark, sf_dir)
-    lit_mn, lit_mx = F.lit(mn), F.lit(mx)
-
-    def rec_elem(x, i):
-        m = F.element_at(lit_mn, i + 1)
-        rng = F.element_at(lit_mx, i + 1) - m
-        q = F.least(
-            F.lit(255).cast("long"),
-            F.greatest(F.lit(0).cast("long"), F.floor((x - m) * BINS / rng)),
-        )
-        return F.when(rng == 0.0, m).otherwise(
-            m + (q.cast("double") + 0.5) * rng / BINS
-        )
 
     e = load(spark, sf_dir, "embeddings")
     xs = F.expr("transform(embedding, x -> CAST(x AS DOUBLE))")
     # corpus: cell assignment is map-side (argmax of the direction sims);
     # the stored representation is the reconstructed code vector
-    corpus = e.select(
-        "vec_id",
-        "label",
-        F.element_at(_ivf_sims(), 1)["cell"].alias("cell"),
-        F.transform(xs, rec_elem).alias("rec"),
-    ).withColumn("rnrm", _dot(F.col("rec"), F.col("rec")))
+    corpus = ivfpq_corpus(e, mn, mx)
     probes = e.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.explode(

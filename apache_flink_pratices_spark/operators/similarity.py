@@ -408,15 +408,76 @@ def _ivf_sims() -> Column:
     return F.array_sort(entries)
 
 
-def ivf_assign(vectors: DataFrame) -> DataFrame:
-    """(vec_id, label, embedding, nrm, cell): map-side cell assignment —
-    no shuffle; the embedding never leaves its input partition."""
+def ivf_assign_expr(vectors: DataFrame) -> DataFrame:
+    """Expression-twin of :func:`ivf_assign` (higher-order functions).
+
+    Kept as the cross-engine reference formulation: tests pin
+    ``ivf_assign`` bit-equal to this on real and random corpora, and the
+    tiny query-side probe list still derives from the same ``_ivf_sims``
+    expression. Not used on the corpus hot path — HOF lambdas evaluate
+    interpreted per element (cells × dim = 1024 invocations per row)."""
     return vectors.select(
         "vec_id",
         "label",
         "embedding",
         _dot(F.col("embedding"), F.col("embedding")).alias("nrm"),
         F.element_at(_ivf_sims(), 1)["cell"].alias("cell"),
+    )
+
+
+def ivf_assign(vectors: DataFrame) -> DataFrame:
+    """(vec_id, label, embedding, nrm, cell): map-side cell assignment —
+    no shuffle; the embedding never leaves its input partition.
+
+    Implementation note (round 7): vectorized Arrow ``mapInPandas``, the
+    same rewrite that took the LSH signature pass 4 s → 0.3 s (see
+    _signature_bands) — Spark's ``transform``/``aggregate`` lambdas
+    execute interpreted per element, and the corpus-side argmax is
+    cells × dim = 1024 invocations per row. The numpy formulation does
+    the identical arithmetic: float32→float64 is exact, ``(x·s)·1e12``
+    floors to the same int64 in numpy float64 as in the JVM double path,
+    int64 sums are exact, and ``np.argmax`` breaks ties at the smallest
+    cell id exactly like the ``array_sort(struct(neg_sim, cell))``
+    expression. Equality with :func:`ivf_assign_expr` is pinned in
+    tests/test_ann_ivf.py."""
+    import numpy as np
+    import pandas as pd
+
+    dirs = np.array(ivf_directions(), dtype=np.float64)  # (cells, dim)
+    scale = float(_SCALE)
+
+    def fn(batches):
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            emb = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+            nrm = (
+                np.floor(emb * emb * _SCALE).astype(np.int64).sum(axis=1)
+                / scale
+            )
+            sims = np.empty((n, len(dirs)), dtype=np.int64)
+            for m in range(len(dirs)):
+                sims[:, m] = (
+                    np.floor((emb * dirs[m]) * _SCALE)
+                    .astype(np.int64)
+                    .sum(axis=1)
+                )
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(),
+                    "label": pdf["label"].to_numpy(),
+                    # positional (not index-aligned) pass-through of the
+                    # original float32 arrays — lossless arrow round trip
+                    "embedding": list(pdf["embedding"]),
+                    "nrm": nrm,
+                    "cell": sims.argmax(axis=1).astype(np.int32),
+                }
+            )
+
+    return vectors.select("vec_id", "label", "embedding").mapInPandas(
+        fn,
+        "vec_id bigint, label int, embedding array<float>, nrm double, cell int",
     )
 
 
@@ -438,11 +499,10 @@ def ann_ivf_frame(
 
     from pyspark.storagelevel import StorageLevel
 
-    # assigned is consumed twice (candidate join + query side), and its
-    # projection carries the 16x64-term cell-argmax transform — persisting
-    # halves that dominant map work (measured 2.51 -> 2.07 s at sf0.1,
-    # round 6; same-plan sibling reuse does NOT cover it because there is
-    # no exchange between the scan and the consumers to be reused)
+    # assigned is consumed twice (candidate join + query side) — persist
+    # so the vectorized assignment stage (and its Python worker round
+    # trip) runs once; same-plan sibling reuse does NOT cover it because
+    # there is no exchange between the scan and the consumers to be reused
     assigned = ivf_assign(vectors).persist(StorageLevel.MEMORY_AND_DISK)
     probes = (
         vectors.filter(F.col("vec_id") < n_queries)

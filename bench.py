@@ -11,9 +11,12 @@ compact): two JSON lines are printed —
    "unit", "sf", "runs", "queries" (per-query MIN, 3-decimal floats,
    no spaces)}. tests/test_bench_contract.py pins its length budget.
 
-Each query runs $SPARK_GRAFT_BENCH_RUNS times (default 3); the min is the
-best estimate of the plan's cost on this box (±2x scheduling noise);
-round-over-round comparisons should use the min. Timing is a noop-format
+Each query runs $SPARK_GRAFT_BENCH_RUNS times (default 4); the min is the
+best estimate of the plan's cost on this box (single runs vary ±2x from
+scheduling noise — an interleaved A/B of identical plans measured
+2.4-10.4 s for the same query in one session, so one extra sample per
+query materially stabilizes the min); round-over-round comparisons
+should use the min. Timing is a noop-format
 write — count() lets Catalyst skip computing final projections, which
 made round-1 numbers up to 10x optimistic.
 """
@@ -34,7 +37,7 @@ from apache_flink_pratices_spark.session import get_spark
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+    n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "4"))
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     spark = get_spark("afp-bench")
     spark.sparkContext.setLogLevel("WARN")

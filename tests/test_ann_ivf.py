@@ -88,3 +88,25 @@ def test_directions_derivation_matches_sql(spark):
     ).collect()[0]
     expected = 1.0 if int(row.m) == 0 else -1.0
     assert dirs[2][2] == expected  # k is 1-based → index 2 is k=3
+
+
+def test_vectorized_assign_matches_expression_twin(spark, clustered):
+    """ivf_assign (numpy mapInPandas) must be BIT-identical to the
+    higher-order-function reference formulation — cell ids, exact nrm
+    doubles, and the passed-through embedding — on clustered synthetic
+    data and on the real corpus (round 7: the corpus-side argmax moved
+    off interpreted HOF lambdas; this pin is what licenses that move)."""
+    from apache_flink_pratices_spark.operators.similarity import ivf_assign_expr
+
+    df, _ = clustered
+    real = spark.read.parquet(f"{SF}/embeddings.parquet")
+    for frame in (df, real):
+        vec = {
+            r["vec_id"]: (r["cell"], r["nrm"], tuple(r["embedding"]))
+            for r in ivf_assign(frame).collect()
+        }
+        ref = {
+            r["vec_id"]: (r["cell"], r["nrm"], tuple(r["embedding"]))
+            for r in ivf_assign_expr(frame).collect()
+        }
+        assert vec == ref

@@ -179,3 +179,30 @@ def test_ivfpq_candidates_pruned_by_probes(spark):
     kinds = set(join_kinds(plan))
     assert "SortMergeJoin" not in kinds and "CartesianProduct" not in kinds
     assert "BroadcastHashJoin" in kinds, kinds
+
+
+def test_ivfpq_vectorized_corpus_matches_expression_twin(spark):
+    """ivfpq_corpus (numpy mapInPandas) must be BIT-identical to the
+    higher-order-function reference formulation the DuckDB oracle
+    mirrors — cell ids, reconstructed code vectors, and rnrm doubles —
+    on the real corpus at two scale factors (round 7: the corpus prep
+    moved off interpreted HOF lambdas; this pin licenses the move)."""
+    from apache_flink_pratices_spark.operators.quantization import (
+        _dim_stats,
+        ivfpq_corpus,
+        ivfpq_corpus_expr,
+    )
+    from apache_flink_pratices_spark.io import load
+
+    for sf in (SF, "/root/testdata/sf0.01"):
+        mn, mx = _dim_stats(spark, sf)
+        e = load(spark, sf, "embeddings")
+        vec = {
+            r["vec_id"]: (r["cell"], tuple(r["rec"]), r["rnrm"])
+            for r in ivfpq_corpus(e, mn, mx).collect()
+        }
+        ref = {
+            r["vec_id"]: (r["cell"], tuple(r["rec"]), r["rnrm"])
+            for r in ivfpq_corpus_expr(e, mn, mx).collect()
+        }
+        assert vec == ref

@@ -1,0 +1,102 @@
+"""Local replica of the driver's correctness gate for the CURRENT window.
+
+The per-round driver imports ``__spark_entry__`` with a PLAIN
+SparkSession (no engine tuning) and checks the first 50 ``queries()``
+entries against ``oracle_sql()`` via DuckDB at sf0.01. The local pytest
+parity suite covers every oracle-bearing query, but under the TUNED
+session fixture and at sf0.001 — so a conf assumption or an
+sf-dependent divergence can pass pytest and still fail the driver.
+This tool replays the driver's exact recipe (plain session, sf0.01,
+window order) so a round's rotation cohort can be pre-flighted before
+the driver burns its independent check on it.
+
+Usage: python tools/driver_replica_check.py [n_window]
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+
+
+def _normalize(rows, colnames):
+    order = sorted(range(len(colnames)), key=lambda i: colnames[i])
+    out = []
+    for row in rows:
+        vals = []
+        for i in order:
+            v = row[i]
+            if isinstance(v, float) and math.isnan(v):
+                v = "NaN"
+            vals.append(v)
+        out.append(tuple(vals))
+    out.sort(key=lambda r: tuple((x is None, str(x)) for x in r))
+    return [tuple(colnames[i] for i in order)] + out
+
+
+def main() -> int:
+    n_window = int(sys.argv[1]) if len(sys.argv) > 1 else 50
+
+    import duckdb
+    from pyspark.sql import SparkSession
+
+    # deliberately NO session.tune: the point is the driver's plain conf
+    spark = SparkSession.builder.master("local[32]").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as m
+
+    qs, osql = m.queries(), m.oracle_sql()
+    window = list(qs)[:n_window]
+
+    from apache_flink_pratices_spark.io import TABLES, table_path
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{table_path(SF_DIR, t)}')"
+        )
+
+    failed = []
+    for i, name in enumerate(window):
+        t0 = time.time()
+        try:
+            sdf = qs[name](spark, SF_DIR)
+            s_cols = sdf.columns
+            s_rows = [tuple(r) for r in sdf.collect()]
+            if name not in osql:
+                print(f"[{i+1}/{len(window)}] {name}: rows-only "
+                      f"({len(s_rows)} rows, {time.time()-t0:.1f}s)")
+                continue
+            res = con.execute(osql[name])
+            d_cols = [c[0] for c in res.description]
+            d_rows = [tuple(r) for r in res.fetchall()]
+            ok = (
+                sorted(s_cols) == sorted(d_cols)
+                and len(s_rows) == len(d_rows)
+                and _normalize(s_rows, s_cols) == _normalize(d_rows, d_cols)
+            )
+        except Exception as e:  # noqa: BLE001 - report, don't abort the sweep
+            print(f"[{i+1}/{len(window)}] {name}: ERROR {e}")
+            failed.append(name)
+            continue
+        status = "ok" if ok else "MISMATCH"
+        if not ok:
+            failed.append(name)
+        print(f"[{i+1}/{len(window)}] {name}: {status} "
+              f"({len(s_rows)} rows, {time.time()-t0:.1f}s)")
+
+    print(f"\n{len(window) - len(failed)}/{len(window)} green; failed: {failed}")
+    spark.stop()
+    return 1 if failed else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
