@@ -95,8 +95,13 @@ def _best_cluster(seeds: list[list[int]]) -> Column:
     return F.array_min(entries)
 
 
-def assign_frame(vectors: DataFrame, seeds: list[list[int]]) -> DataFrame:
-    """(vec_id, cluster, dist2): nearest seed per vector, map-only."""
+def assign_frame_expr(vectors: DataFrame, seeds: list[list[int]]) -> DataFrame:
+    """Expression-twin of :func:`assign_frame` (higher-order functions).
+
+    Kept as the cross-engine reference formulation (the oracle mirrors
+    it, and the internal multi-seed passes — update_frame,
+    seed_farthest_point, kmeans_fit — still project _best_cluster into
+    larger plans); tests pin :func:`assign_frame` bit-equal to it."""
     return (
         vectors.select("vec_id", _quantized().alias("qe"))
         .select("vec_id", _best_cluster(seeds).alias("best"))
@@ -105,6 +110,45 @@ def assign_frame(vectors: DataFrame, seeds: list[list[int]]) -> DataFrame:
             F.col("best.cluster").alias("cluster"),
             F.col("best.dist2").alias("dist2"),
         )
+    )
+
+
+def assign_frame(vectors: DataFrame, seeds: list[list[int]]) -> DataFrame:
+    """(vec_id, cluster, dist2): nearest seed per vector, map-only.
+
+    Round 7: vectorized Arrow ``mapInPandas`` (the K × dim distance
+    lambdas evaluate interpreted per element as HOF expressions — same
+    rewrite as similarity.ivf_assign). All-integer arithmetic after the
+    ``floor(x·Q)`` quantization, so numpy int64 matches the JVM long
+    path exactly; ``np.argmin`` breaks ties at the smallest cluster id
+    like ``array_min(struct(dist2, cluster))``. Equality with
+    :func:`assign_frame_expr` pinned in tests/test_kmeans.py."""
+    import numpy as np
+    import pandas as pd
+
+    seed_a = np.array(seeds, dtype=np.int64)  # (K, dim)
+
+    def fn(batches):
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            x = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+            qe = np.floor(x * Q).astype(np.int64)
+            d = np.empty((n, len(seed_a)), dtype=np.int64)
+            for k in range(len(seed_a)):
+                diff = qe - seed_a[k]
+                d[:, k] = (diff * diff).sum(axis=1)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(),
+                    "cluster": d.argmin(axis=1).astype(np.int64),
+                    "dist2": d.min(axis=1),
+                }
+            )
+
+    return vectors.select("vec_id", "embedding").mapInPandas(
+        fn, "vec_id bigint, cluster bigint, dist2 bigint"
     )
 
 

@@ -224,25 +224,13 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     mn, mx = _dim_stats(spark, sf_dir)
-    lit_mn, lit_mx = F.lit(mn), F.lit(mx)
-
-    def rec_elem(x, i):
-        m = F.element_at(lit_mn, i + 1)
-        rng = F.element_at(lit_mx, i + 1) - m
-        q = F.least(
-            F.lit(255).cast("long"),
-            F.greatest(F.lit(0).cast("long"), F.floor((x - m) * BINS / rng)),
-        )
-        return F.when(rng == 0.0, m).otherwise(
-            m + (q.cast("double") + 0.5) * rng / BINS
-        )
 
     e = load(spark, sf_dir, "embeddings")
     xs = F.expr("transform(embedding, x -> CAST(x AS DOUBLE))")
-    rec = F.transform(xs, rec_elem)
-    corpus = e.select(
-        "vec_id", "label", rec.alias("rec")
-    ).withColumn("rnrm", _dot(F.col("rec"), F.col("rec")))
+    # corpus reconstruction shares the vectorized ivfpq stage (the unused
+    # cell argmax costs ~nothing in numpy; the HOF formulation it replaces
+    # paid dim x ~8 interpreted ops per corpus row)
+    corpus = ivfpq_corpus(e, mn, mx).select("vec_id", "label", "rec", "rnrm")
     q = e.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         xs.alias("qx"),

@@ -35,3 +35,29 @@ def test_lloyd_inertia_non_increasing(spark):
     # every cluster id in range
     clusters = {r["cluster"] for r in assign_frame(vectors, seeds).select("cluster").distinct().collect()}
     assert clusters <= set(range(KMEANS_K))
+
+
+def test_vectorized_assign_matches_expression_twin(spark):
+    """assign_frame (numpy mapInPandas) must be BIT-identical to the
+    higher-order-function reference formulation on the real corpus —
+    cluster ids, exact int64 dist2 — (round 7: the K x dim distance pass
+    moved off interpreted HOF lambdas; this pin licenses the move)."""
+    from apache_flink_pratices_spark.operators.kmeans import (
+        _seed_arrays,
+        assign_frame,
+        assign_frame_expr,
+    )
+    from apache_flink_pratices_spark.io import load
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        vectors = load(spark, sf, "embeddings")
+        seeds = _seed_arrays(spark, sf)
+        vec = {
+            r["vec_id"]: (r["cluster"], r["dist2"])
+            for r in assign_frame(vectors, seeds).collect()
+        }
+        ref = {
+            r["vec_id"]: (r["cluster"], r["dist2"])
+            for r in assign_frame_expr(vectors, seeds).collect()
+        }
+        assert vec == ref
