@@ -243,6 +243,73 @@ def test_phash_pipeline_fake_vs_real_equality(spark):
     assert all(h <= 3 for _, _, h in pairs)
 
 
+# --- AVI (round 7: the last real-codec gate) ---------------------------------
+def test_avi_roundtrip_basic_geometries():
+    from apache_flink_pratices_spark.operators.media_codecs import AviCodec
+
+    codec = AviCodec()
+    rng = np.random.RandomState(3)
+    for (w, h, n) in [(8, 8, 4), (3, 5, 2), (5, 3, 1), (7, 2, 6), (1, 1, 3)]:
+        samples = rng.randint(0, 256, size=n * h * w * 3).astype(np.uint8)
+        avi = codec.encode(samples, w, h, 3, n)
+        assert np.array_equal(codec.decode(avi, {}), samples)
+
+
+def test_avi_container_is_a_real_remux_not_a_memcpy():
+    """The stored frames are bottom-up BGR with 4-byte row padding — the
+    genuine DIB convention — so the container must NOT contain the
+    top-down RGB sample bytes verbatim, and the demuxer must genuinely
+    convert back."""
+    from apache_flink_pratices_spark.operators.media_codecs import AviCodec
+
+    codec = AviCodec()
+    rng = np.random.RandomState(4)
+    samples = rng.randint(0, 256, size=2 * 4 * 6 * 3).astype(np.uint8)
+    avi = codec.encode(samples, 6, 4, 3, 2)
+    assert samples.tobytes() not in avi
+    # spec-shaped structure: RIFF/AVI fourccs, hdrl+movi lists, idx1
+    assert avi[:4] == b"RIFF" and avi[8:12] == b"AVI "
+    for marker in (b"hdrl", b"avih", b"strh", b"vids", b"DIB ", b"strf",
+                   b"movi", b"00db", b"idx1"):
+        assert marker in avi, marker
+    # declared RIFF size is exact
+    assert struct.unpack("<I", avi[4:8])[0] + 8 == len(avi)
+    assert np.array_equal(codec.decode(avi, {}), samples)
+
+
+def test_avi_corruption_raises():
+    from apache_flink_pratices_spark.operators.media_codecs import (
+        AviCodec,
+        AviFormatError,
+    )
+
+    codec = AviCodec()
+    samples = np.zeros(2 * 8 * 8 * 3, dtype=np.uint8)
+    avi = codec.encode(samples, 8, 8, 3, 2)
+
+    with pytest.raises(AviFormatError):
+        codec.decode(b"XXXX" + avi[4:], {})  # bad RIFF fourcc
+    with pytest.raises(AviFormatError):
+        codec.decode(avi[:8] + b"WAVE" + avi[12:], {})  # wrong form type
+    with pytest.raises(AviFormatError):
+        codec.decode(avi[:20], {})  # truncated
+    # frame-count lie in avih
+    bad = bytearray(avi)
+    struct.pack_into("<I", bad, avi.index(b"avih") + 8 + 16, 9)
+    with pytest.raises(AviFormatError):
+        codec.decode(bytes(bad), {})
+    # compressed stream claimed in strf (biCompression != BI_RGB)
+    bad = bytearray(avi)
+    struct.pack_into("<I", bad, avi.index(b"strf") + 8 + 16, 1)
+    with pytest.raises(AviFormatError):
+        codec.decode(bytes(bad), {})
+    # encoder rejects non-24-bit geometry
+    with pytest.raises(AviFormatError):
+        codec.encode(samples, 8, 8, 1, 6)
+    with pytest.raises(AviFormatError):
+        codec.encode(samples, 8, 8, 3, 5)  # sample count mismatch
+
+
 # --- property-based round trip (hypothesis) ----------------------------------
 try:
     from hypothesis import given, settings
@@ -279,5 +346,24 @@ try:
         assert np.array_equal(
             codec.decode(codec.encode(samples, sample_rate=rate), {}), samples
         )
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        w=st.integers(min_value=1, max_value=16),
+        h=st.integers(min_value=1, max_value=16),
+        n=st.integers(min_value=1, max_value=6),
+        seed=st.integers(min_value=0, max_value=2**31 - 1),
+    )
+    def test_avi_roundtrip_property(w, h, n, seed):
+        """decode(encode(x)) == x for arbitrary frame geometry x count x
+        pixel content, including widths whose BGR rows need 4-byte
+        padding (w*3 % 4 != 0)."""
+        from apache_flink_pratices_spark.operators.media_codecs import AviCodec
+
+        rng = np.random.RandomState(seed)
+        samples = rng.randint(0, 256, size=n * h * w * 3).astype(np.uint8)
+        codec = AviCodec()
+        assert np.array_equal(codec.decode(codec.encode(samples, w, h, 3, n), {}), samples)
+
 except ImportError:  # hypothesis is baked into this environment; belt+braces
     pass

@@ -25,17 +25,19 @@ SF = "/root/testdata/sf0.001"
 
 
 def test_real_codec_dispatch():
-    """Round 7: image/audio have REAL stdlib codecs; only video (no
-    stdlib container demuxer) still raises."""
+    """Round 7: every media type has a REAL stdlib codec — PNG, WAV, and
+    (closing the last gate) AVI for video."""
     from apache_flink_pratices_spark.operators.media_codecs import (
+        AviCodec,
         PngCodec,
         WavCodec,
     )
 
     assert isinstance(get_codec("image", implementation="real"), PngCodec)
     assert isinstance(get_codec("audio", implementation="real"), WavCodec)
-    with pytest.raises(NotImplementedError, match="video"):
-        get_codec("video", implementation="real")
+    assert isinstance(get_codec("video", implementation="real"), AviCodec)
+    with pytest.raises(ValueError):
+        get_codec("subtitles", implementation="real")
     with pytest.raises(ValueError):
         get_codec("image", implementation="nope")
 
