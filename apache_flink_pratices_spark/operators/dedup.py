@@ -351,7 +351,10 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # plain self-join below the cap — see banded_candidate_pairs); the
     # pre-check scalar is a write-once corpus statistic
     hint = corpus_probe(
-        sf_dir, "minhash_max_bucket", lambda: _max_bucket_size(bands)
+        sf_dir,
+        "minhash_max_bucket",
+        lambda: _max_bucket_size(bands),
+        config=(NUM_HASHES, BAND_SIZE, P31),
     )
     cand = banded_candidate_pairs(bands, max_bucket_hint=hint).select(
         F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b")
@@ -451,25 +454,37 @@ def _max_bucket_size(bands: DataFrame) -> int:
     return int(v or 0)
 
 
-def corpus_probe(sf_dir: str, name: str, compute) -> int:
-    """Write-once cached integer statistic of a (corpus, config) pair —
-    the table-statistics pattern (ANALYZE): deterministic scalars like
-    the max band-bucket size are properties of the immutable corpus
-    files, so pay their job once and read the verdict from the artifact
-    dir afterwards. Keyed like the near-dup pair artifact (corpus file
-    identity + simhash config + implementation version), stored in the
-    0o700 ownership-checked base (ADVICE r6)."""
+def _corpus_key(sf_dir: str, *parts) -> str:
+    """Cache key covering corpus file identity plus arbitrary config
+    parts — the ONE derivation shared by the pair artifact and every
+    corpus_probe (review r7: the probe key previously hardcoded the
+    simhash constants for all probe families, so a minhash/phash config
+    change would silently serve a stale hint)."""
     import hashlib
-    import json
     import os
 
     src = os.path.join(sf_dir, "documents.parquet")
     st = os.stat(src)
-    key = hashlib.sha256(
-        f"{os.path.abspath(sf_dir)}|{st.st_size}|{st.st_mtime_ns}|"
-        f"{SIMHASH_BITS}|{SIMHASH_BAND_BITS}|{SIMHASH_HAMMING_MAX}|"
-        f"{name}|{_NEARDUP_IMPL_VERSION}".encode()
+    tail = "|".join(str(p) for p in parts)
+    return hashlib.sha256(
+        f"{os.path.abspath(sf_dir)}|{st.st_size}|{st.st_mtime_ns}|{tail}".encode()
     ).hexdigest()[:16]
+
+
+def corpus_probe(sf_dir: str, name: str, compute, config: tuple = ()) -> int:
+    """Write-once cached integer statistic of a (corpus, config) pair —
+    the table-statistics pattern (ANALYZE): deterministic scalars like
+    the max band-bucket size are properties of the immutable corpus
+    files, so pay their job once and read the verdict from the artifact
+    dir afterwards. ``config`` must carry every constant that shapes the
+    statistic for THIS probe family (band counts/widths etc. — each call
+    site passes its own); the implementation version is appended so
+    algorithm changes invalidate too. Stored in the 0o700
+    ownership-checked base (ADVICE r6)."""
+    import json
+    import os
+
+    key = _corpus_key(sf_dir, *config, name, _NEARDUP_IMPL_VERSION)
     path = os.path.join(_neardup_artifact_base(), f"probe_{name}_{key}.json")
     try:
         with open(path) as f:
@@ -509,7 +524,19 @@ def banded_candidate_pairs(
     never an O(B log B) single-task sort) tags bucket sizes, the
     self-join runs over at-or-below-cap rows only, and hot buckets emit
     member×representative pairs, representatives chosen by the salted
-    bottom-k kernel so no task ever sorts a whole pathological bucket."""
+    bottom-k kernel so no task ever sorts a whole pathological bucket.
+
+    Two deliberate trade-offs (review r7): (1) calling this WITHOUT
+    ``max_bucket_hint`` is EAGER — the pre-check aggregate job runs at
+    DataFrame-construction time, once per call. Query-path callers must
+    pass the corpus_probe hint; hint-less construction is for synthetic/
+    test frames where one small job per call is fine. (2) the above-cap
+    branch persists the tagged band frame (three consumers — the
+    below-cap join, the hot set, and the representative pick — would
+    each re-pay the window shuffle) and leaves it cached for the
+    session; acceptable because the guarded branch only runs on
+    adversarial corpora, where one extra cached band table is the least
+    of the memory story."""
     from pyspark.sql.window import Window
 
     from apache_flink_pratices_spark.functions.hashing import md5_long
@@ -723,12 +750,15 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 # benchmark of the fingerprint pipeline.
 
 #: Version of the fingerprint/candidate IMPLEMENTATION baked into the
-#: artifact key. BUMP THIS on any semantic change to
-#: ``_simhash_fingerprints`` / ``_simhash_candidates`` /
-#: ``_build_candidate_pairs`` (ADVICE r6): the artifact is trusted by
-#: existence alone, so a silent implementation change would serve stale
-#: pairs to pagerank_neardup / triangle_count_neardup / dedup_clusters
-#: while their DuckDB oracles recompute live.
+#: artifact key AND every corpus_probe key. BUMP THIS on any semantic
+#: change to ``_simhash_fingerprints`` / ``_simhash_candidates`` /
+#: ``_build_candidate_pairs`` — or to the minhash signature / phash
+#: fingerprint implementations, whose max-bucket probes share the
+#: version (review r7; numeric config constants travel separately via
+#: each probe's ``config`` tuple). The artifact is trusted by existence
+#: alone, so a silent implementation change would serve stale pairs to
+#: pagerank_neardup / triangle_count_neardup / dedup_clusters while
+#: their DuckDB oracles recompute live.
 _NEARDUP_IMPL_VERSION = "v2-hotbucket-cap"
 
 
@@ -737,36 +767,43 @@ def _neardup_artifact_base() -> str:
 
     The default lives under the world-writable tempdir, where another
     user could pre-create the keyed directory and have us trust poisoned
-    parquet (ADVICE r6): create with mode 0o700 and refuse a base we do
-    not own by falling back to a per-uid path."""
+    parquet (ADVICE r6): create with mode 0o700, refuse a base we do not
+    own, and fall back to numbered sibling paths until an owned one is
+    found (review r7: the original fallback recomputed the SAME path and
+    then chmod'ed a foreign directory — a guaranteed PermissionError,
+    i.e. a denial of service instead of a mitigation)."""
     import os
     import tempfile
 
-    base = os.environ.get("SPARK_GRAFT_ARTIFACT_DIR") or os.path.join(
+    preferred = os.environ.get("SPARK_GRAFT_ARTIFACT_DIR") or os.path.join(
         tempfile.gettempdir(), f"afp_neardup_pairs_{os.getuid()}"
     )
-    os.makedirs(base, mode=0o700, exist_ok=True)
-    st = os.stat(base)
-    if st.st_uid != os.getuid():
-        base = os.path.join(
-            tempfile.gettempdir(), f"afp_neardup_pairs_{os.getuid()}"
-        )
-        os.makedirs(base, mode=0o700, exist_ok=True)
-    os.chmod(base, 0o700)
-    return base
+    candidates = [preferred] + [f"{preferred}.alt{i}" for i in range(10)]
+    for base in candidates:
+        try:
+            os.makedirs(base, mode=0o700, exist_ok=True)
+            if os.stat(base).st_uid != os.getuid():
+                continue  # squatter-owned: never chmod/trust, try the next
+            os.chmod(base, 0o700)
+            return base
+        except OSError:
+            continue
+    raise RuntimeError(
+        f"no owned artifact directory available near {preferred!r}; "
+        "set SPARK_GRAFT_ARTIFACT_DIR to a writable private path"
+    )
 
 
 def _neardup_artifact_path(sf_dir: str) -> str:
-    import hashlib
     import os
 
-    src = os.path.join(sf_dir, "documents.parquet")
-    st = os.stat(src)
-    key = hashlib.sha256(
-        f"{os.path.abspath(sf_dir)}|{st.st_size}|{st.st_mtime_ns}|"
-        f"{SIMHASH_BITS}|{SIMHASH_BAND_BITS}|{SIMHASH_HAMMING_MAX}|"
-        f"{_NEARDUP_IMPL_VERSION}".encode()
-    ).hexdigest()[:16]
+    key = _corpus_key(
+        sf_dir,
+        SIMHASH_BITS,
+        SIMHASH_BAND_BITS,
+        SIMHASH_HAMMING_MAX,
+        _NEARDUP_IMPL_VERSION,
+    )
     return os.path.join(_neardup_artifact_base(), key)
 
 
@@ -787,6 +824,7 @@ def _build_candidate_pairs(
         sf_dir,
         "simhash_max_bucket",
         lambda: _max_bucket_size(_simhash_bands(fp)),
+        config=(SIMHASH_BITS, SIMHASH_BAND_BITS),
     )
     cand = _simhash_candidates(fp, max_bucket_hint=hint)
     fa = fp.select(F.col("doc_id").alias("doc_a"), F.col("fp").alias("fp_a"))

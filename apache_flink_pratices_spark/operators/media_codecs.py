@@ -135,6 +135,8 @@ class PngCodec:
             pos += 12 + length
         if ihdr is None or not idat or not ended:
             raise PngFormatError("missing IHDR/IDAT/IEND")
+        if len(ihdr) != 13:
+            raise PngFormatError(f"IHDR must be 13 bytes, got {len(ihdr)}")
         w, h, depth, color, comp, filt, interlace = struct.unpack(
             ">IIBBBBB", ihdr
         )
@@ -370,11 +372,22 @@ class AviCodec:
                     raise AviFormatError(f"chunk {fourcc!r} overruns its parent")
                 if fourcc == b"LIST":
                     ltype = buf[data_start : data_start + 4]
-                    walk(buf, data_start + 4, data_end, ltype == b"movi")
+                    # 'rec ' grouping lists inside movi carry frames too
+                    # (the standard interleave convention)
+                    walk(
+                        buf,
+                        data_start + 4,
+                        data_end,
+                        ltype == b"movi" or (in_movi and ltype == b"rec "),
+                    )
                 elif fourcc == b"avih":
+                    if size < 56:
+                        raise AviFormatError(f"avih chunk too short ({size} bytes)")
                     vals = struct.unpack("<14I", buf[data_start : data_start + 56])
                     n_frames_hdr, width, height = vals[4], vals[8], vals[9]
                 elif fourcc == b"strf":
+                    if size < 40:
+                        raise AviFormatError(f"strf chunk too short ({size} bytes)")
                     (
                         _sz, bw, bh, _planes, bitcount, compression,
                         *_rest,
@@ -383,7 +396,11 @@ class AviCodec:
                         raise AviFormatError(
                             f"strf geometry {bw}x{bh} != avih {width}x{height}"
                         )
-                elif in_movi and fourcc[2:4] in (b"db", b"dc"):
+                elif (
+                    in_movi
+                    and fourcc[:2] == b"00"  # stream 0 = the video stream
+                    and fourcc[2:4] in (b"db", b"dc")
+                ):
                     if bitcount != 24 or compression != 0:
                         raise AviFormatError(
                             f"unsupported DIB: biBitCount={bitcount} "

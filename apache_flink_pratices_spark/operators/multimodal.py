@@ -512,7 +512,12 @@ def phash_band_pairs(ph: DataFrame, sf_dir: str | None = None) -> DataFrame:
     )
 
     hint = (
-        corpus_probe(sf_dir, "phash_max_bucket", lambda: _max_bucket_size(bands))
+        corpus_probe(
+            sf_dir,
+            "phash_max_bucket",
+            lambda: _max_bucket_size(bands),
+            config=(PHASH_BAND_BITS, PHASH_SHIFT),
+        )
         if sf_dir is not None
         else None
     )
@@ -545,6 +550,11 @@ def phash_table_from_pngs(files: DataFrame) -> DataFrame:
             out = []
             for row in pdf.itertuples(index=False):
                 m = re.search(r"(\d+)\.png$", row.path)
+                if m is None:  # clear contract error, not a None-attribute
+                    raise ValueError(
+                        f"phash_table_from_pngs requires file names ending "
+                        f"in <id>.png, got {row.path!r}"
+                    )
                 samples = codec.decode(bytes(row.content), {})
                 out.append((int(m.group(1)), _ahash64(samples)))
             yield pd.DataFrame(out, columns=["id", "phash"])

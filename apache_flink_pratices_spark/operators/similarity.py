@@ -778,7 +778,7 @@ def cluster_offsets(n: int = CLU_N, dim: int = DIM, w: float = CLU_W) -> list[li
             else -w
             for k in range(1, dim + 1)
         ]
-        for c in range(CLU_N)
+        for c in range(n)
     ]
 
 

@@ -367,3 +367,85 @@ try:
 
 except ImportError:  # hypothesis is baked into this environment; belt+braces
     pass
+
+
+def test_avi_accepts_rec_grouping_lists_and_ignores_other_streams():
+    """Spec-valid real-world AVIs wrap movi frames in 'rec ' grouping
+    LISTs and may interleave a second stream ('01..' chunks): the demuxer
+    must read through the former and skip the latter (review r7)."""
+    from apache_flink_pratices_spark.operators.media_codecs import AviCodec
+
+    codec = AviCodec()
+    rng = np.random.RandomState(5)
+    samples = rng.randint(0, 256, size=2 * 4 * 4 * 3).astype(np.uint8)
+    avi = codec.encode(samples, 4, 4, 3, 2)
+
+    # rebuild the movi list: frames wrapped in 'rec ' lists + a stray
+    # audio-stream chunk ('01wb') that must not be counted as video
+    movi_at = avi.index(b"LIST", avi.index(b"movi") - 8)
+    movi_size = struct.unpack("<I", avi[movi_at + 4 : movi_at + 8])[0]
+    movi_end = movi_at + 8 + movi_size
+    frames, pos = [], avi.index(b"movi") + 4
+    while pos < movi_end:
+        size = struct.unpack("<I", avi[pos + 4 : pos + 8])[0]
+        frames.append(avi[pos : pos + 8 + size])
+        pos += 8 + size + (size % 2)
+
+    def ck(fourcc, data):
+        pad = b"\x00" if len(data) % 2 else b""
+        return fourcc + struct.pack("<I", len(data)) + data + pad
+
+    stray = ck(b"01wb", b"\xAA" * 10)
+    new_movi_body = b"movi" + b"".join(
+        ck(b"LIST", b"rec " + f + stray) for f in frames
+    )
+    new_movi = ck(b"LIST", new_movi_body)
+    rebuilt_body = b"AVI " + avi[12:movi_at] + new_movi  # drop idx1: optional
+    rebuilt = b"RIFF" + struct.pack("<I", len(rebuilt_body)) + rebuilt_body
+    assert np.array_equal(codec.decode(rebuilt, {}), samples)
+
+
+def test_codec_chunk_body_length_checks_raise_format_errors():
+    """Malformed chunk BODIES must raise the documented format errors,
+    not struct.error (review r7): short IHDR, short avih/strf."""
+    from apache_flink_pratices_spark.operators.media_codecs import (
+        AviCodec,
+        AviFormatError,
+        _chunk,
+    )
+
+    # PNG: IHDR of 12 bytes with a valid CRC
+    ihdr = struct.pack(">IIBBBB", 2, 2, 8, 0, 0, 0)  # one byte short
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(b"\x00" * 6))
+        + _chunk(b"IEND", b"")
+    )
+    with pytest.raises(PngFormatError, match="IHDR"):
+        PngCodec().decode(png, {})
+
+    # AVI: truncate the avih chunk body (size field says 20)
+    codec = AviCodec()
+    avi = codec.encode(np.zeros(1 * 2 * 2 * 3, dtype=np.uint8), 2, 2, 3, 1)
+    i = avi.index(b"avih")
+    bad = bytearray(avi)
+    struct.pack_into("<I", bad, i + 4, 20)
+    with pytest.raises(AviFormatError, match="avih"):
+        codec.decode(bytes(bad), {})
+
+
+def test_phash_from_pngs_rejects_nonconforming_names(spark, tmp_path):
+    """A non-<id>.png file must fail with a clear contract error, not an
+    opaque AttributeError on a None match (review r7)."""
+    import shutil
+
+    from apache_flink_pratices_spark.operators.multimodal import (
+        phash_table_from_pngs,
+    )
+
+    src = os.path.join(os.path.dirname(__file__), "data", "png_corpus", "0.png")
+    shutil.copy(src, tmp_path / "cover_art.png")
+    files = spark.read.format("binaryFile").load(str(tmp_path))
+    with pytest.raises(Exception, match="<id>.png"):
+        phash_table_from_pngs(files).collect()

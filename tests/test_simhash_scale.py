@@ -220,3 +220,50 @@ def test_corpus_probe_is_write_once(tmp_path, monkeypatch):
     monkeypatch.setattr(dd, "_NEARDUP_IMPL_VERSION", "v-test-bump")
     assert dd.corpus_probe(sf, "t_probe", compute) == 7
     assert len(calls) == 2
+
+
+def test_corpus_probe_config_tuple_separates_keys(tmp_path, monkeypatch):
+    """Probes with the same name but different config tuples must not
+    share a cache entry (review r7: the key previously hardcoded simhash
+    constants for every probe family)."""
+    monkeypatch.setenv("SPARK_GRAFT_ARTIFACT_DIR", str(tmp_path))
+    from apache_flink_pratices_spark.operators.dedup import corpus_probe
+
+    sf = "/root/testdata/sf0.001"
+    a = corpus_probe(sf, "cfg_probe", lambda: 1, config=(16, 4))
+    b = corpus_probe(sf, "cfg_probe", lambda: 2, config=(32, 8))
+    a_again = corpus_probe(sf, "cfg_probe", lambda: 99, config=(16, 4))
+    assert (a, b, a_again) == (1, 2, 1)
+
+
+def test_artifact_base_falls_back_past_a_squatted_path(tmp_path, monkeypatch):
+    """If the preferred base is unusable (here: squatted by a regular
+    FILE, the reproducible stand-in for a foreign-owned dir), the base
+    helper must fall back to an owned sibling instead of chmod'ing what
+    it does not own (review r7)."""
+    preferred = tmp_path / "base"
+    preferred.write_text("squatter")  # a file: makedirs raises OSError
+    monkeypatch.setenv("SPARK_GRAFT_ARTIFACT_DIR", str(preferred))
+    import os
+
+    from apache_flink_pratices_spark.operators.dedup import (
+        _neardup_artifact_base,
+    )
+
+    base = _neardup_artifact_base()
+    assert base == str(preferred) + ".alt0"
+    assert os.path.isdir(base)
+    assert (os.stat(base).st_mode & 0o777) == 0o700
+
+
+def test_cluster_offsets_honours_n():
+    from apache_flink_pratices_spark.operators.similarity import (
+        CLU_N,
+        DIM,
+        cluster_offsets,
+    )
+
+    three = cluster_offsets(n=3)
+    assert len(three) == 3 and all(len(row) == DIM for row in three)
+    assert len(cluster_offsets()) == CLU_N
+    assert cluster_offsets()[:3] == three  # prefix-stable derivation
