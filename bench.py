@@ -105,7 +105,7 @@ def main() -> None:
     # spin-up (~2x the steady rate on this box), so an untimed warm-up
     # precedes the measured runs and the best rate is reported.
     small = os.environ.get("SPARK_GRAFT_STREAM_BENCH") == "small"
-    stream_runs = 1 if small else 2
+    stream_runs = 1 if small else 3
     fraud_rate = cep_rate = 0.0
     n_alerts = n_signals = 0
     with tempfile.TemporaryDirectory(prefix="afp_bench_stream_") as wd:
