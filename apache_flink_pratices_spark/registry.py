@@ -57,6 +57,20 @@ CRITICAL = (
 #: ``q1_pricing_summary`` keeps an independent per-round hard signal via
 #: the driver's ``entry()`` smoke check; ``proto_roundtrip_orderbook``
 #: shares the codec with the still-anchored trades twin.
+#: Round-7 note on the re-anchor-on-change rule vs the rotation drain:
+#: this round vectorized the corpus-side passes of ann_ivf_topk /
+#: ann_ivfpq_topk / ann_pq_topk / kmeans_assign (and re-keyed the
+#: banded-join probe plumbing under dedup_simhash). Their latest driver
+#: rows are r4/r6, and anchoring them for a fresh row would evict
+#: exactly that many r03-stale queries from the 36 free slots —
+#: violating the round's primary goal (VERDICT r6 #1: drain the r03
+#: backlog, nothing older than r04 afterwards). Deliberate resolution:
+#: every changed query is pinned bit-equal to its retained expression
+#: twin (tests/test_ann_ivf.py, test_kmeans.py, test_pca_quantize.py)
+#: AND was re-run against its DuckDB oracle under the driver's exact
+#: plain-session recipe at sf0.01 this round (tools/
+#: driver_replica_check.py); they rotate into the r8 window naturally as
+#: the then-stalest cohort.
 DEMOTED_ANCHORS = (
     "w7_signal_ids",
     "p_filter_even_clicks",
