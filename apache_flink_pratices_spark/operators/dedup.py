@@ -778,11 +778,19 @@ def _neardup_artifact_base() -> str:
     preferred = os.environ.get("SPARK_GRAFT_ARTIFACT_DIR") or os.path.join(
         tempfile.gettempdir(), f"afp_neardup_pairs_{os.getuid()}"
     )
+    import stat as stat_mod
+
     candidates = [preferred] + [f"{preferred}.alt{i}" for i in range(10)]
     for base in candidates:
         try:
             os.makedirs(base, mode=0o700, exist_ok=True)
-            if os.stat(base).st_uid != os.getuid():
+            # lstat, not stat: a squatter SYMLINK to a victim-owned
+            # directory passes the followed-stat uid check and the chmod
+            # would hit the attacker-chosen target (review r7)
+            st = os.lstat(base)
+            if stat_mod.S_ISLNK(st.st_mode) or not stat_mod.S_ISDIR(st.st_mode):
+                continue
+            if st.st_uid != os.getuid():
                 continue  # squatter-owned: never chmod/trust, try the next
             os.chmod(base, 0o700)
             return base

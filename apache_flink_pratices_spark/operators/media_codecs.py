@@ -358,10 +358,13 @@ class AviCodec:
 
         width = height = bitcount = compression = None
         n_frames_hdr = None
+        topdown = False  # biHeight < 0 = top-down DIB rows
+        cur_stream = None  # fccType of the strl being walked ('vids'/'auds')
         frames: list[np.ndarray] = []
 
         def walk(buf: bytes, start: int, end: int, in_movi: bool) -> None:
             nonlocal width, height, bitcount, compression, n_frames_hdr
+            nonlocal topdown, cur_stream
             pos = start
             while pos + 8 <= end:
                 fourcc = buf[pos : pos + 4]
@@ -385,13 +388,20 @@ class AviCodec:
                         raise AviFormatError(f"avih chunk too short ({size} bytes)")
                     vals = struct.unpack("<14I", buf[data_start : data_start + 56])
                     n_frames_hdr, width, height = vals[4], vals[8], vals[9]
-                elif fourcc == b"strf":
+                elif fourcc == b"strh":
+                    # remember which stream this strl describes so the
+                    # following strf is only parsed as a BITMAPINFOHEADER
+                    # for the video stream (review r7: an audio strl's
+                    # WAVEFORMAT strf was previously misparsed/rejected)
+                    cur_stream = buf[data_start : data_start + 4]
+                elif fourcc == b"strf" and cur_stream == b"vids":
                     if size < 40:
                         raise AviFormatError(f"strf chunk too short ({size} bytes)")
                     (
                         _sz, bw, bh, _planes, bitcount, compression,
                         *_rest,
                     ) = struct.unpack("<IiiHHIIiiII", buf[data_start : data_start + 40])
+                    topdown = bh < 0
                     if (bw, abs(bh)) != (width, height):
                         raise AviFormatError(
                             f"strf geometry {bw}x{bh} != avih {width}x{height}"
@@ -414,7 +424,10 @@ class AviCodec:
                     rows = np.frombuffer(
                         buf, dtype=np.uint8, count=size, offset=data_start
                     ).reshape(height, stride)[:, : width * 3]
-                    rgb = rows.reshape(height, width, 3)[::-1, :, ::-1]
+                    bgr = rows.reshape(height, width, 3)
+                    # bottom-up DIBs (biHeight > 0) need the row flip;
+                    # top-down DIBs (biHeight < 0) are already in order
+                    rgb = (bgr if topdown else bgr[::-1])[:, :, ::-1]
                     frames.append(rgb.reshape(-1))
                 pos = data_end + (size % 2)
 

@@ -53,6 +53,20 @@ MEDIA_META_SCHEMA = (
 )
 
 
+def md5_chain_payload(doc_id: int, media_type: str = "image") -> np.ndarray:
+    """Python mirror of the JVM md5-chain payload builder in
+    :func:`media_table` — the ONE derivation shared by the PNG-corpus
+    generator (tools/gen_png_corpus.py) and the corpus-validation test
+    (review r7: each had its own verbatim copy that could drift)."""
+    import hashlib
+
+    raw = b"".join(
+        hashlib.md5(f"{doc_id}-{i}".encode()).digest()
+        for i in range(1, _N_BLOCKS[media_type] + 1)
+    )
+    return np.frombuffer(raw, dtype=np.uint8)
+
+
 class FakeCodec:
     """Deterministic fake decoder: payload bytes ARE the decoded samples.
 

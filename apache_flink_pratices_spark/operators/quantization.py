@@ -397,6 +397,10 @@ def ivfpq_corpus(e: DataFrame, mn: list, mx: list) -> DataFrame:
     import numpy as np
     import pandas as pd
 
+    from apache_flink_pratices_spark.functions.vectorized import (
+        scaled_floor_sums,
+    )
+
     from apache_flink_pratices_spark.operators.similarity import (
         _SCALE,
         ivf_directions,
@@ -412,11 +416,7 @@ def ivfpq_corpus(e: DataFrame, mn: list, mx: list) -> DataFrame:
             if n == 0:
                 continue
             x = np.array(pdf["embedding"].tolist(), dtype=np.float64)
-            sims = np.empty((n, len(dirs)), dtype=np.int64)
-            for m_ in range(len(dirs)):
-                sims[:, m_] = (
-                    np.floor((x * dirs[m_]) * _SCALE).astype(np.int64).sum(axis=1)
-                )
+            sims = scaled_floor_sums(x, dirs, _SCALE)
             with np.errstate(divide="ignore", invalid="ignore"):
                 q = np.floor(((x - mn_a) * BINS) / rng_a)
             q = np.minimum(255.0, np.maximum(0.0, q))

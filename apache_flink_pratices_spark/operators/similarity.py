@@ -186,6 +186,10 @@ def _signature_bands(
     import numpy as np
     import pandas as pd
 
+    from apache_flink_pratices_spark.functions.vectorized import (
+        scaled_floor_sums,
+    )
+
     signs = np.array(rh_signs(bits, dim), dtype=np.float64)  # (bits, dim)
     n_bands = bits // band_size
     weights = (1 << np.arange(band_size - 1, -1, -1)).astype(np.int64)
@@ -196,10 +200,7 @@ def _signature_bands(
             if n == 0:
                 continue
             emb = np.array(pdf["embedding"].tolist(), dtype=np.float64)
-            bitvals = np.empty((n, bits), dtype=bool)
-            for j in range(bits):
-                q = np.floor((emb * signs[j]) * _SCALE).astype(np.int64)
-                bitvals[:, j] = q.sum(axis=1) >= 0
+            bitvals = scaled_floor_sums(emb, signs, _SCALE) >= 0
             buckets = (
                 bitvals.reshape(n, n_bands, band_size).astype(np.int64) * weights
             ).sum(axis=2)
@@ -278,15 +279,22 @@ def ann_lsh_frame(
     )
 
 
-_SQL_RH_SIGNS = f"""
+def _sql_rh_signs(bits: int) -> str:
+    """DuckDB twin of rh_signs for an arbitrary bit count — the ONE
+    definition of the signs CTE (review r7: the RH_BITS instance was a
+    verbatim copy that could silently drift from the clustered one)."""
+    return f"""
     signs AS (
       SELECT j, k,
              CASE WHEN CAST(('0x' || substr(md5('afp-rh-' || j || '-' || k), 1, 2)) AS INTEGER) % 2 = 0
                   THEN 1.0 ELSE -1.0 END AS s
-      FROM (SELECT unnest(generate_series(0, {RH_BITS - 1})) AS j) bi,
+      FROM (SELECT unnest(generate_series(0, {bits - 1})) AS j) bi,
            (SELECT unnest(generate_series(1, {DIM})) AS k) di
     )
-"""
+    """
+
+
+_SQL_RH_SIGNS = _sql_rh_signs(RH_BITS)
 
 
 @register(
@@ -443,6 +451,10 @@ def ivf_assign(vectors: DataFrame) -> DataFrame:
     import numpy as np
     import pandas as pd
 
+    from apache_flink_pratices_spark.functions.vectorized import (
+        scaled_floor_sums,
+    )
+
     dirs = np.array(ivf_directions(), dtype=np.float64)  # (cells, dim)
     scale = float(_SCALE)
 
@@ -456,13 +468,7 @@ def ivf_assign(vectors: DataFrame) -> DataFrame:
                 np.floor(emb * emb * _SCALE).astype(np.int64).sum(axis=1)
                 / scale
             )
-            sims = np.empty((n, len(dirs)), dtype=np.int64)
-            for m in range(len(dirs)):
-                sims[:, m] = (
-                    np.floor((emb * dirs[m]) * _SCALE)
-                    .astype(np.int64)
-                    .sum(axis=1)
-                )
+            sims = scaled_floor_sums(emb, dirs, _SCALE)
             yield pd.DataFrame(
                 {
                     "vec_id": pdf["vec_id"].to_numpy(),
@@ -799,19 +805,6 @@ def clustered_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.select("vec_id", "label", emb.alias("embedding"))
 
 
-def _sql_rh_signs(bits: int) -> str:
-    """DuckDB twin of rh_signs for an arbitrary bit count."""
-    return f"""
-    signs AS (
-      SELECT j, k,
-             CASE WHEN CAST(('0x' || substr(md5('afp-rh-' || j || '-' || k), 1, 2)) AS INTEGER) % 2 = 0
-                  THEN 1.0 ELSE -1.0 END AS s
-      FROM (SELECT unnest(generate_series(0, {bits - 1})) AS j) bi,
-           (SELECT unnest(generate_series(1, {DIM})) AS k) di
-    )
-    """
-
-
 _SQL_CLUSTERED_ELEMS = f"""
     clu AS (
       SELECT vec_id, {{md5}} % {CLU_N} AS c FROM embeddings
@@ -918,9 +911,18 @@ def ann_lsh_clustered_candidate_fraction(
     """Measured candidate fraction of the clustered LSH query: distinct
     (query, candidate) pairs / (N_QUERIES · (N−1)). Emitted in bench.py's
     detail line so the pruning claim is a recorded artifact."""
+    from pyspark.storagelevel import StorageLevel
+
     vectors = clustered_embeddings(spark, sf_dir)
-    n = vectors.count()
-    bands = _signature_bands(vectors, CLU_BITS, CLU_BAND, DIM)
+    # persist: the signature pass is the dominant map work and feeds BOTH
+    # band-join sides (review r7: it ran twice per call without this —
+    # several wasted seconds of untimed bench wall per round); n comes
+    # off the same cache instead of a third corpus scan
+    bands = _signature_bands(vectors, CLU_BITS, CLU_BAND, DIM).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    n_bands = CLU_BITS // CLU_BAND
+    n = bands.count() // n_bands
     qb = bands.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), "band", "bucket"
     )
@@ -930,4 +932,6 @@ def ann_lsh_clustered_candidate_fraction(
         .select("query_id", "vec_id")
         .distinct()
     )
-    return cand.count() / float(N_QUERIES * (n - 1))
+    frac = cand.count() / float(N_QUERIES * (n - 1))
+    bands.unpersist()
+    return frac

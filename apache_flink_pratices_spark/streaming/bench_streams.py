@@ -64,9 +64,11 @@ def fraud_events_per_sec(
     t0 = time.perf_counter()
     try:
         q.processAllAvailable()
+        # measure BEFORE stop(): query teardown (thread join, checkpoint
+        # close) is not event-processing work (review r7)
+        wall = time.perf_counter() - t0
     finally:
         q.stop()
-    wall = time.perf_counter() - t0
     n_alerts = spark.sql(
         "SELECT COUNT(*) AS n FROM bench_fraud_tput"
     ).collect()[0].n
@@ -158,9 +160,9 @@ def cep_events_per_sec(
     t0 = time.perf_counter()
     try:
         q.processAllAvailable()
+        wall = time.perf_counter() - t0  # before stop(), as above
     finally:
         q.stop()
-    wall = time.perf_counter() - t0
     n_signals = spark.sql(
         "SELECT COUNT(*) AS n FROM bench_cep_tput"
     ).collect()[0].n

@@ -126,6 +126,14 @@ def main() -> None:
                 n_cycles=3 if small else 17,
             )
             fraud_rate, cep_rate = max(fraud_rate, fr), max(cep_rate, cr)
+            # a rate over an empty pipeline is not a measurement: fail the
+            # artifact loudly rather than record it (review r7; the
+            # small-mode pytest smoke asserts the same contract)
+            if n_alerts <= 0 or n_signals <= 0:
+                raise RuntimeError(
+                    f"streaming bench produced no output (run {r}: "
+                    f"alerts={n_alerts}, signals={n_signals})"
+                )
     streaming = {"fraud_ev_s": int(fraud_rate), "cep_ev_s": int(cep_rate)}
 
     detail = {

@@ -35,11 +35,13 @@ CORPUS = os.path.join(os.path.dirname(__file__), "data", "png_corpus")
 
 
 def _payload(doc_id: int) -> np.ndarray:
-    raw = b"".join(
-        hashlib.md5(f"{doc_id}-{i}".encode()).digest()
-        for i in range(1, _N_BLOCKS["image"] + 1)
+    # the shared derivation (review r7): same helper the corpus
+    # generator uses, so golden validation cannot drift from generation
+    from apache_flink_pratices_spark.operators.multimodal import (
+        md5_chain_payload,
     )
-    return np.frombuffer(raw, dtype=np.uint8)
+
+    return md5_chain_payload(doc_id, "image")
 
 
 # --- hand-built golden (encoder-independent chunk layout) -------------------
@@ -449,3 +451,55 @@ def test_phash_from_pngs_rejects_nonconforming_names(spark, tmp_path):
     files = spark.read.format("binaryFile").load(str(tmp_path))
     with pytest.raises(Exception, match="<id>.png"):
         phash_table_from_pngs(files).collect()
+
+
+def test_avi_two_stream_file_with_audio_strl_decodes():
+    """A spec-valid AVI carrying an audio stream (auds strl whose strf is
+    a 16-byte WAVEFORMAT, plus interleaved '01wb' chunks) must decode the
+    video stream untouched (review r7: the strf branch previously parsed
+    every strf as a BITMAPINFOHEADER)."""
+    from apache_flink_pratices_spark.operators.media_codecs import AviCodec
+
+    codec = AviCodec()
+    rng = np.random.RandomState(11)
+    samples = rng.randint(0, 256, size=2 * 4 * 4 * 3).astype(np.uint8)
+    avi = codec.encode(samples, 4, 4, 3, 2)
+
+    def ck(fourcc, data):
+        pad = b"\x00" if len(data) % 2 else b""
+        return fourcc + struct.pack("<I", len(data)) + data + pad
+
+    # append an auds strl to hdrl: strh (fccType='auds') + 16-byte strf
+    auds_strh = b"auds" + b"\x00" * 52
+    auds_strf = struct.pack("<HHIIHH", 1, 1, 8000, 8000, 1, 8)
+    auds_strl = ck(b"LIST", b"strl" + ck(b"strh", auds_strh) + ck(b"strf", auds_strf))
+    hdrl_at = avi.index(b"hdrl") - 8
+    hdrl_size = struct.unpack("<I", avi[hdrl_at + 4 : hdrl_at + 8])[0]
+    hdrl_end = hdrl_at + 8 + hdrl_size
+    new_hdrl_body = avi[hdrl_at + 8 : hdrl_end] + auds_strl
+    rebuilt_body = (
+        b"AVI "
+        + ck(b"LIST", new_hdrl_body)
+        + avi[hdrl_end : len(avi)]
+    )
+    rebuilt = b"RIFF" + struct.pack("<I", len(rebuilt_body)) + rebuilt_body
+    assert np.array_equal(codec.decode(rebuilt, {}), samples)
+
+
+def test_avi_top_down_dib_rows_decode_in_order():
+    """biHeight < 0 marks a top-down DIB (rows stored first-row-first);
+    the demuxer must not apply the bottom-up flip (review r7)."""
+    from apache_flink_pratices_spark.operators.media_codecs import AviCodec
+
+    codec = AviCodec()
+    rng = np.random.RandomState(12)
+    samples = rng.randint(0, 256, size=2 * 4 * 6 * 3).astype(np.uint8)
+    avi = codec.encode(samples, 6, 4, 3, 2)
+    bad = bytearray(avi)
+    struct.pack_into("<i", bad, avi.index(b"strf") + 8 + 8, -4)
+    dec = codec.decode(bytes(bad), {})
+    # stored bytes unchanged + top-down interpretation == vertical flip
+    expect = np.concatenate(
+        [f[::-1].reshape(-1) for f in samples.reshape(2, 4, 6 * 3)]
+    )
+    assert np.array_equal(dec, expect)

@@ -12,7 +12,6 @@ change; tests/test_media_codecs.py treats the committed bytes as golden.
 
 from __future__ import annotations
 
-import hashlib
 import os
 import sys
 
@@ -26,7 +25,7 @@ from apache_flink_pratices_spark.operators.multimodal import (
     IMG_H,
     IMG_W,
     PHASH_SHIFT,
-    _N_BLOCKS,
+    md5_chain_payload,
 )
 
 OUT = os.path.join(
@@ -39,11 +38,7 @@ DOC_IDS = (0, 3, 6, 9)
 
 
 def payload(doc_id: int) -> np.ndarray:
-    raw = b"".join(
-        hashlib.md5(f"{doc_id}-{i}".encode()).digest()
-        for i in range(1, _N_BLOCKS["image"] + 1)
-    )
-    return np.frombuffer(raw, dtype=np.uint8)
+    return md5_chain_payload(doc_id, "image")
 
 
 def main() -> None:
