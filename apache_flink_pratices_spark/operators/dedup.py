@@ -489,7 +489,11 @@ def corpus_probe(sf_dir: str, name: str, compute, config: tuple = ()) -> int:
     try:
         with open(path) as f:
             return int(json.load(f)["value"])
-    except (OSError, ValueError, KeyError):
+    except (OSError, ValueError, KeyError, TypeError):
+        # ANY unreadable/ill-typed probe file is a cache miss, never a
+        # crash (review r7: a {"value": null} file raised TypeError past
+        # the except clause and permanently failed every banded join
+        # until the file was hand-deleted)
         pass
     value = int(compute())
     tmp = f"{path}.tmp.{os.getpid()}"
@@ -773,24 +777,50 @@ def _neardup_artifact_base() -> str:
     then chmod'ed a foreign directory — a guaranteed PermissionError,
     i.e. a denial of service instead of a mitigation)."""
     import os
+    import stat as stat_mod
     import tempfile
 
-    preferred = os.environ.get("SPARK_GRAFT_ARTIFACT_DIR") or os.path.join(
+    def usable(base: str) -> bool:
+        # lstat, not stat: a squatter SYMLINK to a victim-owned
+        # directory passes the followed-stat uid check and the chmod
+        # would hit the attacker-chosen target (review r7)
+        st = os.lstat(base)
+        return (
+            not stat_mod.S_ISLNK(st.st_mode)
+            and stat_mod.S_ISDIR(st.st_mode)
+            and st.st_uid == os.getuid()
+        )
+
+    env = os.environ.get("SPARK_GRAFT_ARTIFACT_DIR")
+    if env:
+        # Explicit configuration is honored or refused LOUDLY — never
+        # silently diverted to a sibling path (review r7: a '.alt0'
+        # fallback would strand the configured cache and quietly ignore
+        # the operator's choice). Permissions are also the operator's
+        # choice here: no chmod on a deliberately group-shared dir.
+        os.makedirs(env, mode=0o700, exist_ok=True)
+        if not usable(env):
+            raise RuntimeError(
+                f"SPARK_GRAFT_ARTIFACT_DIR={env!r} is a symlink, not a "
+                "directory, or not owned by this user; refusing to trust it"
+            )
+        return env
+
+    preferred = os.path.join(
         tempfile.gettempdir(), f"afp_neardup_pairs_{os.getuid()}"
     )
-    import stat as stat_mod
-
-    candidates = [preferred] + [f"{preferred}.alt{i}" for i in range(10)]
-    for base in candidates:
+    # The DEFAULT base lives under the world-writable tempdir, where
+    # another user could pre-create the keyed directory and have us trust
+    # poisoned parquet (ADVICE r6): create with mode 0o700, refuse a base
+    # we do not own, and fall back to numbered sibling paths until an
+    # owned one is found (review r7: the original fallback recomputed the
+    # SAME path and then chmod'ed a foreign directory — a guaranteed
+    # PermissionError, i.e. a denial of service instead of a mitigation).
+    # chmod is safe here: this path is ours by construction, never shared.
+    for base in [preferred] + [f"{preferred}.alt{i}" for i in range(10)]:
         try:
             os.makedirs(base, mode=0o700, exist_ok=True)
-            # lstat, not stat: a squatter SYMLINK to a victim-owned
-            # directory passes the followed-stat uid check and the chmod
-            # would hit the attacker-chosen target (review r7)
-            st = os.lstat(base)
-            if stat_mod.S_ISLNK(st.st_mode) or not stat_mod.S_ISDIR(st.st_mode):
-                continue
-            if st.st_uid != os.getuid():
+            if not usable(base):
                 continue  # squatter-owned: never chmod/trust, try the next
             os.chmod(base, 0o700)
             return base

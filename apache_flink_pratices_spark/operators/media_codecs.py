@@ -102,7 +102,10 @@ class PngCodec:
             prev = cur
         if meta:
             mw, mh = meta.get("width"), meta.get("height")
-            if (mw and mw != w) or (mh and mh != h):
+            # `is not None`, not truthiness: a metadata width/height of 0
+            # can never match IHDR (the parser rejects zero-sized images),
+            # so it must hit the contradiction branch too (review r7)
+            if (mw is not None and mw != w) or (mh is not None and mh != h):
                 raise PngFormatError(
                     f"IHDR {w}x{h} contradicts metadata {mw}x{mh}"
                 )
@@ -360,11 +363,13 @@ class AviCodec:
         n_frames_hdr = None
         topdown = False  # biHeight < 0 = top-down DIB rows
         cur_stream = None  # fccType of the strl being walked ('vids'/'auds')
+        strh_seen = 0  # strl order = data-chunk stream number ('00', '01', …)
+        vid_prefix = None  # 2-digit chunk prefix of the FIRST vids stream
         frames: list[np.ndarray] = []
 
         def walk(buf: bytes, start: int, end: int, in_movi: bool) -> None:
             nonlocal width, height, bitcount, compression, n_frames_hdr
-            nonlocal topdown, cur_stream
+            nonlocal topdown, cur_stream, strh_seen, vid_prefix
             pos = start
             while pos + 8 <= end:
                 fourcc = buf[pos : pos + 4]
@@ -392,8 +397,15 @@ class AviCodec:
                     # remember which stream this strl describes so the
                     # following strf is only parsed as a BITMAPINFOHEADER
                     # for the video stream (review r7: an audio strl's
-                    # WAVEFORMAT strf was previously misparsed/rejected)
+                    # WAVEFORMAT strf was previously misparsed/rejected).
+                    # Data chunks carry the strl's ORDINAL as their 2-digit
+                    # prefix, so map the vids strl's position to the chunk
+                    # prefix instead of assuming stream 0 (review r7: an
+                    # [auds, vids] file stores frames in '01db'/'01dc')
                     cur_stream = buf[data_start : data_start + 4]
+                    if cur_stream == b"vids" and vid_prefix is None:
+                        vid_prefix = b"%02d" % strh_seen
+                    strh_seen += 1
                 elif fourcc == b"strf" and cur_stream == b"vids":
                     if size < 40:
                         raise AviFormatError(f"strf chunk too short ({size} bytes)")
@@ -408,7 +420,8 @@ class AviCodec:
                         )
                 elif (
                     in_movi
-                    and fourcc[:2] == b"00"  # stream 0 = the video stream
+                    and vid_prefix is not None
+                    and fourcc[:2] == vid_prefix
                     and fourcc[2:4] in (b"db", b"dc")
                 ):
                     if bitcount != 24 or compression != 0:

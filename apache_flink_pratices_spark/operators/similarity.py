@@ -149,18 +149,28 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- random-hyperplane LSH (bucketed ANN) ---------------------------------
-def rh_signs(bits: int, dim: int) -> list[list[float]]:
-    """±1 hyperplane matrix from md5 of 'afp-rh-{bit}-{k}' (k is 1-based to
-    match SQL generate_subscripts); identical derivation in the oracle."""
+def _md5_pm_matrix(prefix: str, rows: int, dim: int, mag: float) -> list[list[float]]:
+    """±mag matrix: entry (j, k) is +mag when the first md5 byte of
+    '{prefix}-{j}-{k}' is even (k is 1-based to match SQL
+    generate_subscripts). The ONE Python definition behind both the
+    hyperplane signs and the planted-cluster offsets (review r7: two
+    verbatim copies of the derivation could drift independently);
+    :func:`_sql_md5_pm_cte` is its SQL twin."""
     return [
         [
-            1.0
-            if hashlib.md5(f"afp-rh-{j}-{k}".encode()).digest()[0] % 2 == 0
-            else -1.0
+            mag
+            if hashlib.md5(f"{prefix}-{j}-{k}".encode()).digest()[0] % 2 == 0
+            else -mag
             for k in range(1, dim + 1)
         ]
-        for j in range(bits)
+        for j in range(rows)
     ]
+
+
+def rh_signs(bits: int, dim: int) -> list[list[float]]:
+    """±1 hyperplane matrix from md5 of 'afp-rh-{bit}-{k}'; identical
+    derivation in the oracle."""
+    return _md5_pm_matrix("afp-rh", bits, dim, 1.0)
 
 
 def _signature_bands(
@@ -279,19 +289,30 @@ def ann_lsh_frame(
     )
 
 
-def _sql_rh_signs(bits: int) -> str:
-    """DuckDB twin of rh_signs for an arbitrary bit count — the ONE
-    definition of the signs CTE (review r7: the RH_BITS instance was a
-    verbatim copy that could silently drift from the clustered one)."""
+def _sql_md5_pm_cte(
+    cte: str, prefix: str, rows: int, row_col: str, val_col: str, pos: str, neg: str
+) -> str:
+    """DuckDB twin of :func:`_md5_pm_matrix`: a CTE named ``cte`` with
+    columns (``row_col``, k, ``val_col``) where the value is ``pos`` when
+    the first md5 byte of '{prefix}-{row}-{k}' is even, else ``neg``. The
+    ONE SQL definition behind the hyperplane signs CTE and the
+    planted-cluster offsets CTE (review r7)."""
     return f"""
-    signs AS (
-      SELECT j, k,
-             CASE WHEN CAST(('0x' || substr(md5('afp-rh-' || j || '-' || k), 1, 2)) AS INTEGER) % 2 = 0
-                  THEN 1.0 ELSE -1.0 END AS s
-      FROM (SELECT unnest(generate_series(0, {bits - 1})) AS j) bi,
-           (SELECT unnest(generate_series(1, {DIM})) AS k) di
+    {cte} AS (
+      SELECT {row_col}, k,
+             CASE WHEN CAST(('0x' || substr(md5('{prefix}-' || {row_col} || '-' || k), 1, 2)) AS INTEGER) % 2 = 0
+                  THEN {pos} ELSE {neg} END AS {val_col}
+      FROM (SELECT unnest(generate_series(0, {rows - 1})) AS {row_col}) ri,
+           (SELECT unnest(generate_series(1, {DIM})) AS k) ki
     )
     """
+
+
+def _sql_rh_signs(bits: int) -> str:
+    """The hyperplane-signs CTE for an arbitrary bit count — the ONE
+    definition (review r7: the RH_BITS instance was a verbatim copy that
+    could silently drift from the clustered one)."""
+    return _sql_md5_pm_cte("signs", "afp-rh", bits, "j", "s", "1.0", "-1.0")
 
 
 _SQL_RH_SIGNS = _sql_rh_signs(RH_BITS)
@@ -776,16 +797,9 @@ CLU_BAND = 8  #: band width → 8 bands × 256 buckets (measured at sf0.01:
 
 
 def cluster_offsets(n: int = CLU_N, dim: int = DIM, w: float = CLU_W) -> list[list[float]]:
-    """±w offset matrix from md5 of 'afp-clu-{c}-{k}' (k 1-based)."""
-    return [
-        [
-            w
-            if hashlib.md5(f"afp-clu-{c}-{k}".encode()).digest()[0] % 2 == 0
-            else -w
-            for k in range(1, dim + 1)
-        ]
-        for c in range(n)
-    ]
+    """±w offset matrix from md5 of 'afp-clu-{c}-{k}' (k 1-based) — the
+    same derivation kernel as :func:`rh_signs` (w=1 special case)."""
+    return _md5_pm_matrix("afp-clu", n, dim, w)
 
 
 def clustered_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -809,13 +823,7 @@ _SQL_CLUSTERED_ELEMS = f"""
     clu AS (
       SELECT vec_id, {{md5}} % {CLU_N} AS c FROM embeddings
     ),
-    offs AS (
-      SELECT c, k,
-             CASE WHEN CAST(('0x' || substr(md5('afp-clu-' || c || '-' || k), 1, 2)) AS INTEGER) % 2 = 0
-                  THEN {CLU_W} ELSE -{CLU_W} END AS o
-      FROM (SELECT unnest(generate_series(0, {CLU_N - 1})) AS c) ci,
-           (SELECT unnest(generate_series(1, {DIM})) AS k) ki
-    ),
+    {_sql_md5_pm_cte("offs", "afp-clu", CLU_N, "c", "o", str(CLU_W), str(-CLU_W))},
     elems AS (
       SELECT e.vec_id, u.k, CAST(u.x AS DOUBLE) + f.o AS x
       FROM embeddings e

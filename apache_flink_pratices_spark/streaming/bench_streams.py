@@ -28,31 +28,48 @@ BASE = datetime.datetime(2021, 1, 1, tzinfo=datetime.timezone.utc)
 BASE_US = int(BASE.timestamp()) * 1_000_000
 
 
-def fraud_events_per_sec(
-    spark: SparkSession,
-    workdir: str,
-    n_tx: int = 100_000,
-    n_accounts: int = 500,
-) -> tuple[float, int]:
-    """End-to-end tx/s through the keyed fraud state machine.
+FRAUD_SCHEMA = "account_id long, ts timestamp, amount double"
+
+
+def prepare_fraud_input(
+    spark: SparkSession, in_dir: str, n_tx: int, n_accounts: int = 500
+) -> None:
+    """Write the deterministic fraud input once; runs reusing the same
+    (n_tx, n_accounts) share it (review r7: rebuilding identical rows +
+    parquet per measured run was pure untimed waste).
 
     Amounts alternate small/large per account so ValueState flips and
     timers arm/fire — the worst-case per-event state path, not a no-op
     passthrough."""
-    from apache_flink_pratices_spark.streaming.fraud import fraud_alert_stream
-
     rows = []
     for i in range(n_tx):
         acct = i % n_accounts
         amount = 0.5 if (i // n_accounts) % 2 == 0 else 700.0
         rows.append((acct, BASE + datetime.timedelta(milliseconds=i), amount))
-    in_dir = os.path.join(workdir, "fraud_in")
-    schema = "account_id long, ts timestamp, amount double"
-    spark.createDataFrame(rows, schema).coalesce(4).write.mode(
+    spark.createDataFrame(rows, FRAUD_SCHEMA).coalesce(4).write.mode(
         "overwrite"
     ).parquet(in_dir)
 
-    src = spark.readStream.schema(schema).parquet(in_dir)
+
+def fraud_events_per_sec(
+    spark: SparkSession,
+    workdir: str,
+    n_tx: int = 100_000,
+    n_accounts: int = 500,
+    in_dir: str | None = None,
+) -> tuple[float, int]:
+    """End-to-end tx/s through the keyed fraud state machine.
+
+    ``in_dir``: a directory already populated by
+    :func:`prepare_fraud_input` with the SAME (n_tx, n_accounts) — the
+    rate denominator stays ``n_tx``. Omitted = build it here."""
+    from apache_flink_pratices_spark.streaming.fraud import fraud_alert_stream
+
+    if in_dir is None:
+        in_dir = os.path.join(workdir, "fraud_in")
+        prepare_fraud_input(spark, in_dir, n_tx, n_accounts)
+
+    src = spark.readStream.schema(FRAUD_SCHEMA).parquet(in_dir)
     q = (
         fraud_alert_stream(src)
         .writeStream.format("memory")
@@ -128,25 +145,47 @@ def _cep_rows(n_codes: int, n_cycles: int) -> list[tuple]:
     return rows
 
 
+def prepare_cep_input(
+    spark: SparkSession, in_dir: str, n_codes: int, n_cycles: int
+) -> int:
+    """Write the deterministic CEP input once and return its row count
+    (the rate denominator); runs reusing the same (n_codes, n_cycles)
+    share it (review r7)."""
+    from apache_flink_pratices_spark.streaming.signal_generator import (
+        UNIFIED_SCHEMA,
+    )
+
+    rows = _cep_rows(n_codes, n_cycles)
+    spark.createDataFrame(rows, UNIFIED_SCHEMA).coalesce(4).write.mode(
+        "overwrite"
+    ).parquet(in_dir)
+    return len(rows)
+
+
 def cep_events_per_sec(
     spark: SparkSession,
     workdir: str,
     n_codes: int = 300,
     n_cycles: int = 17,
+    in_dir: str | None = None,
+    n_rows: int | None = None,
 ) -> tuple[float, int]:
     """End-to-end ev/s through the 4-stream CEP signal generator (J1),
     with every machine exercising the full buy+sell lifecycle per cycle
-    (ListState windows, MapState positions, spoof watch timers)."""
+    (ListState windows, MapState positions, spoof watch timers).
+
+    ``in_dir``/``n_rows``: a directory already populated by
+    :func:`prepare_cep_input` and its returned row count. Omitted =
+    build it here."""
     from apache_flink_pratices_spark.streaming.signal_generator import (
         UNIFIED_SCHEMA,
         signal_stream,
     )
 
-    rows = _cep_rows(n_codes, n_cycles)
-    in_dir = os.path.join(workdir, "cep_in")
-    spark.createDataFrame(rows, UNIFIED_SCHEMA).coalesce(4).write.mode(
-        "overwrite"
-    ).parquet(in_dir)
+    if in_dir is None:
+        in_dir = os.path.join(workdir, "cep_in")
+        n_rows = prepare_cep_input(spark, in_dir, n_codes, n_cycles)
+    assert n_rows is not None, "n_rows must accompany a prebuilt in_dir"
 
     src = spark.readStream.schema(UNIFIED_SCHEMA).parquet(in_dir)
     q = (
@@ -166,4 +205,4 @@ def cep_events_per_sec(
     n_signals = spark.sql(
         "SELECT COUNT(*) AS n FROM bench_cep_tput"
     ).collect()[0].n
-    return len(rows) / wall, int(n_signals)
+    return n_rows / wall, int(n_signals)

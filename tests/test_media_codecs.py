@@ -486,6 +486,43 @@ def test_avi_two_stream_file_with_audio_strl_decodes():
     assert np.array_equal(codec.decode(rebuilt, {}), samples)
 
 
+def test_avi_vids_as_second_stream_decodes_01_chunks():
+    """Data-chunk stream numbers follow strl declaration order, so in an
+    [auds, vids] file the video frames live in '01db'/'01dc' chunks
+    (review r7: the demuxer hardcoded stream 0 and rejected such files as
+    'movi carries 0 frames')."""
+    from apache_flink_pratices_spark.operators.media_codecs import AviCodec
+
+    codec = AviCodec()
+    # constant 7s: no 0x30 ('0') bytes, so the 00db->01db rename below can
+    # never touch frame payload bytes
+    samples = np.full(2 * 4 * 4 * 3, 7, dtype=np.uint8)
+    avi = codec.encode(samples, 4, 4, 3, 2)
+
+    def ck(fourcc, data):
+        pad = b"\x00" if len(data) % 2 else b""
+        return fourcc + struct.pack("<I", len(data)) + data + pad
+
+    # insert an auds strl BEFORE the vids strl, making video stream #1
+    auds_strh = b"auds" + b"\x00" * 52
+    auds_strf = struct.pack("<HHIIHH", 1, 1, 8000, 8000, 1, 8)
+    auds_strl = ck(
+        b"LIST", b"strl" + ck(b"strh", auds_strh) + ck(b"strf", auds_strf)
+    )
+    hdrl_at = avi.index(b"hdrl") - 8
+    hdrl_size = struct.unpack("<I", avi[hdrl_at + 4 : hdrl_at + 8])[0]
+    hdrl_end = hdrl_at + 8 + hdrl_size
+    vids_strl_at = avi.index(b"strl") - 8  # the encoder's only strl
+    new_hdrl_body = (
+        avi[hdrl_at + 8 : vids_strl_at] + auds_strl + avi[vids_strl_at:hdrl_end]
+    )
+    # movi frame chunks (and the ignored idx1 refs) move to stream 1
+    tail = avi[hdrl_end:].replace(b"00db", b"01db")
+    rebuilt_body = b"AVI " + ck(b"LIST", new_hdrl_body) + tail
+    rebuilt = b"RIFF" + struct.pack("<I", len(rebuilt_body)) + rebuilt_body
+    assert np.array_equal(codec.decode(rebuilt, {}), samples)
+
+
 def test_avi_top_down_dib_rows_decode_in_order():
     """biHeight < 0 marks a top-down DIB (rows stored first-row-first);
     the demuxer must not apply the bottom-up flip (review r7)."""
