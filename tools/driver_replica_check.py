@@ -11,6 +11,11 @@ window order) so a round's rotation cohort can be pre-flighted before
 the driver burns its independent check on it.
 
 Usage: python tools/driver_replica_check.py [n_window]
+       python tools/driver_replica_check.py name1 name2 ...
+
+The second form checks exactly the named queries (window order is
+irrelevant) — the fast path after touching plumbing a few specific
+queries share. An unknown name is an immediate error, not a skip.
 """
 
 from __future__ import annotations
@@ -41,7 +46,7 @@ def _normalize(rows, colnames):
 
 
 def main() -> int:
-    n_window = int(sys.argv[1]) if len(sys.argv) > 1 else 50
+    args = sys.argv[1:]
 
     import duckdb
     from pyspark.sql import SparkSession
@@ -53,7 +58,14 @@ def main() -> int:
     import __spark_entry__ as m
 
     qs, osql = m.queries(), m.oracle_sql()
-    window = list(qs)[:n_window]
+    if args and not args[0].isdigit():
+        unknown = [a for a in args if a not in qs]
+        if unknown:
+            raise SystemExit(f"unknown queries: {unknown}")
+        window = args
+    else:
+        n_window = int(args[0]) if args else 50
+        window = list(qs)[:n_window]
 
     from apache_flink_pratices_spark.io import TABLES, table_path
 
