@@ -399,16 +399,9 @@ IVF_NPROBE = 4
 
 
 def ivf_directions(cells: int = IVF_CELLS, dim: int = DIM) -> list[list[float]]:
-    """±1 direction matrix from md5 of 'afp-ivf-{cell}-{k}' (k 1-based)."""
-    return [
-        [
-            1.0
-            if hashlib.md5(f"afp-ivf-{m}-{k}".encode()).digest()[0] % 2 == 0
-            else -1.0
-            for k in range(1, dim + 1)
-        ]
-        for m in range(cells)
-    ]
+    """±1 direction matrix from md5 of 'afp-ivf-{cell}-{k}' (k 1-based) —
+    the same derivation kernel as :func:`rh_signs`."""
+    return _md5_pm_matrix("afp-ivf", cells, dim, 1.0)
 
 
 def _ivf_sims() -> Column:
@@ -575,15 +568,9 @@ def ann_ivf_frame(
     )
 
 
-_SQL_IVF_DIRS = f"""
-    dirs AS (
-      SELECT m, k,
-             CASE WHEN CAST(('0x' || substr(md5('afp-ivf-' || m || '-' || k), 1, 2)) AS INTEGER) % 2 = 0
-                  THEN 1.0 ELSE -1.0 END AS s
-      FROM (SELECT unnest(generate_series(0, {IVF_CELLS - 1})) AS m) mi,
-           (SELECT unnest(generate_series(1, {DIM})) AS k) di
-    )
-"""
+_SQL_IVF_DIRS = _sql_md5_pm_cte(
+    "dirs", "afp-ivf", IVF_CELLS, "m", "s", "1.0", "-1.0"
+)
 
 
 @register(

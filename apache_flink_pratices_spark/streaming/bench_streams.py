@@ -33,10 +33,11 @@ FRAUD_SCHEMA = "account_id long, ts timestamp, amount double"
 
 def prepare_fraud_input(
     spark: SparkSession, in_dir: str, n_tx: int, n_accounts: int = 500
-) -> None:
-    """Write the deterministic fraud input once; runs reusing the same
-    (n_tx, n_accounts) share it (review r7: rebuilding identical rows +
-    parquet per measured run was pure untimed waste).
+) -> int:
+    """Write the deterministic fraud input once and return its row count
+    (the rate denominator); runs reusing the same (n_tx, n_accounts)
+    share it (review r7: rebuilding identical rows + parquet per
+    measured run was pure untimed waste).
 
     Amounts alternate small/large per account so ValueState flips and
     timers arm/fire — the worst-case per-event state path, not a no-op
@@ -49,6 +50,7 @@ def prepare_fraud_input(
     spark.createDataFrame(rows, FRAUD_SCHEMA).coalesce(4).write.mode(
         "overwrite"
     ).parquet(in_dir)
+    return len(rows)
 
 
 def fraud_events_per_sec(
@@ -57,17 +59,22 @@ def fraud_events_per_sec(
     n_tx: int = 100_000,
     n_accounts: int = 500,
     in_dir: str | None = None,
+    n_rows: int | None = None,
 ) -> tuple[float, int]:
     """End-to-end tx/s through the keyed fraud state machine.
 
-    ``in_dir``: a directory already populated by
-    :func:`prepare_fraud_input` with the SAME (n_tx, n_accounts) — the
-    rate denominator stays ``n_tx``. Omitted = build it here."""
+    ``in_dir``/``n_rows``: a directory already populated by
+    :func:`prepare_fraud_input` and its RETURNED row count — the count
+    travels with the prebuilt input so the rate denominator can never
+    drift from what the query actually processes (review r7). Omitted =
+    build it here."""
     from apache_flink_pratices_spark.streaming.fraud import fraud_alert_stream
 
     if in_dir is None:
         in_dir = os.path.join(workdir, "fraud_in")
-        prepare_fraud_input(spark, in_dir, n_tx, n_accounts)
+        n_rows = prepare_fraud_input(spark, in_dir, n_tx, n_accounts)
+    if n_rows is None:
+        raise ValueError("n_rows must accompany a prebuilt in_dir")
 
     src = spark.readStream.schema(FRAUD_SCHEMA).parquet(in_dir)
     q = (
@@ -89,7 +96,7 @@ def fraud_events_per_sec(
     n_alerts = spark.sql(
         "SELECT COUNT(*) AS n FROM bench_fraud_tput"
     ).collect()[0].n
-    return n_tx / wall, int(n_alerts)
+    return n_rows / wall, int(n_alerts)
 
 
 def _cep_rows(n_codes: int, n_cycles: int) -> list[tuple]:
@@ -185,7 +192,8 @@ def cep_events_per_sec(
     if in_dir is None:
         in_dir = os.path.join(workdir, "cep_in")
         n_rows = prepare_cep_input(spark, in_dir, n_codes, n_cycles)
-    assert n_rows is not None, "n_rows must accompany a prebuilt in_dir"
+    if n_rows is None:  # not assert: must survive python -O (review r7)
+        raise ValueError("n_rows must accompany a prebuilt in_dir")
 
     src = spark.readStream.schema(UNIFIED_SCHEMA).parquet(in_dir)
     q = (

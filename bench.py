@@ -123,12 +123,15 @@ def main() -> None:
         # run (review r7: rebuilding identical parquet 3x was untimed waste)
         fraud_in = os.path.join(wd, "fraud_in")
         cep_in = os.path.join(wd, "cep_in")
-        prepare_fraud_input(spark, fraud_in, n_tx=n_tx)
+        fraud_rows = prepare_fraud_input(spark, fraud_in, n_tx=n_tx)
         cep_rows = prepare_cep_input(spark, cep_in, n_codes, n_cycles)
         for r in range(stream_runs):
             rd = os.path.join(wd, f"r{r}")
             fr, n_alerts = fraud_events_per_sec(
-                spark, os.path.join(rd, "f"), n_tx=n_tx, in_dir=fraud_in
+                spark,
+                os.path.join(rd, "f"),
+                in_dir=fraud_in,
+                n_rows=fraud_rows,
             )
             cr, n_signals = cep_events_per_sec(
                 spark,

@@ -63,6 +63,13 @@ def main() -> int:
         if unknown:
             raise SystemExit(f"unknown queries: {unknown}")
         window = args
+    elif args and len(args) > 1:
+        # '20 dedup_simhash' would silently drop the name and report the
+        # window green while the touched query never ran — refuse
+        raise SystemExit(
+            "pass EITHER one window count OR query names, not both: "
+            f"{args}"
+        )
     else:
         n_window = int(args[0]) if args else 50
         window = list(qs)[:n_window]
