@@ -95,3 +95,20 @@ def test_bench_order_is_registration_order_not_rotation(tmp_path, monkeypatch):
     # while the gate ordering DID change under the same history
     gate = list(reg.all_specs())
     assert gate != baseline or len(gate) != len(baseline)
+
+
+def test_stream_rate_functions_refuse_prebuilt_input_without_count():
+    """A prebuilt in_dir without its row count must fail fast with a
+    clear error, not report a rate with a stale/default denominator
+    (review r7: the denominator travels WITH the prepared input)."""
+    import pytest
+
+    from apache_flink_pratices_spark.streaming.bench_streams import (
+        cep_events_per_sec,
+        fraud_events_per_sec,
+    )
+
+    with pytest.raises(ValueError, match="n_rows"):
+        fraud_events_per_sec(None, "wd", in_dir="prebuilt")
+    with pytest.raises(ValueError, match="n_rows"):
+        cep_events_per_sec(None, "wd", in_dir="prebuilt")
