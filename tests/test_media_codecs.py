@@ -367,6 +367,89 @@ try:
         codec = AviCodec()
         assert np.array_equal(codec.decode(codec.encode(samples, w, h, 3, n), {}), samples)
 
+    @settings(max_examples=25, deadline=None)
+    @given(
+        w=st.integers(min_value=1, max_value=12),
+        h=st.integers(min_value=1, max_value=12),
+        n=st.integers(min_value=1, max_value=4),
+        auds_first=st.booleans(),
+        rec_wrap=st.booleans(),
+        topdown=st.booleans(),
+        seed=st.integers(min_value=0, max_value=2**31 - 1),
+    )
+    def test_avi_layout_property(w, h, n, auds_first, rec_wrap, topdown, seed):
+        """decode() is invariant to every container-layout dimension real
+        muxers vary, COMPOSED: stream declaration order (vids as stream 0
+        or 1 — data chunks follow the strl ordinal), 'rec ' grouping with
+        interleaved audio chunks, and top-down vs bottom-up DIB rows. The
+        deterministic remux tests above pin each dimension alone; this
+        pins their products."""
+        from apache_flink_pratices_spark.operators.media_codecs import AviCodec
+
+        codec = AviCodec()
+        rng = np.random.RandomState(seed)
+        samples = rng.randint(0, 256, size=n * h * w * 3).astype(np.uint8)
+        avi = codec.encode(samples, w, h, 3, n)
+
+        def ck(fourcc, data):
+            pad = b"\x00" if len(data) % 2 else b""
+            return fourcc + struct.pack("<I", len(data)) + data + pad
+
+        # structural parse of the encoder's fixed layout
+        hdrl_at = avi.index(b"hdrl") - 8
+        hdrl_size = struct.unpack("<I", avi[hdrl_at + 4 : hdrl_at + 8])[0]
+        hdrl_end = hdrl_at + 8 + hdrl_size
+        vids_at = avi.index(b"strl") - 8  # the encoder's only strl LIST
+        vids_strl = bytearray(avi[vids_at:hdrl_end])
+        movi_tag = avi.index(b"movi")
+        movi_size = struct.unpack("<I", avi[movi_tag - 4 : movi_tag])[0]
+        movi_end = movi_tag - 8 + 8 + movi_size
+        payloads, pos = [], movi_tag + 4
+        while pos < movi_end:
+            size = struct.unpack("<I", avi[pos + 4 : pos + 8])[0]
+            payloads.append(avi[pos + 8 : pos + 8 + size])
+            pos += 8 + size + (size % 2)
+
+        if topdown:
+            # mark biHeight negative and store rows first-row-first
+            struct.pack_into(
+                "<i", vids_strl, vids_strl.index(b"strf") + 8 + 8, -h
+            )
+            stride = ((w * 3 + 3) // 4) * 4
+            payloads = [
+                np.frombuffer(p, dtype=np.uint8)
+                .reshape(h, stride)[::-1]
+                .tobytes()
+                for p in payloads
+            ]
+
+        vid_id = b"01" if auds_first else b"00"
+        aud_id = b"00" if auds_first else b"01"
+        frame_chunks = [ck(vid_id + b"db", p) for p in payloads]
+        stray = ck(aud_id + b"wb", b"\xAA" * 6)
+        if rec_wrap:
+            movi_body = b"".join(
+                ck(b"LIST", b"rec " + f + stray) for f in frame_chunks
+            )
+        else:
+            movi_body = b"".join(f + stray for f in frame_chunks)
+        new_movi = ck(b"LIST", b"movi" + movi_body)
+
+        auds_strh = b"auds" + b"\x00" * 52
+        auds_strf = struct.pack("<HHIIHH", 1, 1, 8000, 8000, 1, 8)
+        auds_strl = ck(
+            b"LIST", b"strl" + ck(b"strh", auds_strh) + ck(b"strf", auds_strf)
+        )
+        head = avi[hdrl_at + 8 : vids_at]  # 'hdrl' tag + avih chunk
+        if auds_first:
+            new_hdrl_body = head + auds_strl + bytes(vids_strl)
+        else:
+            new_hdrl_body = head + bytes(vids_strl) + auds_strl
+
+        body = b"AVI " + ck(b"LIST", new_hdrl_body) + new_movi  # idx1: optional
+        rebuilt = b"RIFF" + struct.pack("<I", len(body)) + body
+        assert np.array_equal(codec.decode(rebuilt, {}), samples)
+
 except ImportError:  # hypothesis is baked into this environment; belt+braces
     pass
 
