@@ -323,7 +323,11 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # persisted: the 16-min signature aggregate feeds the band-join
     # kernel's pre-check plus both self-join sides (see
     # banded_candidate_pairs — the kernel expects callers to cache the
-    # expensive upstream rather than paying a second materialization)
+    # expensive upstream rather than paying a second materialization).
+    # Backs the returned lazy plan, so it stays cached for the session
+    # (CacheManager dedupes repeat calls; clearCache() reclaims —
+    # ADVICE r7: deliberate session-cache cost, same stance as the
+    # simhash fingerprint cache below)
     sigs = sh.groupBy("doc_id").agg(
         *[
             F.min((F.lit(a) * h31 + F.lit(b)) % P31).alias(f"s{i}")
@@ -350,11 +354,15 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # hot-bucket-guarded band join (shared kernel; identical pairs to the
     # plain self-join below the cap — see banded_candidate_pairs); the
     # pre-check scalar is a write-once corpus statistic
+    # config captures the COEFFICIENT VALUES, not just their count: editing
+    # MH_COEFFS without bumping _NEARDUP_IMPL_VERSION must invalidate the
+    # probe mechanically, or a stale-low hint silently disables the
+    # hot-bucket guard (ADVICE r7)
     hint = corpus_probe(
         sf_dir,
         "minhash_max_bucket",
         lambda: _max_bucket_size(bands),
-        config=(NUM_HASHES, BAND_SIZE, P31),
+        config=(NUM_HASHES, BAND_SIZE, P31, tuple(MH_COEFFS)),
     )
     cand = banded_candidate_pairs(bands, max_bucket_hint=hint).select(
         F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b")
@@ -432,9 +440,13 @@ def _simhash_fingerprints_of(d: DataFrame) -> DataFrame:
 #: cap switch to REPRESENTATIVE PAIRING: every member pairs with the
 #: bucket's HOT_BUCKET_REPS hash-smallest members instead of with
 #: everyone, bounding the bucket's fan-out to B·reps while keeping every
-#: member connected to the bucket's pair graph (any two members share a
-#: representative neighbor, so dedup clustering via connected components
-#: is unaffected). Below the cap the pair set is IDENTICAL to the plain
+#: member connected in the CANDIDATE graph (any two members share a
+#: representative neighbor). Note the invariant holds for candidates
+#: only: downstream Hamming/Jaccard VERIFICATION can still drop a
+#: member's edges to all reps while a true near-dup non-representative
+#: edge was never generated, so verified-pair recall above the cap can
+#: drop and clusters can split — the deliberate bounded-fan-out
+#: trade-off (ADVICE r7). Below the cap the pair set is IDENTICAL to the plain
 #: self-join — the shipped corpora never trip the cap (5× headroom at
 #: sf0.1), so the uncapped DuckDB oracles still value-hash-match; the
 #: bound itself is pinned by a planted-hot-bucket property test

@@ -63,7 +63,13 @@ class PngCodec:
     # -- decode ---------------------------------------------------------
     def decode(self, payload: bytes, meta: dict) -> np.ndarray:
         w, h, channels, idat = self._parse(payload)
-        raw = zlib.decompress(idat)
+        try:
+            raw = zlib.decompress(idat)
+        except zlib.error as e:
+            # zlib.error is not a ValueError subclass: without this wrap a
+            # CRC-correct PNG whose deflate stream is truncated would break
+            # the "malformed PNG raises PngFormatError" contract (ADVICE r7)
+            raise PngFormatError(f"bad IDAT deflate stream: {e}") from e
         stride = w * channels
         if len(raw) != h * (1 + stride):
             raise PngFormatError(
@@ -221,6 +227,10 @@ def _chunk(ctype: bytes, data: bytes) -> bytes:
     )
 
 
+class WavFormatError(ValueError):
+    """Raised on malformed WAV bytes (bad RIFF header, truncated data...)."""
+
+
 class WavCodec:
     """Real WAV encode/decode for 8-bit unsigned PCM via stdlib ``wave``."""
 
@@ -228,12 +238,26 @@ class WavCodec:
         import io
         import wave
 
-        with wave.open(io.BytesIO(payload), "rb") as w:
-            if w.getsampwidth() != 1:
-                raise ValueError(
-                    f"unsupported sample width {w.getsampwidth()} (8-bit only)"
-                )
-            frames = w.readframes(w.getnframes())
+        # wave raises wave.Error (not a ValueError subclass) on malformed
+        # headers, EOFError on a truncated RIFF preamble, and its chunk
+        # helper a BARE RuntimeError on an out-of-bounds seek (corrupt
+        # size field) — all must surface as the typed format error so
+        # callers can catch one exception family across all three codecs
+        # (ADVICE r7; the RuntimeError leak was found by the adversarial
+        # bit-flip property test). The block is pure in-memory parsing
+        # over a seekable BytesIO, so every exception inside it is a
+        # malformed-payload symptom, not an I/O fault.
+        try:
+            with wave.open(io.BytesIO(payload), "rb") as w:
+                if w.getsampwidth() != 1:
+                    raise WavFormatError(
+                        f"unsupported sample width {w.getsampwidth()} (8-bit only)"
+                    )
+                frames = w.readframes(w.getnframes())
+        except WavFormatError:
+            raise
+        except (wave.Error, EOFError, struct.error, ValueError, RuntimeError) as e:
+            raise WavFormatError(f"malformed WAV payload: {e}") from e
         return np.frombuffer(frames, dtype=np.uint8)
 
     def encode(

@@ -253,7 +253,12 @@ def ann_lsh_frame(
     # the signature pass is the dominant map work (bits x dim products per
     # row) and feeds BOTH the query side and the corpus side of the band
     # join — persist so it runs once (matters most for the 64-bit
-    # clustered variant: measured 4.6 -> ~2.5 s at sf0.1)
+    # clustered variant: measured 4.6 -> ~2.5 s at sf0.1). The cache
+    # backs the RETURNED lazy plan, so it cannot be unpersisted here and
+    # stays live for the session (one signature table per corpus —
+    # CacheManager dedupes repeat calls); long-lived sessions reclaim it
+    # with spark.catalog.clearCache(), as bench.py does between runs
+    # (ADVICE r7: noted as a deliberate session-cache cost)
     bands = _signature_bands(vectors, bits, band_size, dim).persist(
         StorageLevel.MEMORY_AND_DISK
     )
@@ -522,7 +527,10 @@ def ann_ivf_frame(
     # assigned is consumed twice (candidate join + query side) — persist
     # so the vectorized assignment stage (and its Python worker round
     # trip) runs once; same-plan sibling reuse does NOT cover it because
-    # there is no exchange between the scan and the consumers to be reused
+    # there is no exchange between the scan and the consumers to be reused.
+    # Like ann_lsh_frame's signature cache, this backs the returned lazy
+    # plan and stays live for the session — a deliberate cost, reclaimed
+    # by spark.catalog.clearCache() in long-lived sessions (ADVICE r7)
     assigned = ivf_assign(vectors).persist(StorageLevel.MEMORY_AND_DISK)
     probes = (
         vectors.filter(F.col("vec_id") < n_queries)

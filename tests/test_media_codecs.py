@@ -450,6 +450,98 @@ try:
         rebuilt = b"RIFF" + struct.pack("<I", len(body)) + body
         assert np.array_equal(codec.decode(rebuilt, {}), samples)
 
+    # --- adversarial decode: typed errors ONLY (VERDICT r7 #7) ------------
+    # The codec-rigor analogue of the reference's protobuf edge-case
+    # matrix (tests/.../test_protobuf_mapper_extended.py:1-131): arbitrary
+    # truncations / bit-flips / byte-stomps of a VALID container must
+    # either decode (a flip in raw sample data is still a valid file) or
+    # raise the codec's typed format error — never zlib.error, wave.Error,
+    # struct.error, IndexError, or any other leaking internal exception.
+
+    def _mutate(payload: bytes, mode: int, pos: int, bit: int, span: int) -> bytes:
+        pos = pos % max(len(payload), 1)
+        if mode == 0:  # truncate
+            return payload[:pos]
+        if mode == 1:  # single bit flip
+            b = bytearray(payload)
+            b[pos] ^= 1 << bit
+            return bytes(b)
+        if mode == 2:  # stomp a byte span with 0xFF
+            b = bytearray(payload)
+            end = min(pos + span, len(b))
+            b[pos:end] = b"\xff" * (end - pos)
+            return bytes(b)
+        # mode 3: splice garbage into the middle
+        return payload[:pos] + bytes(range(span % 251)) + payload[pos:]
+
+    _MUT = dict(
+        mode=st.integers(min_value=0, max_value=3),
+        pos=st.integers(min_value=0, max_value=2**31 - 1),
+        bit=st.integers(min_value=0, max_value=7),
+        span=st.integers(min_value=1, max_value=64),
+        seed=st.integers(min_value=0, max_value=2**31 - 1),
+    )
+
+    @settings(max_examples=120, deadline=None)
+    @given(**_MUT)
+    def test_png_adversarial_decode_property(mode, pos, bit, span, seed):
+        rng = np.random.RandomState(seed)
+        w, h, ch = int(rng.randint(1, 12)), int(rng.randint(1, 12)), 3
+        pixels = rng.randint(0, 256, size=w * h * ch).astype(np.uint8)
+        codec = PngCodec()
+        png = _mutate(
+            codec.encode(pixels, w, h, ch, filter_type=int(rng.randint(0, 5))),
+            mode, pos, bit, span,
+        )
+        try:
+            out = codec.decode(png, {})
+        except PngFormatError:
+            return
+        assert isinstance(out, np.ndarray) and out.dtype == np.uint8
+
+    @settings(max_examples=120, deadline=None)
+    @given(**_MUT)
+    def test_wav_adversarial_decode_property(mode, pos, bit, span, seed):
+        from apache_flink_pratices_spark.operators.media_codecs import (
+            WavCodec,
+            WavFormatError,
+        )
+
+        rng = np.random.RandomState(seed)
+        samples = rng.randint(0, 256, size=int(rng.randint(1, 512))).astype(
+            np.uint8
+        )
+        codec = WavCodec()
+        wav = _mutate(codec.encode(samples), mode, pos, bit, span)
+        try:
+            out = codec.decode(wav, {})
+        except WavFormatError:
+            return
+        assert isinstance(out, np.ndarray) and out.dtype == np.uint8
+
+    @settings(max_examples=120, deadline=None)
+    @given(**_MUT)
+    def test_avi_adversarial_decode_property(mode, pos, bit, span, seed):
+        from apache_flink_pratices_spark.operators.media_codecs import (
+            AviCodec,
+            AviFormatError,
+        )
+
+        rng = np.random.RandomState(seed)
+        w, h, n = int(rng.randint(1, 10)), int(rng.randint(1, 10)), int(
+            rng.randint(1, 4)
+        )
+        samples = rng.randint(0, 256, size=n * w * h * 3).astype(np.uint8)
+        codec = AviCodec()
+        avi = _mutate(
+            codec.encode(samples, w, h, 3, n), mode, pos, bit, span
+        )
+        try:
+            out = codec.decode(avi, {})
+        except AviFormatError:
+            return
+        assert isinstance(out, np.ndarray) and out.dtype == np.uint8
+
 except ImportError:  # hypothesis is baked into this environment; belt+braces
     pass
 
