@@ -71,6 +71,21 @@ CRITICAL = (
 #: plain-session recipe at sf0.01 this round (tools/
 #: driver_replica_check.py); they rotate into the r8 window naturally as
 #: the then-stalest cohort.
+#: One-round application of the RE-ANCHOR ON CODE CHANGE rule (round 8).
+#: Round 7 vectorized the shared PQ/IVF+PQ corpus-prep kernels, but their
+#: latest independent driver rows predate the change (``ann_pq_topk`` r5,
+#: ``ann_ivfpq_topk`` r6) and neither falls inside the r8 window by
+#: staleness alone — the other three changed-kernel queries
+#: (``dedup_simhash`` / ``ann_ivf_topk`` / ``kmeans_assign``) do, as the
+#: stalest r4 cohort (VERDICT r7 #1). Pinning these two into the window
+#: costs the two youngest rotation slots (two r5-row queries wait one
+#: round), keeping the drain invariant: after r8, no latest row older
+#: than r5. CLEAR THIS TUPLE next round once their fresh rows land.
+RE_ANCHORED = (
+    "ann_pq_topk",
+    "ann_ivfpq_topk",
+)
+
 DEMOTED_ANCHORS = (
     "w7_signal_ids",
     "p_filter_even_clicks",
@@ -220,7 +235,9 @@ def all_specs() -> dict[str, QuerySpec]:
 
     latest = _driver_check_rows()
     hist = _driver_check_history()
-    crit = set(CRITICAL)
+    # RE_ANCHORED rides in the unconditional group for its one round —
+    # same priority as CRITICAL, distinct lifecycle (see its docstring)
+    crit = set(CRITICAL) | set(RE_ANCHORED)
     reg_idx = {n: i for i, n in enumerate(_REGISTRY)}
 
     def key(name: str) -> tuple[int, int, int]:

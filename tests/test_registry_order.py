@@ -10,6 +10,7 @@ import json
 
 from apache_flink_pratices_spark.registry import (
     CRITICAL,
+    RE_ANCHORED,
     _driver_check_history,
     _driver_check_rows,
     _row_is_green,
@@ -19,6 +20,10 @@ from apache_flink_pratices_spark.registry import (
 )
 
 WINDOW = 50
+
+#: everything pinned unconditionally into the window this round: the §2
+#: anchors plus the one-round re-anchor-on-change cohort
+PINNED = set(CRITICAL) | set(RE_ANCHORED)
 
 # §2-anchoring queries that must always be driver-checked (SURVEY §8).
 # Shrunk in round 7 (VERDICT r6 #2): the 11 streaming goldens + protobuf
@@ -48,9 +53,9 @@ def test_window_covers_never_checked_and_critical():
     window = set(names[:WINDOW])
     hist = _driver_check_history()
     never = {n for n in names if n not in hist}
-    assert set(CRITICAL) <= window, sorted(set(CRITICAL) - window)
+    assert PINNED <= window, sorted(PINNED - window)
     assert S2_ANCHORS <= window, sorted(S2_ANCHORS - window)
-    need = never | set(CRITICAL)
+    need = never | PINNED
     if len(need) <= WINDOW:
         assert never <= window, f"never-driver-checked outside window: {sorted(never - window)}"
     else:
@@ -70,7 +75,7 @@ def test_window_covers_never_checked_and_critical():
         from apache_flink_pratices_spark.registry import _REGISTRY
 
         reg = {n: i for i, n in enumerate(_REGISTRY)}
-        competing = never - set(CRITICAL)
+        competing = never - PINNED
         worst_in = max(reg[n] for n in competing & window)
         best_out = min(reg[n] for n in spilled)
         assert worst_in < best_out, (worst_in, best_out)
@@ -153,8 +158,9 @@ def test_critical_set_leaves_rotation_capacity():
     """The anchors are pinned into the ~50-slot window every round; keep
     enough slack that never-checked newcomers plus a meaningful stale
     rotation still fit (≥28 free slots per VERDICT r6 #2), or gate
-    coverage stalls."""
-    assert len(CRITICAL) <= WINDOW - 28, len(CRITICAL)
+    coverage stalls. The budget covers the re-anchor cohort too — a
+    one-round pin is still a burned rotation slot."""
+    assert len(PINNED) <= WINDOW - 28, len(PINNED)
 
 
 def test_demoted_anchors_are_registered_and_not_critical():
@@ -165,7 +171,8 @@ def test_demoted_anchors_are_registered_and_not_critical():
 
     specs = set(all_specs())
     assert set(DEMOTED_ANCHORS) <= specs, sorted(set(DEMOTED_ANCHORS) - specs)
-    assert not set(DEMOTED_ANCHORS) & set(CRITICAL)
+    assert not set(DEMOTED_ANCHORS) & PINNED
+    assert set(RE_ANCHORED) <= specs, sorted(set(RE_ANCHORED) - specs)
 
 
 def test_backlog_rotates_after_r5_checks(tmp_path, monkeypatch):
@@ -187,12 +194,12 @@ def test_backlog_rotates_after_r5_checks(tmp_path, monkeypatch):
     monkeypatch.setattr(reg, "_REPO_ROOT", str(tmp_path))
     nxt = list(all_specs())
     window_next = nxt[:WINDOW]
-    assert set(CRITICAL) <= set(window_next)
-    # every non-critical slot goes to the stalest survivors: nothing
+    assert PINNED <= set(window_next)
+    # every non-pinned slot goes to the stalest survivors: nothing
     # checked in r5 may displace something whose last green is older
     hist_next = _driver_check_history(str(tmp_path))
-    non_crit = [n for n in window_next if n not in CRITICAL]
-    outside = [n for n in nxt[WINDOW:] if n not in CRITICAL]
+    non_crit = [n for n in window_next if n not in PINNED]
+    outside = [n for n in nxt[WINDOW:] if n not in PINNED]
     if non_crit and outside:
         worst_in = max(hist_next.get(n, -1) for n in non_crit)
         best_out = min(hist_next.get(n, -1) for n in outside)

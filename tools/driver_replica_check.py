@@ -16,6 +16,15 @@ Usage: python tools/driver_replica_check.py [n_window]
 The second form checks exactly the named queries (window order is
 irrelevant) — the fast path after touching plumbing a few specific
 queries share. An unknown name is an immediate error, not a skip.
+
+Every invocation also MERGES its per-query outcome into
+``REPLICA_r{N}.json`` at the repo root (VERDICT r7 #2: the pre-flight
+must be a judge-readable committed artifact, not a registry comment).
+``N`` is the round in progress — one past the newest committed
+``CORRECTNESS_r*.json`` — overridable via ``SPARK_GRAFT_ROUND``. Merge,
+not overwrite: a round's artifact accumulates every query the tool
+covered, across targeted and whole-window invocations. Format pinned by
+``tests/test_replica_artifact.py``.
 """
 
 from __future__ import annotations
@@ -43,6 +52,57 @@ def _normalize(rows, colnames):
         out.append(tuple(vals))
     out.sort(key=lambda r: tuple((x is None, str(x)) for x in r))
     return [tuple(colnames[i] for i in order)] + out
+
+
+def _current_round(repo_root: str) -> int:
+    """Round in progress = newest committed CORRECTNESS round + 1
+    (the driver writes CORRECTNESS_r{N} at the END of round N), unless
+    SPARK_GRAFT_ROUND pins it explicitly."""
+    import glob
+    import re
+
+    env = os.environ.get("SPARK_GRAFT_ROUND")
+    if env:
+        return int(env)
+    rounds = [
+        int(m.group(1))
+        for p in glob.glob(os.path.join(repo_root, "CORRECTNESS_r*.json"))
+        if (m := re.search(r"CORRECTNESS_r(\d+)\.json$", p))
+    ]
+    return (max(rounds) + 1) if rounds else 1
+
+
+def _merge_artifact(repo_root: str, sf_dir: str, results: dict) -> str:
+    """Merge this invocation's rows into REPLICA_r{N}.json (atomic)."""
+    import json
+
+    rnd = _current_round(repo_root)
+    path = os.path.join(repo_root, f"REPLICA_r{rnd:02d}.json")
+    doc = {
+        "round": rnd,
+        "sf_dir": sf_dir,
+        "session": "plain SparkSession.builder.master('local[32]') — no engine tuning",
+        "compare": (
+            "column-name-sorted, row-sorted full-value equality vs the "
+            "registered DuckDB oracle (the driver's rows+schema+hash "
+            "gate, replayed locally)"
+        ),
+        "queries": {},
+    }
+    try:
+        with open(path) as f:
+            prev = json.load(f)
+        if isinstance(prev.get("queries"), dict):
+            doc["queries"] = prev["queries"]
+    except (OSError, ValueError):
+        pass
+    doc["queries"].update(results)
+    tmp = f"{path}.tmp.{os.getpid()}"
+    with open(tmp, "w") as f:
+        json.dump(doc, f, indent=1, sort_keys=True)
+        f.write("\n")
+    os.replace(tmp, path)
+    return path
 
 
 def main() -> int:
@@ -84,6 +144,8 @@ def main() -> int:
         )
 
     failed = []
+    results: dict[str, dict] = {}
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     for i, name in enumerate(window):
         t0 = time.time()
         try:
@@ -93,18 +155,39 @@ def main() -> int:
             if name not in osql:
                 print(f"[{i+1}/{len(window)}] {name}: rows-only "
                       f"({len(s_rows)} rows, {time.time()-t0:.1f}s)")
+                results[name] = {
+                    "rows_only": True,
+                    "spark_rows": len(s_rows),
+                    "wall_s": round(time.time() - t0, 1),
+                    "err": None,
+                }
                 continue
             res = con.execute(osql[name])
             d_cols = [c[0] for c in res.description]
             d_rows = [tuple(r) for r in res.fetchall()]
-            ok = (
-                sorted(s_cols) == sorted(d_cols)
-                and len(s_rows) == len(d_rows)
-                and _normalize(s_rows, s_cols) == _normalize(d_rows, d_cols)
-            )
+            rows_match = len(s_rows) == len(d_rows)
+            schema_match = sorted(s_cols) == sorted(d_cols)
+            hash_match = _normalize(s_rows, s_cols) == _normalize(d_rows, d_cols)
+            ok = rows_match and schema_match and hash_match
+            results[name] = {
+                "rows_match": rows_match,
+                "schema_match": schema_match,
+                "hash_match": hash_match,
+                "spark_rows": len(s_rows),
+                "oracle_rows": len(d_rows),
+                "wall_s": round(time.time() - t0, 1),
+                "err": None,
+            }
         except Exception as e:  # noqa: BLE001 - report, don't abort the sweep
             print(f"[{i+1}/{len(window)}] {name}: ERROR {e}")
             failed.append(name)
+            results[name] = {
+                "rows_match": False,
+                "schema_match": False,
+                "hash_match": False,
+                "wall_s": round(time.time() - t0, 1),
+                "err": f"{type(e).__name__}: {e}"[:300],
+            }
             continue
         status = "ok" if ok else "MISMATCH"
         if not ok:
@@ -112,7 +195,9 @@ def main() -> int:
         print(f"[{i+1}/{len(window)}] {name}: {status} "
               f"({len(s_rows)} rows, {time.time()-t0:.1f}s)")
 
+    artifact = _merge_artifact(repo_root, SF_DIR, results)
     print(f"\n{len(window) - len(failed)}/{len(window)} green; failed: {failed}")
+    print(f"artifact: {artifact}")
     spark.stop()
     return 1 if failed else 0
 
