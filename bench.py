@@ -89,6 +89,13 @@ def main() -> None:
 
     cand_fraction = round(ann_lsh_clustered_candidate_fraction(spark, sf_dir), 4)
     spark.catalog.clearCache()
+    # 1b) measured above-cap hot-bucket guard on a planted adversarial
+    #     corpus at sf0.1 (VERDICT r7 #4): pairs + wall for the guarded
+    #     branch vs the arithmetic unguarded fan-out
+    from apache_flink_pratices_spark.operators.dedup import hot_bucket_guard_bench
+
+    hot_guard = hot_bucket_guard_bench(spark, sf_dir)
+    spark.catalog.clearCache()
     # 2) streaming events/sec through the two flagship stateful paths
     #    (VERDICT r6 #6 — the reference's only end-to-end perf target)
     import tempfile
@@ -98,6 +105,8 @@ def main() -> None:
         fraud_events_per_sec,
         prepare_cep_input,
         prepare_fraud_input,
+        prepare_replay_input,
+        replay_day_seconds,
     )
 
     # full volume by default (the driver's per-round artifact must measure
@@ -110,8 +119,10 @@ def main() -> None:
     stream_runs = 1 if small else 3
     n_tx = 20_000 if small else 100_000
     n_codes, n_cycles = (50, 3) if small else (300, 17)
+    rp_codes, rp_slice = (2, 120) if small else (8, 900)
     fraud_rate = cep_rate = 0.0
-    n_alerts = n_signals = 0
+    day_s = float("inf")
+    n_alerts = n_signals = n_replay_sigs = 0
     with tempfile.TemporaryDirectory(prefix="afp_bench_stream_") as wd:
         if not small:  # warm-up: spin up workers/state server, untimed
             fraud_events_per_sec(spark, os.path.join(wd, "w0"), n_tx=2_000)
@@ -123,8 +134,10 @@ def main() -> None:
         # run (review r7: rebuilding identical parquet 3x was untimed waste)
         fraud_in = os.path.join(wd, "fraud_in")
         cep_in = os.path.join(wd, "cep_in")
+        replay_in = os.path.join(wd, "replay_in")
         fraud_rows = prepare_fraud_input(spark, fraud_in, n_tx=n_tx)
         cep_rows = prepare_cep_input(spark, cep_in, n_codes, n_cycles)
+        replay_rows = prepare_replay_input(spark, replay_in, rp_codes, rp_slice)
         for r in range(stream_runs):
             rd = os.path.join(wd, f"r{r}")
             fr, n_alerts = fraud_events_per_sec(
@@ -141,25 +154,45 @@ def main() -> None:
                 in_dir=cep_in,
                 n_rows=cep_rows,
             )
+            ds, n_replay_sigs = replay_day_seconds(
+                spark,
+                os.path.join(rd, "p"),
+                n_codes=rp_codes,
+                slice_s=rp_slice,
+                in_dir=replay_in,
+                n_rows=replay_rows,
+            )
             fraud_rate, cep_rate = max(fraud_rate, fr), max(cep_rate, cr)
+            day_s = min(day_s, ds)
             # a rate over an empty pipeline is not a measurement: fail the
             # artifact loudly rather than record it (review r7; the
             # small-mode pytest smoke asserts the same contract)
-            if n_alerts <= 0 or n_signals <= 0:
+            if n_alerts <= 0 or n_signals <= 0 or n_replay_sigs <= 0:
                 raise RuntimeError(
                     f"streaming bench produced no output (run {r}: "
-                    f"alerts={n_alerts}, signals={n_signals})"
+                    f"alerts={n_alerts}, signals={n_signals}, "
+                    f"replay_signals={n_replay_sigs})"
                 )
-    streaming = {"fraud_ev_s": int(fraud_rate), "cep_ev_s": int(cep_rate)}
+    streaming = {
+        "fraud_ev_s": int(fraud_rate),
+        "cep_ev_s": int(cep_rate),
+        # extrapolated seconds to replay a 24h 8-market day through the
+        # real signal path (the reference's "day of data in minutes" bar)
+        "replay_day_s": round(day_s, 1),
+    }
 
     detail = {
         "queries_median": medians,
         "rows": rows,
         "ann_lsh_clustered_candidate_fraction": cand_fraction,
+        "hot_bucket_guard": hot_guard,
         "streaming": {
             **streaming,
             "fraud_output_alerts": n_alerts,
             "cep_output_signals": n_signals,
+            "replay_output_signals": n_replay_sigs,
+            "replay_slice": {"n_codes": rp_codes, "slice_s": rp_slice,
+                             "rows": replay_rows},
         },
         "schema_note": (
             "final line: value/queries = per-query min over `runs` noop-write "

@@ -19,69 +19,28 @@ full fidelity.
 
 from __future__ import annotations
 
-import datetime
 import os
 import time
 
 from apache_flink_pratices_spark.sources.collection import stream_from_collection
+from apache_flink_pratices_spark.streaming.bench_streams import (
+    REPLAY_DAY_S as DAY_S,
+)
+from apache_flink_pratices_spark.streaming.bench_streams import (
+    REPLAY_N_CODES as N_CODES,
+)
+from apache_flink_pratices_spark.streaming.bench_streams import (
+    REPLAY_SLICE_S as SLICE_S,
+)
+from apache_flink_pratices_spark.streaming.bench_streams import (
+    replay_day_slice_rows as _day_slice_rows,
+)
 from apache_flink_pratices_spark.streaming.signal_generator import (
     UNIFIED_SCHEMA,
     signal_stream,
 )
 
-SLICE_S = 900  # 15 min of feed at full fidelity
-DAY_S = 86_400
-N_CODES = 8
-BASE = datetime.datetime(2021, 1, 1, tzinfo=datetime.timezone.utc)
-BASE_US = int(BASE.timestamp()) * 1_000_000
 DAY_MINUTES_GATE = 30.0
-
-
-def _ts(sec: float) -> datetime.datetime:
-    return BASE + datetime.timedelta(seconds=sec)
-
-
-def _us(sec: float) -> int:
-    return BASE_US + int(sec * 1_000_000)
-
-
-def _ob(code, sec, ask, bid, levels):
-    return (code, _ts(sec), _us(sec), "orderbook",
-            None, None, int(ask), int(bid), levels, None, None, None, None)
-
-
-def _trade(code, sec, price, vol):
-    return (code, _ts(sec), _us(sec), "trade",
-            float(price), float(vol), None, None, None, None, None, None, None)
-
-
-def _stable_levels(size=100):
-    return [(100 + i, size) for i in range(10)]
-
-
-def _day_slice_rows():
-    """2 books/s + 1 trade/s per market; a spoof episode (density drop +
-    vanishing wall -> armed watch -> BUY) every 300 s per market."""
-    rows = []
-    episode_at = {300, 600}
-    for c in range(N_CODES):
-        code = f"KRW-C{c:02d}"
-        for s in range(SLICE_S):
-            in_episode = any(e <= s < e + 4 for e in episode_at)
-            if not in_episode:
-                rows.append(_ob(code, s, 1000, 1000, _stable_levels(100)))
-                rows.append(_ob(code, s + 0.5, 1000, 1000, _stable_levels(100)))
-                rows.append(_trade(code, s + 0.25, 50_000.0 + c, 5.0))
-        for e in episode_at:
-            # density drop + spoof wall appears, wall vanishes, then a book
-            # after the watch deadline fires the BUY
-            rows.append(_ob(code, e, 600, 1000,
-                            [(100 + i, 30) for i in range(10)] + [(999, 300)]))
-            rows.append(_ob(code, e + 1, 600, 1000, [(100 + i, 60) for i in range(10)]))
-            rows.append(_ob(code, e + 2.2, 600, 1000, [(100 + i, 60) for i in range(10)]))
-            rows.append(_trade(code, e + 3, 50_000.0 + c, 5.0))
-    rows.sort(key=lambda r: r[2])
-    return rows
 
 
 def _run_replay(spark, rows, root: str) -> float:
