@@ -18,6 +18,7 @@ empty pipeline.
 
 from __future__ import annotations
 
+import contextlib
 import datetime
 import os
 import time
@@ -26,6 +27,32 @@ from pyspark.sql import SparkSession
 
 BASE = datetime.datetime(2021, 1, 1, tzinfo=datetime.timezone.utc)
 BASE_US = int(BASE.timestamp()) * 1_000_000
+
+#: state partitions for the measured streaming queries. The state-store
+#: partition count is a property of the QUERY (it sizes per-batch task
+#: scheduling, Python-worker round trips, and state commits), not of the
+#: session's batch shuffle width: at 64 partitions the CEP path spends
+#: ~2/3 of its wall on per-partition state machinery for a few hundred
+#: keys (measured r8: 8.9k ev/s at 32 partitions → 24.1k at 16; the
+#: trailing timer-only micro-batch pays the same per-partition tax at
+#: zero input rows). 16 keeps 2× headroom over the box's busiest
+#: measured partition while bounding the fixed overhead; at cluster
+#: scale the equivalent knob is sizing state partitions to key
+#: cardinality × executor count, exactly as the golden stream queries
+#: narrow to 8 for their handful of keys.
+STREAM_BENCH_PARTITIONS = 16
+
+
+@contextlib.contextmanager
+def _stream_partitions(spark: SparkSession, n: int = STREAM_BENCH_PARTITIONS):
+    """Narrow spark.sql.shuffle.partitions for a streaming run, restore
+    after (same pattern as operators/streaming_golden.py)."""
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
 FRAUD_SCHEMA = "account_id long, ts timestamp, amount double"
@@ -76,23 +103,24 @@ def fraud_events_per_sec(
     if n_rows is None:
         raise ValueError("n_rows must accompany a prebuilt in_dir")
 
-    src = spark.readStream.schema(FRAUD_SCHEMA).parquet(in_dir)
-    q = (
-        fraud_alert_stream(src)
-        .writeStream.format("memory")
-        .queryName("bench_fraud_tput")
-        .option("checkpointLocation", os.path.join(workdir, "fraud_ckpt"))
-        .outputMode("append")
-        .start()
-    )
-    t0 = time.perf_counter()
-    try:
-        q.processAllAvailable()
-        # measure BEFORE stop(): query teardown (thread join, checkpoint
-        # close) is not event-processing work (review r7)
-        wall = time.perf_counter() - t0
-    finally:
-        q.stop()
+    with _stream_partitions(spark):
+        src = spark.readStream.schema(FRAUD_SCHEMA).parquet(in_dir)
+        q = (
+            fraud_alert_stream(src)
+            .writeStream.format("memory")
+            .queryName("bench_fraud_tput")
+            .option("checkpointLocation", os.path.join(workdir, "fraud_ckpt"))
+            .outputMode("append")
+            .start()
+        )
+        t0 = time.perf_counter()
+        try:
+            q.processAllAvailable()
+            # measure BEFORE stop(): query teardown (thread join, checkpoint
+            # close) is not event-processing work (review r7)
+            wall = time.perf_counter() - t0
+        finally:
+            q.stop()
     n_alerts = spark.sql(
         "SELECT COUNT(*) AS n FROM bench_fraud_tput"
     ).collect()[0].n
@@ -249,21 +277,22 @@ def replay_day_seconds(
     if n_rows is None:  # not assert: must survive python -O
         raise ValueError("n_rows must accompany a prebuilt in_dir")
 
-    src = spark.readStream.schema(UNIFIED_SCHEMA).parquet(in_dir)
-    q = (
-        signal_stream(src)
-        .writeStream.format("memory")
-        .queryName("bench_replay")
-        .option("checkpointLocation", os.path.join(workdir, "replay_ckpt"))
-        .outputMode("append")
-        .start()
-    )
-    t0 = time.perf_counter()
-    try:
-        q.processAllAvailable()
-        wall = time.perf_counter() - t0  # before stop(), as above
-    finally:
-        q.stop()
+    with _stream_partitions(spark):
+        src = spark.readStream.schema(UNIFIED_SCHEMA).parquet(in_dir)
+        q = (
+            signal_stream(src)
+            .writeStream.format("memory")
+            .queryName("bench_replay")
+            .option("checkpointLocation", os.path.join(workdir, "replay_ckpt"))
+            .outputMode("append")
+            .start()
+        )
+        t0 = time.perf_counter()
+        try:
+            q.processAllAvailable()
+            wall = time.perf_counter() - t0  # before stop(), as above
+        finally:
+            q.stop()
     n_signals = spark.sql(
         "SELECT COUNT(*) AS n FROM bench_replay"
     ).collect()[0].n
@@ -313,21 +342,22 @@ def cep_events_per_sec(
     if n_rows is None:  # not assert: must survive python -O (review r7)
         raise ValueError("n_rows must accompany a prebuilt in_dir")
 
-    src = spark.readStream.schema(UNIFIED_SCHEMA).parquet(in_dir)
-    q = (
-        signal_stream(src)
-        .writeStream.format("memory")
-        .queryName("bench_cep_tput")
-        .option("checkpointLocation", os.path.join(workdir, "cep_ckpt"))
-        .outputMode("append")
-        .start()
-    )
-    t0 = time.perf_counter()
-    try:
-        q.processAllAvailable()
-        wall = time.perf_counter() - t0  # before stop(), as above
-    finally:
-        q.stop()
+    with _stream_partitions(spark):
+        src = spark.readStream.schema(UNIFIED_SCHEMA).parquet(in_dir)
+        q = (
+            signal_stream(src)
+            .writeStream.format("memory")
+            .queryName("bench_cep_tput")
+            .option("checkpointLocation", os.path.join(workdir, "cep_ckpt"))
+            .outputMode("append")
+            .start()
+        )
+        t0 = time.perf_counter()
+        try:
+            q.processAllAvailable()
+            wall = time.perf_counter() - t0  # before stop(), as above
+        finally:
+            q.stop()
     n_signals = spark.sql(
         "SELECT COUNT(*) AS n FROM bench_cep_tput"
     ).collect()[0].n
