@@ -362,3 +362,98 @@ def cep_events_per_sec(
         "SELECT COUNT(*) AS n FROM bench_cep_tput"
     ).collect()[0].n
     return n_rows / wall, int(n_signals)
+
+
+def measure_all(
+    spark: SparkSession, wd: str, small: bool = False
+) -> dict:
+    """Warm up, prepare the deterministic inputs once, then run the three
+    measured streaming paths ``stream_runs`` times and return the bench
+    streaming dict (best rate / best day over runs, plus output counts).
+
+    Extracted from bench.py so the measurement can run in a FRESH engine:
+    measured in the same JVM after the 30-query batch headline loop, the
+    identical paths lose ~2× to accumulated heap/JIT/session debris
+    (r8: CEP 25.6k ev/s fresh vs 12.4k in-session) — a bench artifact,
+    not a property of the streaming paths; a production streaming job
+    owns its driver. See :func:`main` for the subprocess entry."""
+    stream_runs = 1 if small else 3
+    n_tx = 20_000 if small else 100_000
+    n_codes, n_cycles = (50, 3) if small else (300, 17)
+    rp_codes, rp_slice = (2, 120) if small else (8, 900)
+    fraud_rate = cep_rate = 0.0
+    day_s = float("inf")
+    n_alerts = n_signals = n_replay_sigs = 0
+    if not small:  # warm-up: spin up workers/state server, untimed
+        fraud_events_per_sec(spark, os.path.join(wd, "w0"), n_tx=2_000)
+        cep_events_per_sec(spark, os.path.join(wd, "w1"), n_codes=10, n_cycles=1)
+    fraud_in = os.path.join(wd, "fraud_in")
+    cep_in = os.path.join(wd, "cep_in")
+    replay_in = os.path.join(wd, "replay_in")
+    fraud_rows = prepare_fraud_input(spark, fraud_in, n_tx=n_tx)
+    cep_rows = prepare_cep_input(spark, cep_in, n_codes, n_cycles)
+    replay_rows = prepare_replay_input(spark, replay_in, rp_codes, rp_slice)
+    for r in range(stream_runs):
+        rd = os.path.join(wd, f"r{r}")
+        fr, n_alerts = fraud_events_per_sec(
+            spark, os.path.join(rd, "f"), in_dir=fraud_in, n_rows=fraud_rows
+        )
+        cr, n_signals = cep_events_per_sec(
+            spark,
+            os.path.join(rd, "c"),
+            n_codes=n_codes,
+            n_cycles=n_cycles,
+            in_dir=cep_in,
+            n_rows=cep_rows,
+        )
+        ds, n_replay_sigs = replay_day_seconds(
+            spark,
+            os.path.join(rd, "p"),
+            n_codes=rp_codes,
+            slice_s=rp_slice,
+            in_dir=replay_in,
+            n_rows=replay_rows,
+        )
+        fraud_rate, cep_rate = max(fraud_rate, fr), max(cep_rate, cr)
+        day_s = min(day_s, ds)
+        # a rate over an empty pipeline is not a measurement: fail loudly
+        # rather than record it (review r7; the small-mode pytest smoke
+        # asserts the same contract)
+        if n_alerts <= 0 or n_signals <= 0 or n_replay_sigs <= 0:
+            raise RuntimeError(
+                f"streaming bench produced no output (run {r}: "
+                f"alerts={n_alerts}, signals={n_signals}, "
+                f"replay_signals={n_replay_sigs})"
+            )
+    return {
+        "fraud_ev_s": int(fraud_rate),
+        "cep_ev_s": int(cep_rate),
+        "replay_day_s": round(day_s, 1),
+        "fraud_output_alerts": int(n_alerts),
+        "cep_output_signals": int(n_signals),
+        "replay_output_signals": int(n_replay_sigs),
+        "replay_slice": {
+            "n_codes": rp_codes, "slice_s": rp_slice, "rows": replay_rows
+        },
+    }
+
+
+def main() -> None:
+    """Subprocess entry for bench.py: run the streaming measurement in a
+    fresh engine and print ONE JSON line (the streaming dict)."""
+    import json
+    import tempfile
+
+    from apache_flink_pratices_spark.session import get_spark
+
+    small = os.environ.get("SPARK_GRAFT_STREAM_BENCH") == "small"
+    spark = get_spark("afp-bench-streams")
+    spark.sparkContext.setLogLevel("ERROR")
+    with tempfile.TemporaryDirectory(prefix="afp_bench_stream_") as wd:
+        out = measure_all(spark, wd, small=small)
+    print(json.dumps(out, separators=(",", ":")))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

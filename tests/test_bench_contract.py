@@ -117,9 +117,12 @@ def test_stream_rate_functions_refuse_prebuilt_input_without_count():
     from apache_flink_pratices_spark.streaming.bench_streams import (
         cep_events_per_sec,
         fraud_events_per_sec,
+        replay_day_seconds,
     )
 
     with pytest.raises(ValueError, match="n_rows"):
         fraud_events_per_sec(None, "wd", in_dir="prebuilt")
     with pytest.raises(ValueError, match="n_rows"):
         cep_events_per_sec(None, "wd", in_dir="prebuilt")
+    with pytest.raises(ValueError, match="n_rows"):
+        replay_day_seconds(None, "wd", in_dir="prebuilt")

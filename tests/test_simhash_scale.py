@@ -323,3 +323,27 @@ def test_cluster_offsets_honours_n():
     assert len(three) == 3 and all(len(row) == DIM for row in three)
     assert len(cluster_offsets()) == CLU_N
     assert cluster_offsets()[:3] == three  # prefix-stable derivation
+
+
+def test_hot_bucket_guard_bench_contract(spark):
+    """The bench-scale guard measurement (VERDICT r7 #4) must actually
+    exercise the above-cap branch: the planted boilerplate block exceeds
+    the production cap, the reported pair count stays far below the
+    all-pairs fan-out, and the dict carries the pinned keys bench.py
+    publishes in the detail line."""
+    from apache_flink_pratices_spark.operators.dedup import (
+        HOT_BUCKET_CAP,
+        hot_bucket_guard_bench,
+    )
+
+    n_boiler = HOT_BUCKET_CAP + 200  # smallest above-cap block: fast, still adversarial
+    out = hot_bucket_guard_bench(spark, "/root/testdata/sf0.001", n_boiler=n_boiler)
+    assert set(out) == {
+        "pairs", "wall_s", "n_boiler", "unguarded_boiler_pairs", "guard_bound_pairs",
+    }
+    assert out["n_boiler"] == n_boiler
+    assert out["wall_s"] > 0
+    # the guarded total (boiler + normal-corpus pairs) must stay under the
+    # unguarded boilerplate fan-out alone — the point of the guard
+    assert 0 < out["pairs"] < out["unguarded_boiler_pairs"]
+    assert out["guard_bound_pairs"] < out["unguarded_boiler_pairs"]
