@@ -391,25 +391,101 @@ def _simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _simhash_fingerprints_of(_docs_repartitioned(spark, sf_dir))
 
 
-def _simhash_fingerprints_of(d: DataFrame) -> DataFrame:
-    """Fingerprint any (doc_id, text) DataFrame — split out so tests can
-    fingerprint synthetic corpora with realistic vocabulary breadth (the
-    driver testdata draws from a 31-token vocabulary, which concentrates
-    fingerprints regardless of band width — a data property, not a plan
-    property; see tests/test_simhash_scale.py)."""
+def _simhash_tf(d: DataFrame) -> DataFrame:
+    """(doc_id, hm, cnt) hashed term-frequency table — the shared input of
+    both fingerprint implementations."""
     # hash before the frequency groupBy: the shuffle carries (doc_id, long)
     # pairs instead of token strings (same trick as the shingle pipeline)
     # count first, hash after: the term-frequency groupBy collapses token
     # instances to distinct (doc, token) rows, so md5 runs once per
     # distinct term occurrence (~5x fewer calls on natural text) and the
     # shuffle still carries only short tokens
-    hs = (
+    return (
         d.select("doc_id", F.explode(F.split(F.lower("text"), " ")).alias("w"))
         .filter(F.col("w") != "")
         .groupBy("doc_id", "w")
         .agg(F.count("*").alias("cnt"))
         .select("doc_id", md5_long(F.col("w")).alias("hm"), "cnt")
     )
+
+
+def _simhash_fingerprints_of(d: DataFrame) -> DataFrame:
+    """Fingerprint any (doc_id, text) DataFrame — split out so tests can
+    fingerprint synthetic corpora with realistic vocabulary breadth (the
+    driver testdata draws from a 31-token vocabulary, which concentrates
+    fingerprints regardless of band width — a data property, not a plan
+    property; see tests/test_simhash_scale.py).
+
+    Implementation note (round 8): the 64-term sign-sum aggregate is a
+    vectorized Arrow ``mapInPandas`` stage — the 64 per-row sign
+    expressions (8 of them modular arithmetic) measured ~1.7 s of
+    dedup_simhash's 2.85 s at sf0.1 over 116k TF rows, while the numpy
+    formulation of the SAME integer arithmetic does it in ~0.1 s. The
+    TF table is hash-repartitioned on doc_id so every doc's rows land in
+    one partition; the kernel accumulates the partition's batches, then
+    one pandas groupby-sum emits (doc_id, fp). Bit-for-bit equal to the
+    retained expression twin (:func:`_simhash_fingerprints_expr_of`,
+    pinned by ``tests/test_simhash_scale.py``): truncated modulo
+    (``np.fmod``) matches Spark's and DuckDB's ``%`` on negative
+    dividends, arithmetic int64 shifts match ``shiftright``, and the
+    final bit-weight sum wraps to two's complement exactly like the JVM
+    long accumulation."""
+    import numpy as np
+    import pandas as pd
+
+    hi_coeffs = np.array(SH_COEFFS[56:], dtype=np.int64)  # (8, 2)
+    # bit 63 contributes int64-min (two's complement); positives accumulate
+    w_low = (np.int64(1) << np.arange(63, dtype=np.int64))  # bits 0..62
+
+    def fn(batches):
+        chunks = list(batches)
+        if not chunks:
+            return
+        pdf = pd.concat(chunks, ignore_index=True)
+        hm = pdf["hm"].to_numpy(dtype=np.int64)
+        cnt = pdf["cnt"].to_numpy(dtype=np.int64)
+        n = len(pdf)
+        signs = np.empty((n, SIMHASH_BITS), dtype=np.int64)
+        # bits 0..55: raw hash bit — arithmetic shift + mask, like
+        # F.shiftright(hm, i).bitwiseAND(1) * 2 - 1
+        signs[:, :56] = (
+            (hm[:, None] >> np.arange(56, dtype=np.int64)) & 1
+        ) * 2 - 1
+        # bits 56..63: ((a·(hm % P31) + b) % P31) % 2 · 2 − 1 with
+        # TRUNCATED modulo (np.fmod), the Spark/DuckDB `%` semantics on
+        # negative dividends; |a·r| < 2^62 so the int64 products are exact
+        r = np.fmod(hm, np.int64(P31))
+        for j in range(8):
+            a, b = hi_coeffs[j]
+            v = np.fmod(a * r + b, np.int64(P31))
+            signs[:, 56 + j] = np.fmod(v, np.int64(2)) * 2 - 1
+        contrib = signs * cnt[:, None]
+        sums = (
+            pd.DataFrame(contrib)
+            .groupby(pdf["doc_id"].to_numpy(), sort=False)
+            .sum()
+        )
+        s = sums.to_numpy(dtype=np.int64)
+        bits = s > 0
+        fp = (bits[:, :63] * w_low).sum(axis=1, dtype=np.int64) + np.where(
+            bits[:, 63], np.int64(_I64_MIN), np.int64(0)
+        )
+        yield pd.DataFrame({"doc_id": sums.index.to_numpy(), "fp": fp})
+
+    # preserve the caller's doc_id type (the testdata corpus uses long,
+    # synthetic/planted corpora string)
+    id_type = d.schema["doc_id"].dataType.simpleString()
+    return _simhash_tf(d).repartition("doc_id").mapInPandas(
+        fn, f"doc_id {id_type}, fp long"
+    )
+
+
+def _simhash_fingerprints_expr_of(d: DataFrame) -> DataFrame:
+    """Retained higher-order-expression twin of
+    :func:`_simhash_fingerprints_of` — the cross-engine derivation the
+    DuckDB oracle mirrors; the vectorized default is equality-pinned to
+    this (same pattern as ``ivf_assign_expr``)."""
+    hs = _simhash_tf(d)
 
     def sign(i: int) -> F.Column:
         if i < 56:  # raw hash bit: shift+mask, the cheap path

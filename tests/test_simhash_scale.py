@@ -347,3 +347,30 @@ def test_hot_bucket_guard_bench_contract(spark):
     # unguarded boilerplate fan-out alone — the point of the guard
     assert 0 < out["pairs"] < out["unguarded_boiler_pairs"]
     assert out["guard_bound_pairs"] < out["unguarded_boiler_pairs"]
+
+
+def test_vectorized_fingerprints_match_expression_twin(spark):
+    """The round-8 vectorized fingerprint kernel must be BIT-EQUAL to the
+    retained expression twin (the derivation the DuckDB oracles mirror) —
+    including negative md5 hashes, where numpy's floor-mod `%` would
+    diverge from Spark/DuckDB's truncated `%` (the kernel uses np.fmod),
+    and string doc_ids (planted corpora)."""
+    from apache_flink_pratices_spark.io import load
+    from apache_flink_pratices_spark.operators.dedup import (
+        _simhash_fingerprints_expr_of,
+        _simhash_fingerprints_of,
+    )
+
+    d = load(spark, "/root/testdata/sf0.001", "documents")
+    vec = {r.doc_id: r.fp for r in _simhash_fingerprints_of(d).collect()}
+    exp = {r.doc_id: r.fp for r in _simhash_fingerprints_expr_of(d).collect()}
+    assert vec == exp and len(vec) == 500
+
+    docs = [(f"b{i:03d}", "the same boilerplate text repeated here")
+            for i in range(30)]
+    docs += [(f"u{i}", f"unique doc {i} w{i} x{i * 7} y{i * 13}")
+             for i in range(20)]
+    df = spark.createDataFrame(docs, "doc_id string, text string")
+    vec = {r.doc_id: r.fp for r in _simhash_fingerprints_of(df).collect()}
+    exp = {r.doc_id: r.fp for r in _simhash_fingerprints_expr_of(df).collect()}
+    assert vec == exp and len(vec) == 50
