@@ -460,9 +460,16 @@ def _simhash_fingerprints_of(d: DataFrame) -> DataFrame:
             v = np.fmod(a * r + b, np.int64(P31))
             signs[:, 56 + j] = np.fmod(v, np.int64(2)) * 2 - 1
         contrib = signs * cnt[:, None]
+        # dropna=False: Spark's groupBy keeps a null doc_id group and the
+        # expression twin / DuckDB oracle emit a fingerprint row for it,
+        # so the kernel must too (review r8; pandas drops the NaN group
+        # by default). Caveat shared by every Arrow pandas stage: a LONG
+        # doc_id column that actually contains nulls reaches pandas as
+        # float64, so ids beyond 2^53 would lose precision — the shipped
+        # corpora use dense small ids and the synthetic corpora strings.
         sums = (
             pd.DataFrame(contrib)
-            .groupby(pdf["doc_id"].to_numpy(), sort=False)
+            .groupby(pdf["doc_id"].to_numpy(), sort=False, dropna=False)
             .sum()
         )
         s = sums.to_numpy(dtype=np.int64)
@@ -986,6 +993,10 @@ def _neardup_artifact_path(sf_dir: str) -> str:
         SIMHASH_BITS,
         SIMHASH_BAND_BITS,
         SIMHASH_HAMMING_MAX,
+        # coefficient VALUES, not just widths: a SH_COEFFS edit without a
+        # version bump must miss this key mechanically (review r8, same
+        # invariant as both max-bucket probes)
+        tuple(SH_COEFFS),
         _NEARDUP_IMPL_VERSION,
     )
     return os.path.join(_neardup_artifact_base(), key)
@@ -1004,11 +1015,14 @@ def _build_candidate_pairs(
     caller in the session shares ONE entry, and an unpersist by any of
     them would evict it for all (see simhash_candidate_pairs)."""
     fp = _simhash_fingerprints(spark, sf_dir).persist(StorageLevel.MEMORY_AND_DISK)
+    # config captures the SH_COEFFS values like the minhash probe captures
+    # MH_COEFFS (review r8): a coefficient edit without a version bump
+    # must invalidate mechanically, or a stale-low hint disables the guard
     hint = corpus_probe(
         sf_dir,
         "simhash_max_bucket",
         lambda: _max_bucket_size(_simhash_bands(fp)),
-        config=(SIMHASH_BITS, SIMHASH_BAND_BITS),
+        config=(SIMHASH_BITS, SIMHASH_BAND_BITS, tuple(SH_COEFFS)),
     )
     cand = _simhash_candidates(fp, max_bucket_hint=hint)
     fa = fp.select(F.col("doc_id").alias("doc_a"), F.col("fp").alias("fp_a"))

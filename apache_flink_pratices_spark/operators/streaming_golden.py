@@ -58,13 +58,13 @@ def _run_memory_stream(
 ) -> DataFrame:
     # A handful of golden rows doesn't need the session's (often 200)
     # shuffle partitions — each micro-batch would schedule that many state
-    # tasks. Narrow the setting for the run and restore it after. Pin UTC
-    # like io.load does: the corpora carry naive datetimes whose epoch
+    # tasks; narrow via the shared helper for the run. Pin UTC like
+    # io.load does: the corpora carry naive datetimes whose epoch
     # conversion must not depend on the host session's timezone.
+    from apache_flink_pratices_spark.session import narrowed_shuffle_partitions
+
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try:
+    with narrowed_shuffle_partitions(spark, 8):
         with tempfile.TemporaryDirectory(prefix="afp-golden-") as d:
             src = stream_from_collection(
                 spark, rows, schema, os.path.join(d, "in"), chunks=chunks
@@ -84,8 +84,6 @@ def _run_memory_stream(
             out = spark.table(name)
             # materialize before the temp checkpoint dir disappears
             return spark.createDataFrame(out.collect(), out.schema)
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
 @register(
@@ -603,10 +601,10 @@ def stream_join_golden(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     orders = [(i, ts(s), a) for i, s, a in _JOIN_ORDERS]
     payments = [(i, ts(s), m) for i, s, m in _JOIN_PAYMENTS]
+    from apache_flink_pratices_spark.session import narrowed_shuffle_partitions
+
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try:
+    with narrowed_shuffle_partitions(spark, 8):
         with tempfile.TemporaryDirectory(prefix="afp-golden-") as d:
             o = drop_late(
                 stream_from_collection(
@@ -649,8 +647,6 @@ def stream_join_golden(spark: SparkSession, sf_dir: str) -> DataFrame:
                 q.stop()
             out = spark.table("afp_join_golden")
             return spark.createDataFrame(out.collect(), out.schema)
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
 #: Trending top-k corpus: two finalized 10s windows plus LATE replays.

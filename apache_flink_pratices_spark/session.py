@@ -27,6 +27,28 @@ def _cpus() -> int:
         return 32
 
 
+import contextlib
+
+
+@contextlib.contextmanager
+def narrowed_shuffle_partitions(spark: SparkSession, n: int):
+    """Narrow ``spark.sql.shuffle.partitions`` for one run, restore after.
+
+    The state-store partition count of a streaming query is fixed at the
+    conf's value when the query starts; for a handful of keys the
+    session's batch width (often 32-200) is pure per-batch overhead —
+    task scheduling, Python-worker round trips, per-partition state
+    commits. One definition for the three users (the golden stream
+    queries at 8, the bench streaming paths at 16) so the save/restore
+    discipline cannot drift per copy (review r8)."""
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
 def tune(builder: SparkSession.Builder, shuffle_partitions: int | None = None) -> SparkSession.Builder:
     """Apply engine configuration to any builder (also used on the driver's
     own session via ``spark.conf`` where dynamically settable)."""

@@ -18,7 +18,6 @@ empty pipeline.
 
 from __future__ import annotations
 
-import contextlib
 import datetime
 import os
 import time
@@ -43,16 +42,11 @@ BASE_US = int(BASE.timestamp()) * 1_000_000
 STREAM_BENCH_PARTITIONS = 16
 
 
-@contextlib.contextmanager
 def _stream_partitions(spark: SparkSession, n: int = STREAM_BENCH_PARTITIONS):
-    """Narrow spark.sql.shuffle.partitions for a streaming run, restore
-    after (same pattern as operators/streaming_golden.py)."""
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", str(n))
-    try:
-        yield
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    """Bench default over the shared narrow/restore helper."""
+    from apache_flink_pratices_spark.session import narrowed_shuffle_partitions
+
+    return narrowed_shuffle_partitions(spark, n)
 
 
 FRAUD_SCHEMA = "account_id long, ts timestamp, amount double"

@@ -370,7 +370,10 @@ def test_vectorized_fingerprints_match_expression_twin(spark):
             for i in range(30)]
     docs += [(f"u{i}", f"unique doc {i} w{i} x{i * 7} y{i * 13}")
              for i in range(20)]
+    # a NULL doc_id must fingerprint like any other group (Spark groupBy
+    # keeps the null key; pandas would drop it without dropna=False)
+    docs += [(None, "null id document text")]
     df = spark.createDataFrame(docs, "doc_id string, text string")
     vec = {r.doc_id: r.fp for r in _simhash_fingerprints_of(df).collect()}
     exp = {r.doc_id: r.fp for r in _simhash_fingerprints_expr_of(df).collect()}
-    assert vec == exp and len(vec) == 50
+    assert vec == exp and len(vec) == 51 and None in vec

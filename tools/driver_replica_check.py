@@ -73,11 +73,33 @@ def _current_round(repo_root: str) -> int:
 
 
 def _merge_artifact(repo_root: str, sf_dir: str, results: dict) -> str:
-    """Merge this invocation's rows into REPLICA_r{N}.json (atomic)."""
+    """Merge this invocation's rows into REPLICA_r{N}.json.
+
+    The read-modify-write holds an exclusive flock on a sibling lock
+    file for its whole duration (review r8): two targeted checks running
+    in parallel would otherwise each read the same prior artifact and
+    the second os.replace would discard the first's rows — silently
+    dropping queries that WERE verified green from the judge-facing
+    record."""
+    import contextlib
     import json
 
     rnd = _current_round(repo_root)
     path = os.path.join(repo_root, f"REPLICA_r{rnd:02d}.json")
+
+    @contextlib.contextmanager
+    def _locked():
+        try:
+            import fcntl
+        except ImportError:  # non-POSIX: fall back to unlocked merge
+            yield
+            return
+        with open(f"{path}.lock", "w") as lf:
+            fcntl.flock(lf, fcntl.LOCK_EX)
+            try:
+                yield
+            finally:
+                fcntl.flock(lf, fcntl.LOCK_UN)
     doc = {
         "round": rnd,
         "sf_dir": sf_dir,
@@ -89,19 +111,20 @@ def _merge_artifact(repo_root: str, sf_dir: str, results: dict) -> str:
         ),
         "queries": {},
     }
-    try:
-        with open(path) as f:
-            prev = json.load(f)
-        if isinstance(prev.get("queries"), dict):
-            doc["queries"] = prev["queries"]
-    except (OSError, ValueError):
-        pass
-    doc["queries"].update(results)
-    tmp = f"{path}.tmp.{os.getpid()}"
-    with open(tmp, "w") as f:
-        json.dump(doc, f, indent=1, sort_keys=True)
-        f.write("\n")
-    os.replace(tmp, path)
+    with _locked():
+        try:
+            with open(path) as f:
+                prev = json.load(f)
+            if isinstance(prev.get("queries"), dict):
+                doc["queries"] = prev["queries"]
+        except (OSError, ValueError):
+            pass
+        doc["queries"].update(results)
+        tmp = f"{path}.tmp.{os.getpid()}"
+        with open(tmp, "w") as f:
+            json.dump(doc, f, indent=1, sort_keys=True)
+            f.write("\n")
+        os.replace(tmp, path)
     return path
 
 
