@@ -377,3 +377,86 @@ def test_vectorized_fingerprints_match_expression_twin(spark):
     vec = {r.doc_id: r.fp for r in _simhash_fingerprints_of(df).collect()}
     exp = {r.doc_id: r.fp for r in _simhash_fingerprints_expr_of(df).collect()}
     assert vec == exp and len(vec) == 51 and None in vec
+
+
+try:
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    @settings(
+        max_examples=12,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        seed=st.integers(min_value=0, max_value=2**31 - 1),
+        cap=st.integers(min_value=4, max_value=24),
+        n_reps=st.integers(min_value=1, max_value=4),
+    )
+    def test_banded_pairs_property(spark, seed, cap, n_reps):
+        """Property form of the fixed-case guard tests: for ARBITRARY
+        bucket-size distributions straddling the cap, (a) below-cap
+        buckets contribute exactly their all-pairs sets, (b) every
+        above-cap bucket's fan-out is bounded by B·reps and stays one
+        connected component, (c) no pair crosses buckets."""
+        import itertools
+        import random
+
+        from apache_flink_pratices_spark.operators.dedup import (
+            banded_candidate_pairs,
+        )
+
+        rng = random.Random(seed)
+        rows, next_id = [], 0
+        sizes = {}
+        for b in range(2):
+            for bk in range(rng.randint(1, 4)):
+                # mix of tiny, at-cap, and pathological bucket sizes
+                size = rng.choice([1, 2, cap, cap + 1, 3 * cap + rng.randint(0, 9)])
+                sizes[(b, bk)] = list(range(next_id, next_id + size))
+                rows += [(i, b, bk) for i in sizes[(b, bk)]]
+                next_id += size
+        bands = spark.createDataFrame(rows, "doc_id long, band int, bucket long")
+        got = {
+            (r.id_a, r.id_b)
+            for r in banded_candidate_pairs(bands, cap=cap, n_reps=n_reps).collect()
+        }
+        want_below = set()
+        for (b, bk), members in sizes.items():
+            pairs_in_bucket = {
+                p for p in got
+                if p[0] in set(members) and p[1] in set(members)
+            }
+            if len(members) <= cap:
+                exact = {
+                    (min(x, y), max(x, y))
+                    for x, y in itertools.combinations(members, 2)
+                }
+                want_below |= exact
+                assert exact <= got, (b, bk, len(members))
+            else:
+                assert 0 < len(pairs_in_bucket) <= len(members) * n_reps
+                touched = {x for p in pairs_in_bucket for x in p}
+                assert touched == set(members)
+                # connectivity via union-find
+                parent = {i: i for i in members}
+
+                def find(x):
+                    while parent[x] != x:
+                        parent[x] = parent[parent[x]]
+                        x = parent[x]
+                    return x
+
+                for a, bb in pairs_in_bucket:
+                    parent[find(a)] = find(bb)
+                assert len({find(i) for i in members}) == 1
+        # ids are globally unique per bucket here, so every emitted pair
+        # must come from exactly one bucket's member set
+        all_bucket_pairs = set()
+        for members in sizes.values():
+            ms = set(members)
+            all_bucket_pairs |= {p for p in got if p[0] in ms and p[1] in ms}
+        assert got == all_bucket_pairs
+
+except ImportError:  # hypothesis is baked in; belt+braces
+    pass
