@@ -71,19 +71,20 @@ CRITICAL = (
 #: plain-session recipe at sf0.01 this round (tools/
 #: driver_replica_check.py); they rotate into the r8 window naturally as
 #: the then-stalest cohort.
-#: One-round application of the RE-ANCHOR ON CODE CHANGE rule (round 8).
-#: Round 7 vectorized the shared PQ/IVF+PQ corpus-prep kernels, but their
-#: latest independent driver rows predate the change (``ann_pq_topk`` r5,
-#: ``ann_ivfpq_topk`` r6) and neither falls inside the r8 window by
-#: staleness alone — the other three changed-kernel queries
-#: (``dedup_simhash`` / ``ann_ivf_topk`` / ``kmeans_assign``) do, as the
-#: stalest r4 cohort (VERDICT r7 #1). Pinning these two into the window
-#: costs the two youngest rotation slots (two r5-row queries wait one
-#: round), keeping the drain invariant: after r8, no latest row older
-#: than r5. CLEAR THIS TUPLE next round once their fresh rows land.
+#: One-round application of the RE-ANCHOR ON CODE CHANGE rule (round 9).
+#: The round-8 pins (``ann_pq_topk``/``ann_ivfpq_topk``) landed their
+#: fresh green rows in CORRECTNESS_r08 and are cleared per the rule's
+#: own docstring. This round's pin: ``dedup_clusters`` consumes the
+#: simhash fingerprint/candidate artifact that round 8 rewrote as a
+#: vectorized kernel (``dedup.py``), but its latest driver row (r7)
+#: predates that change and is too young to re-enter the ~50-slot
+#: window by staleness alone — the other two fingerprint consumers
+#: (``pagerank_neardup``/``triangle_count_neardup``, rows r5) rotate in
+#: naturally as part of the stalest cohort (VERDICT r8 #1). One slot
+#: spent; after r9 the drain invariant is: no latest row older than r6.
+#: CLEAR THIS TUPLE next round once its fresh row lands.
 RE_ANCHORED = (
-    "ann_pq_topk",
-    "ann_ivfpq_topk",
+    "dedup_clusters",
 )
 
 DEMOTED_ANCHORS = (

@@ -20,6 +20,7 @@ from apache_flink_pratices_spark.operators.media_codecs import (
     PngCodec,
     PngFormatError,
     WavCodec,
+    WavFormatError,
 )
 from apache_flink_pratices_spark.operators.multimodal import (
     IMG_C,
@@ -174,6 +175,52 @@ def test_wav_rejects_wide_samples():
         w.writeframes(b"\x00\x01" * 4)
     with pytest.raises(ValueError, match="sample width"):
         WavCodec().decode(buf.getvalue(), {})
+
+
+def test_wav_wrapped_exception_sources_regression():
+    """Comment-pinned regression for each exception source the WavCodec
+    catch list deliberately wraps (ADVICE r8: the broad list is kept, so
+    each named source must stay provably reachable from malformed BYTES,
+    not from programming errors). One deterministic payload per source,
+    with the wrapped cause type asserted:
+
+    - ``wave.Error``   — RIFF preamble whose form type is not WAVE;
+    - ``EOFError``     — payload truncated inside the RIFF preamble;
+    - ``RuntimeError`` — fmt chunk size field pointing past the buffer
+      (the bare-RuntimeError leak from wave's chunk seek helper that the
+      r7 bit-flip property test originally caught).
+
+    ``struct.error``/``ValueError`` stay in the list as wave-internal
+    parse failures without a known minimal byte trigger; the adversarial
+    property test above guards those paths statistically."""
+    import io
+    import wave as wave_mod
+
+    import struct as struct_mod
+
+    codec = WavCodec()
+    buf = io.BytesIO()
+    with wave_mod.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(1)
+        w.setframerate(8000)
+        w.writeframes(bytes(range(16)))
+    valid = buf.getvalue()
+
+    cases = {
+        wave_mod.Error: b"RIFF\x08\x00\x00\x00XXXX",
+        EOFError: b"RIFF",
+    }
+    oob = bytearray(valid)
+    struct_mod.pack_into("<I", oob, valid.index(b"fmt ") + 4, 0x7FFFFFFF)
+    cases[RuntimeError] = bytes(oob)
+    for cause_type, payload in cases.items():
+        with pytest.raises(WavFormatError) as ei:
+            codec.decode(payload, {})
+        assert isinstance(ei.value.__cause__, cause_type), (
+            cause_type,
+            type(ei.value.__cause__),
+        )
 
 
 # --- committed corpus: golden bytes + fake-vs-real phash equality -----------

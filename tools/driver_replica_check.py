@@ -63,6 +63,13 @@ def _current_round(repo_root: str) -> int:
 
     env = os.environ.get("SPARK_GRAFT_ROUND")
     if env:
+        # validate BEFORE any Spark work is queued: a malformed pin must
+        # fail fast with the variable named, not as a bare ValueError
+        # mid-run (ADVICE r8)
+        if not env.isdigit():
+            raise SystemExit(
+                f"SPARK_GRAFT_ROUND must be a positive integer, got {env!r}"
+            )
         return int(env)
     rounds = [
         int(m.group(1))
@@ -131,6 +138,11 @@ def _merge_artifact(repo_root: str, sf_dir: str, results: dict) -> str:
 def main() -> int:
     args = sys.argv[1:]
 
+    # fail fast on a malformed round pin BEFORE any Spark work is queued
+    # (ADVICE r8) — the merge at the end re-derives the same value
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    _current_round(repo_root)
+
     import duckdb
     from pyspark.sql import SparkSession
 
@@ -168,7 +180,6 @@ def main() -> int:
 
     failed = []
     results: dict[str, dict] = {}
-    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     for i, name in enumerate(window):
         t0 = time.time()
         try:
