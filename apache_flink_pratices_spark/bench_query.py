@@ -1,0 +1,116 @@
+"""Per-query bench subprocess (harness v2, VERDICT r8 #2).
+
+Round 8's escalation rule fired: full-session per-query minima for the
+banded-dedup family sat >10 % above round 6 for two consecutive rounds
+while fresh-session isolation stayed flat — and the single biggest r8
+mover (`quality_repetition`, +46 %) had no code change at all. The
+session-position mechanism is documented in docs/scale_notes.md
+(accumulated heap/JIT/session debris inflates later sub-second queries'
+minima); the streaming section already proved the subprocess pattern in
+round 8. Harness v2 extends it to every headline query: ``bench.py``
+forks ONE fresh engine per query, so a number's round-over-round delta
+is attributable to code again, never to the query's position in a
+growing shared session.
+
+Per-query recipe (identical to the "isolated fresh-session" probes the
+scale notes used to diagnose the drift, so v2 bench numbers and those
+probes are directly comparable):
+
+- fresh ``get_spark`` engine session (local[$SPARK_GRAFT_CPUS]);
+- one small parquet read (spins the reader/codegen framework classes),
+  then ONE untimed execution of the query (its own codegen/JIT warm-up);
+- ``$SPARK_GRAFT_BENCH_RUNS`` timed noop-format writes, cache cleared
+  and GC run between runs (outside the timed window);
+- one untimed ``count()`` for the sanity row count.
+
+Entry points (each prints ONE JSON line on stdout):
+
+- ``python -m apache_flink_pratices_spark.bench_query <name>`` —
+  ``{"name", "min", "median", "rows"}``;
+- ``python -m apache_flink_pratices_spark.bench_query --extras`` —
+  the untimed scale-evidence extras (clustered-ANN candidate fraction,
+  hot-bucket guard) in their own fresh session.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import time
+
+
+def _run_query(name: str) -> dict:
+    from apache_flink_pratices_spark.registry import bench_specs
+    from apache_flink_pratices_spark.session import get_spark
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "4"))
+    spec = bench_specs()[name]
+    spark = get_spark(f"afp-bench-{name}")
+    spark.sparkContext.setLogLevel("WARN")
+
+    # warm-up, untimed: reader/codegen framework classes, then the query
+    # itself once (C2-compiles ITS generated code; min-of-N cannot remove
+    # a cost every one of the N runs shares)
+    spark.read.parquet(f"{sf_dir}/region.parquet").count()
+    spec.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+    spark.catalog.clearCache()
+    spark._jvm.System.gc()
+
+    per: list[float] = []
+    for _ in range(n_runs):
+        t0 = time.perf_counter()
+        df = spec.fn(spark, sf_dir)
+        # noop-format write: materializes every output column end-to-end
+        # (count() lets Catalyst skip final projections)
+        df.write.format("noop").mode("overwrite").save()
+        per.append(time.perf_counter() - t0)
+        # drop any persist() the query made so repeats stay independent;
+        # GC outside the timed window
+        spark.catalog.clearCache()
+        spark._jvm.System.gc()
+    rows = spec.fn(spark, sf_dir).count()  # untimed, for sanity
+    spark.stop()
+    return {
+        "name": name,
+        "min": round(min(per), 3),
+        "median": round(statistics.median(per), 3),
+        "rows": rows,
+    }
+
+
+def _run_extras() -> dict:
+    from apache_flink_pratices_spark.operators.dedup import hot_bucket_guard_bench
+    from apache_flink_pratices_spark.operators.similarity import (
+        ann_lsh_clustered_candidate_fraction,
+    )
+    from apache_flink_pratices_spark.session import get_spark
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark("afp-bench-extras")
+    spark.sparkContext.setLogLevel("WARN")
+    cand_fraction = round(ann_lsh_clustered_candidate_fraction(spark, sf_dir), 4)
+    spark.catalog.clearCache()
+    hot_guard = hot_bucket_guard_bench(spark, sf_dir)
+    spark.stop()
+    return {
+        "ann_lsh_clustered_candidate_fraction": cand_fraction,
+        "hot_bucket_guard": hot_guard,
+    }
+
+
+def main() -> None:
+    if len(sys.argv) != 2:
+        raise SystemExit(
+            "usage: python -m apache_flink_pratices_spark.bench_query "
+            "(<query_name> | --extras)"
+        )
+    arg = sys.argv[1]
+    out = _run_extras() if arg == "--extras" else _run_query(arg)
+    print(json.dumps(out, separators=(",", ":")))
+
+
+if __name__ == "__main__":
+    main()

@@ -81,6 +81,7 @@ def fraud_events_per_sec(
     n_accounts: int = 500,
     in_dir: str | None = None,
     n_rows: int | None = None,
+    impl: str = "auto",
 ) -> tuple[float, int]:
     """End-to-end tx/s through the keyed fraud state machine.
 
@@ -88,7 +89,8 @@ def fraud_events_per_sec(
     :func:`prepare_fraud_input` and its RETURNED row count — the count
     travels with the prebuilt input so the rate denominator can never
     drift from what the query actually processes (review r7). Omitted =
-    build it here."""
+    build it here. ``impl`` picks the stateful backend (VERDICT r8 #6:
+    both backends carry a measured rate)."""
     from apache_flink_pratices_spark.streaming.fraud import fraud_alert_stream
 
     if in_dir is None:
@@ -100,7 +102,7 @@ def fraud_events_per_sec(
     with _stream_partitions(spark):
         src = spark.readStream.schema(FRAUD_SCHEMA).parquet(in_dir)
         q = (
-            fraud_alert_stream(src)
+            fraud_alert_stream(src, impl=impl)
             .writeStream.format("memory")
             .queryName("bench_fraud_tput")
             .option("checkpointLocation", os.path.join(workdir, "fraud_ckpt"))
@@ -317,6 +319,7 @@ def cep_events_per_sec(
     n_cycles: int = 17,
     in_dir: str | None = None,
     n_rows: int | None = None,
+    impl: str = "auto",
 ) -> tuple[float, int]:
     """End-to-end ev/s through the 4-stream CEP signal generator (J1),
     with every machine exercising the full buy+sell lifecycle per cycle
@@ -324,7 +327,7 @@ def cep_events_per_sec(
 
     ``in_dir``/``n_rows``: a directory already populated by
     :func:`prepare_cep_input` and its returned row count. Omitted =
-    build it here."""
+    build it here. ``impl`` picks the stateful backend (VERDICT r8 #6)."""
     from apache_flink_pratices_spark.streaming.signal_generator import (
         UNIFIED_SCHEMA,
         signal_stream,
@@ -339,7 +342,7 @@ def cep_events_per_sec(
     with _stream_partitions(spark):
         src = spark.readStream.schema(UNIFIED_SCHEMA).parquet(in_dir)
         q = (
-            signal_stream(src)
+            signal_stream(src, impl=impl)
             .writeStream.format("memory")
             .queryName("bench_cep_tput")
             .option("checkpointLocation", os.path.join(workdir, "cep_ckpt"))
@@ -419,6 +422,53 @@ def measure_all(
                 f"alerts={n_alerts}, signals={n_signals}, "
                 f"replay_signals={n_replay_sigs})"
             )
+
+    # --- per-backend rates (VERDICT r8 #6) -----------------------------
+    # The headline rates above run impl="auto" (native where the runtime
+    # supports it). The OTHER backend gets one measured run per path so
+    # the artifact carries both: when auto resolves to native the
+    # secondary is applyInPandasWithState; when the runtime lacks native
+    # state there is no second runnable backend and the secondary is
+    # recorded null. One run (vs the primary's best-of-N) bounds cost;
+    # the small untimed warm-up covers its worker spin-up like the
+    # primary's.
+    from apache_flink_pratices_spark.streaming.native_state import (
+        native_state_available,
+    )
+
+    primary = "native" if native_state_available() else "pandas_state"
+    backends: dict = {
+        "auto": primary,
+        "fraud_ev_s": {primary: int(fraud_rate)},
+        "cep_ev_s": {primary: int(cep_rate)},
+        "secondary_runs": 1,
+    }
+    if primary == "native":
+        sec = "pandas_state"
+        if not small:  # untimed warm-up of the secondary backend
+            fraud_events_per_sec(
+                spark, os.path.join(wd, "w2"), n_tx=2_000, impl=sec
+            )
+        sd = os.path.join(wd, "sec")
+        sfr, sa = fraud_events_per_sec(
+            spark, os.path.join(sd, "f"), in_dir=fraud_in,
+            n_rows=fraud_rows, impl=sec,
+        )
+        scr, ss = cep_events_per_sec(
+            spark, os.path.join(sd, "c"), n_codes=n_codes,
+            n_cycles=n_cycles, in_dir=cep_in, n_rows=cep_rows, impl=sec,
+        )
+        if sa <= 0 or ss <= 0:
+            raise RuntimeError(
+                f"secondary-backend bench produced no output "
+                f"(alerts={sa}, signals={ss})"
+            )
+        backends["fraud_ev_s"][sec] = int(sfr)
+        backends["cep_ev_s"][sec] = int(scr)
+    else:
+        backends["fraud_ev_s"]["native"] = None
+        backends["cep_ev_s"]["native"] = None
+
     return {
         "fraud_ev_s": int(fraud_rate),
         "cep_ev_s": int(cep_rate),
@@ -429,6 +479,7 @@ def measure_all(
         "replay_slice": {
             "n_codes": rp_codes, "slice_s": rp_slice, "rows": replay_rows
         },
+        "backends": backends,
     }
 
 
