@@ -463,10 +463,10 @@ def _simhash_fingerprints_of(d: DataFrame) -> DataFrame:
         # dropna=False: Spark's groupBy keeps a null doc_id group and the
         # expression twin / DuckDB oracle emit a fingerprint row for it,
         # so the kernel must too (review r8; pandas drops the NaN group
-        # by default). Caveat shared by every Arrow pandas stage: a LONG
-        # doc_id column that actually contains nulls reaches pandas as
-        # float64, so ids beyond 2^53 would lose precision — the shipped
-        # corpora use dense small ids and the synthetic corpora strings.
+        # by default). doc_id reaches this kernel as STRING regardless of
+        # the caller's type (see the lossless cast round-trip below), so
+        # the Arrow→pandas float64 conversion a nullable LONG batch would
+        # get — silently corrupting ids past 2^53 — cannot happen here.
         sums = (
             pd.DataFrame(contrib)
             .groupby(pdf["doc_id"].to_numpy(), sort=False, dropna=False)
@@ -480,11 +480,22 @@ def _simhash_fingerprints_of(d: DataFrame) -> DataFrame:
         yield pd.DataFrame({"doc_id": sums.index.to_numpy(), "fp": fp})
 
     # preserve the caller's doc_id type (the testdata corpus uses long,
-    # synthetic/planted corpora string)
+    # synthetic/planted corpora string). Non-string ids take a LOSSLESS
+    # string round-trip around the kernel: a nullable long column whose
+    # batch contains an actual null reaches pandas as float64, silently
+    # corrupting ids past 2^53 (and batches WITHOUT a null would arrive
+    # int64 — per-batch dtype flapping). long→string→long is exact for
+    # every int64 value and for null, and the cast-back happens JVM-side
+    # after the kernel (ADVICE r8 / VERDICT r8 #4; adversarial ids > 2^53
+    # + nulls pinned in tests/test_simhash_scale.py).
     id_type = d.schema["doc_id"].dataType.simpleString()
-    return _simhash_tf(d).repartition("doc_id").mapInPandas(
-        fn, f"doc_id {id_type}, fp long"
-    )
+    tf = _simhash_tf(d)
+    if id_type != "string":
+        tf = tf.withColumn("doc_id", F.col("doc_id").cast("string"))
+    out = tf.repartition("doc_id").mapInPandas(fn, "doc_id string, fp long")
+    if id_type != "string":
+        out = out.withColumn("doc_id", F.col("doc_id").cast(id_type))
+    return out
 
 
 def _simhash_fingerprints_expr_of(d: DataFrame) -> DataFrame:

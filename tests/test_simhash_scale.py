@@ -379,6 +379,34 @@ def test_vectorized_fingerprints_match_expression_twin(spark):
     assert vec == exp and len(vec) == 51 and None in vec
 
 
+def test_vectorized_fingerprints_huge_long_ids_with_nulls(spark):
+    """Adversarial id-precision guard (VERDICT r8 #4 / ADVICE r8): a
+    nullable LONG doc_id batch that contains an actual null reaches a
+    pandas kernel as float64, so ids past 2^53 would silently collapse
+    onto even neighbours (2^53 and 2^53+1 are the same float64). The
+    kernel routes non-string ids through a lossless string round-trip;
+    this pins bit-equality with the JVM expression twin on exactly the
+    corrupting corpus: adjacent ids straddling 2^53, int64 extremes, and
+    a null id in the same batch — and that every id survives verbatim."""
+    from apache_flink_pratices_spark.operators.dedup import (
+        _simhash_fingerprints_expr_of,
+        _simhash_fingerprints_of,
+    )
+
+    big = 1 << 53
+    ids = [big, big + 1, big + 2, big + 3, (1 << 63) - 1, -(1 << 63),
+           -(big + 1), 7, None]
+    docs = [(i, f"doc text body w{k} x{k * 3} shared tail tokens")
+            for k, i in enumerate(ids)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = _simhash_fingerprints_of(df)
+    assert out.schema["doc_id"].dataType.simpleString() == "bigint"
+    vec = {r.doc_id: r.fp for r in out.collect()}
+    exp = {r.doc_id: r.fp for r in _simhash_fingerprints_expr_of(df).collect()}
+    assert set(vec) == set(ids)  # every id verbatim — no float64 collapse
+    assert vec == exp and len(vec) == len(ids) and None in vec
+
+
 try:
     from hypothesis import HealthCheck, given, settings
     from hypothesis import strategies as st
