@@ -82,7 +82,10 @@ def _run_query(name: str) -> dict:
 
 
 def _run_extras() -> dict:
-    from apache_flink_pratices_spark.operators.dedup import hot_bucket_guard_bench
+    from apache_flink_pratices_spark.operators.dedup import (
+        hot_bucket_guard_bench,
+        hot_bucket_recall_bench,
+    )
     from apache_flink_pratices_spark.operators.similarity import (
         ann_lsh_clustered_candidate_fraction,
     )
@@ -94,10 +97,15 @@ def _run_extras() -> dict:
     cand_fraction = round(ann_lsh_clustered_candidate_fraction(spark, sf_dir), 4)
     spark.catalog.clearCache()
     hot_guard = hot_bucket_guard_bench(spark, sf_dir)
+    spark.catalog.clearCache()
+    # measured verified-pair recall above the cap + wedge rescue
+    # (VERDICT r8 #3) — synthetic planted corpora, sf-independent
+    hot_recall = hot_bucket_recall_bench(spark)
     spark.stop()
     return {
         "ann_lsh_clustered_candidate_fraction": cand_fraction,
         "hot_bucket_guard": hot_guard,
+        "hot_bucket_recall": hot_recall,
     }
 
 

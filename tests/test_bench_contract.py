@@ -67,6 +67,10 @@ def test_bench_cli_contract():
     # VERDICT r7 #4: measured above-cap hot-bucket guard evidence
     hg = detail["hot_bucket_guard"]
     assert hg["pairs"] > 0 and hg["wall_s"] > 0
+    # VERDICT r8 #3: measured above-cap recall classes + wedge rescue
+    hr = detail["hot_bucket_recall"]
+    assert hr["het"]["wedge"]["rescued"] == 1.0
+    assert hr["mass"]["in_mass"]["component"] == 1.0
     assert hg["pairs"] < hg["unguarded_boiler_pairs"]
 
 
