@@ -12,6 +12,7 @@ import glob
 import json
 import os
 import re
+from contextlib import contextmanager
 from dataclasses import dataclass, field
 from typing import Callable
 
@@ -267,6 +268,68 @@ def bench_specs() -> dict[str, QuerySpec]:
     from apache_flink_pratices_spark import operators  # noqa: F401
 
     return {n: s for n, s in _REGISTRY.items() if s.bench}
+
+
+def _cached_plans(spark: SparkSession) -> list:
+    """The JVM CacheManager's live entries' logical plans (py4j proxies)."""
+    it = (
+        spark._jsparkSession.sharedState().cacheManager().cachedData().iterator()
+    )
+    out = []
+    while it.hasNext():
+        out.append(it.next().plan())
+    return out
+
+
+def cached_entry_count(spark: SparkSession) -> int:
+    """Number of live CacheManager entries — the executor-storage growth
+    signal ``run_and_release`` bounds (and its test asserts on)."""
+    return (
+        spark._jsparkSession.sharedState().cacheManager().cachedData().size()
+    )
+
+
+@contextmanager
+def released_caches(spark: SparkSession):
+    """Release every cache entry CREATED inside the block on exit.
+
+    Several operators deliberately leave corpus-sized frames persisted
+    for the session (LSH/IVF bucket frames, minhash signatures, the
+    simhash fingerprint feeding the pair artifact) because Spark's
+    CacheManager dedupes entries by canonicalized plan, so sibling
+    queries in the same session share them — but a LONG-LIVED session
+    invoking many such queries accumulates executor storage without
+    bound (VERDICT r8 #5). This scopes that growth: entries present
+    before the block are left alone (identity-compared via the JVM
+    object, so a block re-persisting an already-cached plan does not
+    evict the original owner's entry); entries the block created are
+    uncached (cascade=true) on exit, success or failure.
+
+    Driver-side cost is one CacheManager scan per entry/exit — no Spark
+    jobs. Queries re-run after release simply rebuild their caches."""
+    jvm = spark._jvm
+    before = {jvm.System.identityHashCode(p) for p in _cached_plans(spark)}
+    try:
+        yield
+    finally:
+        cm = spark._jsparkSession.sharedState().cacheManager()
+        for p in _cached_plans(spark):
+            if jvm.System.identityHashCode(p) not in before:
+                cm.uncacheQuery(spark._jsparkSession, p, True)
+
+
+def run_and_release(spark: SparkSession, name: str, sf_dir: str) -> int:
+    """Run a registered query end-to-end and release any session cache it
+    created; returns the materialized row count.
+
+    The teardown wrapper for long-lived sessions that invoke many
+    registered queries (a service loop, a scheduled sweep): each query
+    still gets its intra-run cache reuse, but nothing it persisted
+    outlives the call. One-shot drivers (bench.py subprocesses, the
+    correctness gate) don't need it — their session dies with the query."""
+    spec = all_specs()[name]
+    with released_caches(spark):
+        return spec.fn(spark, sf_dir).count()
 
 
 def queries() -> dict[str, QueryFn]:

@@ -1,0 +1,77 @@
+"""Bounded session-cache growth (VERDICT r8 #5).
+
+Several operators deliberately leave corpus-sized frames persisted for
+the session (LSH/IVF bucket frames, minhash signatures, the simhash
+fingerprint behind the pair artifact) so sibling queries share them via
+CacheManager plan-dedup. A long-lived session invoking many such
+queries must be able to scope that growth: ``registry.run_and_release``
+runs a query end-to-end and uncaches everything it created, leaving
+pre-existing entries untouched.
+"""
+
+from __future__ import annotations
+
+from apache_flink_pratices_spark.registry import (
+    cached_entry_count,
+    released_caches,
+    run_and_release,
+)
+
+SF = "/root/testdata/sf0.001"
+
+#: ten queries known to persist session-lived frames (the exact set the
+#: VERDICT named plus the rest of the ANN tier and the artifact builders)
+CACHE_BEARING = [
+    "ann_lsh_topk",
+    "ann_lsh_topk_clustered",
+    "ann_ivf_topk",
+    "ann_pq_topk",
+    "ann_ivfpq_topk",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "pagerank_neardup",
+    "dedup_clusters",
+]
+
+
+def test_ten_cache_bearing_queries_leave_no_entries(spark):
+    spark.catalog.clearCache()
+    base = cached_entry_count(spark)
+    assert base == 0
+    for name in CACHE_BEARING:
+        rows = run_and_release(spark, name, SF)
+        assert rows >= 0
+        # bounded: NOTHING a released run persisted may outlive it
+        assert cached_entry_count(spark) == base, name
+
+
+def test_released_caches_keeps_preexisting_entries(spark):
+    spark.catalog.clearCache()
+    keeper = spark.range(100).selectExpr("id", "id * 3 AS x").persist()
+    keeper.count()
+    assert cached_entry_count(spark) == 1
+    with released_caches(spark):
+        inner = spark.range(50).selectExpr("id * 7 AS y").persist()
+        inner.count()
+        assert cached_entry_count(spark) == 2
+        # re-persisting the ALREADY-cached plan must not mark it for
+        # release (CacheManager dedupes by canonicalized plan, so the
+        # block did not create a new entry for it)
+        spark.range(100).selectExpr("id", "id * 3 AS x").persist().count()
+        assert cached_entry_count(spark) == 2
+    assert cached_entry_count(spark) == 1  # keeper survives, inner gone
+    assert keeper.count() == 100
+    keeper.unpersist()
+
+
+def test_released_caches_releases_on_error(spark):
+    spark.catalog.clearCache()
+    try:
+        with released_caches(spark):
+            spark.range(10).selectExpr("id * 11 AS z").persist().count()
+            assert cached_entry_count(spark) == 1
+            raise RuntimeError("boom")
+    except RuntimeError:
+        pass
+    assert cached_entry_count(spark) == 0
