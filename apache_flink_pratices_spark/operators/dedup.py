@@ -1479,6 +1479,209 @@ def _register_emb_dedup() -> None:
 _register_emb_dedup()
 
 
+#: SemDeDup exact-cosine threshold over cell-scoped candidates. Like
+#: EMB_COSINE_THRESHOLD, rescaled to the isotropic testdata (max pairwise
+#: cosine ≈ 0.51); production corpora use ≥ 0.9.
+SEM_DEDUP_TAU = 0.3
+
+
+def _register_dedup_semantic() -> None:
+    from apache_flink_pratices_spark.operators.similarity import (
+        _SCALE,
+        _sql_dot,
+        _sql_md5_pm_cte,
+        IVF_CELLS,
+    )
+
+    dirs_cte = _sql_md5_pm_cte("dirs", "afp-ivf", IVF_CELLS, "m", "s", "1.0", "-1.0")
+
+    @register(
+        "dedup_semantic",
+        oracle=f"""
+        WITH {dirs_cte},
+        elems AS (
+          SELECT vec_id, u.k, u.x
+          FROM embeddings,
+               LATERAL (SELECT unnest(embedding) AS x,
+                               generate_subscripts(embedding, 1) AS k) u
+        ),
+        sims AS (
+          SELECT e.vec_id, d.m,
+                 SUM(CAST(floor(CAST(e.x AS DOUBLE) * d.s * {_SCALE}) AS BIGINT)) AS sim
+          FROM elems e JOIN dirs d ON d.k = e.k
+          GROUP BY e.vec_id, d.m
+        ),
+        assigned AS (
+          SELECT vec_id, m AS cell
+          FROM (SELECT vec_id, m,
+                       ROW_NUMBER() OVER (PARTITION BY vec_id
+                                          ORDER BY sim DESC, m) AS rk
+                FROM sims)
+          WHERE rk = 1
+        ),
+        cent AS (
+          SELECT a.cell, e.k,
+                 CAST(SUM(CAST(floor(CAST(e.x AS DOUBLE) * {_SCALE}) AS BIGINT))
+                      AS DOUBLE) / {_SCALE} / COUNT(*) AS c
+          FROM elems e JOIN assigned a ON a.vec_id = e.vec_id
+          GROUP BY a.cell, e.k
+        ),
+        csim AS (
+          SELECT e.vec_id,
+                 SUM(CAST(floor(CAST(e.x AS DOUBLE) * c.c * {_SCALE}) AS BIGINT)) AS cs
+          FROM elems e
+            JOIN assigned a ON a.vec_id = e.vec_id
+            JOIN cent c ON c.cell = a.cell AND c.k = e.k
+          GROUP BY e.vec_id
+        ),
+        norms AS (
+          SELECT vec_id, {_sql_dot('u.x', 'u.x')} AS nrm
+          FROM embeddings, LATERAL (SELECT unnest(embedding) AS x) u
+          GROUP BY vec_id
+        ),
+        cand AS (
+          SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.cell
+          FROM assigned a
+            JOIN assigned b ON b.cell = a.cell AND a.vec_id < b.vec_id
+        ),
+        dots AS (
+          SELECT vec_a, vec_b, {_sql_dot('u.qx', 'u.ex')} AS dot
+          FROM (SELECT c.vec_a, c.vec_b,
+                       ea.embedding AS qe, eb.embedding AS ee
+                FROM cand c
+                  JOIN embeddings ea ON ea.vec_id = c.vec_a
+                  JOIN embeddings eb ON eb.vec_id = c.vec_b) p,
+               LATERAL (SELECT unnest(qe) AS qx, unnest(ee) AS ex) u
+          GROUP BY vec_a, vec_b
+        ),
+        pairs AS (
+          SELECT c.vec_a, c.vec_b, c.cell,
+                 d.dot / (sqrt(na.nrm) * sqrt(nb.nrm)) AS cosine
+          FROM cand c
+            JOIN dots d ON d.vec_a = c.vec_a AND d.vec_b = c.vec_b
+            JOIN norms na ON na.vec_id = c.vec_a
+            JOIN norms nb ON nb.vec_id = c.vec_b
+          WHERE d.dot / (sqrt(na.nrm) * sqrt(nb.nrm)) >= {SEM_DEDUP_TAU}
+        ),
+        dropped AS (
+          SELECT CASE WHEN ca.cs > cb.cs THEN p.vec_a
+                      WHEN cb.cs > ca.cs THEN p.vec_b
+                      ELSE greatest(p.vec_a, p.vec_b) END AS vec_id,
+                 p.cell, p.cosine
+          FROM pairs p
+            JOIN csim ca ON ca.vec_id = p.vec_a
+            JOIN csim cb ON cb.vec_id = p.vec_b
+        )
+        SELECT vec_id, CAST(cell AS INTEGER) AS cell,
+               CAST(COUNT(*) AS BIGINT) AS n_dups,
+               MAX(cosine) AS max_cos
+        FROM dropped GROUP BY vec_id, cell
+        """,
+        doc=f"Semantic dedup (SemDeDup, Abbas et al. 2023 — public paper): "
+        f"corpus k-partitioned into {IVF_CELLS} IVF cells map-side, exact "
+        f"cosine pairs WITHIN each cell at τ ≥ {SEM_DEDUP_TAU}, and for "
+        "each duplicate pair the member closer to its cell centroid is "
+        "dropped (keeping the outlier preserves diversity — the paper's "
+        "rule). Centroid similarities compare as exact scaled int64, so "
+        "the drop decision is bit-deterministic across engines. At 100 TB "
+        "the corpus is bucketed by cell on disk: the pair join and the "
+        "centroid pass are both cell-local — no global shuffle, and cell "
+        "granularity (corpus/cells rows) bounds the per-task pair "
+        "fan-out the same way the paper bounds it by k-means cluster "
+        "size.",
+        bench=True,
+        tags=("dedup", "semantic", "embedding"),
+    )
+    def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from apache_flink_pratices_spark.operators.similarity import (
+            _dot,
+            ivf_assign,
+        )
+
+        e = load(spark, sf_dir, "embeddings")
+        # (vec_id, label, embedding, nrm, cell): map-side, vectorized.
+        # Three consumers (centroid pass + both pair sides) — persisted
+        # so the Python-worker assignment runs once; session-lived like
+        # ann_ivf_frame's cache, reclaimed by registry.released_caches /
+        # run_and_release in long-lived sessions (VERDICT r8 #5)
+        assigned = ivf_assign(e).persist(StorageLevel.MEMORY_AND_DISK)
+        # exact per-cell centroid: element sums as quantized int64
+        elems = assigned.select(
+            "cell", "vec_id", F.posexplode("embedding").alias("k0", "x")
+        ).select(
+            "cell",
+            "vec_id",
+            (F.col("k0") + 1).alias("k"),
+            F.col("x").cast("double").alias("x"),
+        )
+        cent = (
+            elems.groupBy("cell", "k")
+            .agg(
+                F.sum(
+                    F.floor(F.col("x") * _SCALE).cast("long")
+                ).alias("s"),
+                F.count("*").alias("n"),
+            )
+            .select(
+                "cell",
+                "k",
+                (F.col("s").cast("double") / F.lit(_SCALE) / F.col("n")).alias("c"),
+            )
+        )
+        # per-member centroid similarity as EXACT scaled int64 (the drop
+        # rule compares these, so cross-engine bit-determinism matters)
+        csim = (
+            elems.join(cent, ["cell", "k"])
+            .groupBy("vec_id")
+            .agg(
+                F.sum(
+                    F.floor(F.col("x") * F.col("c") * _SCALE).cast("long")
+                ).alias("cs")
+            )
+        )
+        a = assigned.select(
+            F.col("vec_id").alias("vec_a"),
+            "cell",
+            F.col("embedding").alias("emb_a"),
+            F.col("nrm").alias("nrm_a"),
+        )
+        b = assigned.select(
+            F.col("vec_id").alias("vec_b"),
+            "cell",
+            F.col("embedding").alias("emb_b"),
+            F.col("nrm").alias("nrm_b"),
+        )
+        cosine = _dot(F.col("emb_a"), F.col("emb_b")) / (
+            F.sqrt(F.col("nrm_a")) * F.sqrt(F.col("nrm_b"))
+        )
+        pairs = (
+            a.join(b, "cell")
+            .filter(F.col("vec_a") < F.col("vec_b"))
+            .select("vec_a", "vec_b", "cell", cosine.alias("cosine"))
+            .filter(F.col("cosine") >= SEM_DEDUP_TAU)
+        )
+        ca = csim.select(F.col("vec_id").alias("vec_a"), F.col("cs").alias("cs_a"))
+        cb = csim.select(F.col("vec_id").alias("vec_b"), F.col("cs").alias("cs_b"))
+        dropped = (
+            pairs.join(ca, "vec_a")
+            .join(cb, "vec_b")
+            .select(
+                F.when(F.col("cs_a") > F.col("cs_b"), F.col("vec_a"))
+                .when(F.col("cs_b") > F.col("cs_a"), F.col("vec_b"))
+                .otherwise(F.greatest("vec_a", "vec_b"))
+                .alias("vec_id"),
+                "cell",
+                "cosine",
+            )
+        )
+        return dropped.groupBy("vec_id", "cell").agg(
+            F.count("*").alias("n_dups"), F.max("cosine").alias("max_cos")
+        )
+
+
+_register_dedup_semantic()
+
+
 @register(
     "source_overlap_matrix",
     oracle=f"""
