@@ -75,17 +75,32 @@ CRITICAL = (
 #: One-round application of the RE-ANCHOR ON CODE CHANGE rule (round 9).
 #: The round-8 pins (``ann_pq_topk``/``ann_ivfpq_topk``) landed their
 #: fresh green rows in CORRECTNESS_r08 and are cleared per the rule's
-#: own docstring. This round's pin: ``dedup_clusters`` consumes the
-#: simhash fingerprint/candidate artifact that round 8 rewrote as a
-#: vectorized kernel (``dedup.py``), but its latest driver row (r7)
-#: predates that change and is too young to re-enter the ~50-slot
-#: window by staleness alone — the other two fingerprint consumers
-#: (``pagerank_neardup``/``triangle_count_neardup``, rows r5) rotate in
-#: naturally as part of the stalest cohort (VERDICT r8 #1). One slot
-#: spent; after r9 the drain invariant is: no latest row older than r6.
-#: CLEAR THIS TUPLE next round once its fresh row lands.
+#: own docstring. This round's pins:
+#:
+#: - ``dedup_clusters`` consumes the simhash fingerprint/candidate
+#:   artifact that round 8 rewrote as a vectorized kernel (``dedup.py``),
+#:   but its latest driver row (r7) predates that change and is too
+#:   young to re-enter the ~50-slot window by staleness alone — the
+#:   other two fingerprint consumers (``pagerank_neardup``/
+#:   ``triangle_count_neardup``, rows r5) rotate in naturally as part of
+#:   the stalest cohort (VERDICT r8 #1).
+#: - ``dedup_simhash`` / ``dup_ngram_coverage``: round 9 itself changed
+#:   their kernel path again — the fingerprint kernel now routes
+#:   non-string doc_ids through a lossless string round-trip (the 2^53
+#:   id guard) and ``_build_candidate_pairs`` gained the above-cap wedge
+#:   rescue branch. Output on the driver corpora is proven unchanged
+#:   (below-cap branch + HEAD replica sweep), but their latest driver
+#:   rows (r8) predate the change, and a kernel change is precisely when
+#:   the driver's independent check is owed (VERDICT r8 "what's wrong"
+#:   #1, applied proactively this time).
+#:
+#: Three slots spent; the r9 window still drains the whole r5 cohort, so
+#: after r9 the invariant is: no latest row older than r6. CLEAR THIS
+#: TUPLE next round once the fresh rows land.
 RE_ANCHORED = (
     "dedup_clusters",
+    "dedup_simhash",
+    "dup_ngram_coverage",
 )
 
 DEMOTED_ANCHORS = (
