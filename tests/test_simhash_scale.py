@@ -486,6 +486,53 @@ try:
             all_bucket_pairs |= {p for p in got if p[0] in ms and p[1] in ms}
         assert got == all_bucket_pairs
 
+    @settings(
+        max_examples=12,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        seed=st.integers(min_value=0, max_value=2**31 - 1),
+        n_nodes=st.integers(min_value=2, max_value=24),
+        n_edges=st.integers(min_value=1, max_value=60),
+        cap=st.integers(min_value=1, max_value=8),
+    )
+    def test_wedge_rescue_property(spark, seed, n_nodes, n_edges, cap):
+        """Property form of the wedge-rescue guard: on an ARBITRARY
+        verified graph, the kernel's output must equal the brute-force
+        2-hop closure through pivots of degree ≤ cap — no pair invented,
+        no pair missed, hubs contributing nothing."""
+        import itertools
+        import random
+
+        from apache_flink_pratices_spark.operators.dedup import (
+            wedge_rescue_pairs,
+        )
+
+        rng = random.Random(seed)
+        nodes = [f"n{i:02d}" for i in range(n_nodes)]
+        edges = set()
+        for _ in range(n_edges):
+            a, b = rng.sample(nodes, 2)
+            edges.add((min(a, b), max(a, b)))
+        v = spark.createDataFrame(
+            sorted(edges), "doc_a string, doc_b string"
+        )
+        got = {
+            (r.doc_a, r.doc_b)
+            for r in wedge_rescue_pairs(v, deg_cap=cap).collect()
+        }
+        adj: dict[str, set] = {}
+        for a, b in edges:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        want = set()
+        for p, nbrs in adj.items():
+            if len(nbrs) <= cap:
+                for x, y in itertools.combinations(sorted(nbrs), 2):
+                    want.add((x, y))
+        assert got == want
+
 except ImportError:  # hypothesis is baked in; belt+braces
     pass
 
