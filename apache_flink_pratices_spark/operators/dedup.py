@@ -1365,6 +1365,55 @@ def simhash_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: deterministic delta split for the incremental-dedup query: every 5th
+#: doc_id plays the "newly crawled batch" (sf-independent, so the same
+#: query is meaningful at every scale factor)
+INCR_DELTA_MOD = 5
+
+
+@register(
+    "dedup_incremental",
+    oracle=f"""
+    WITH {{SIMHASH_CTES}},
+    split AS (
+      SELECT doc_a, doc_b, hamming,
+             (doc_a % {INCR_DELTA_MOD} = 0) AS da,
+             (doc_b % {INCR_DELTA_MOD} = 0) AS db
+      FROM sh_pairs
+    )
+    SELECT CASE WHEN da THEN doc_a ELSE doc_b END AS delta_doc,
+           CASE WHEN da THEN doc_b ELSE doc_a END AS base_doc,
+           hamming
+    FROM split
+    WHERE da <> db
+    """.replace("{SIMHASH_CTES}", SQL_SIMHASH_PAIR_CTES),
+    doc="Incremental near-dup dedup — the PRODUCTION query shape: a newly "
+    f"crawled delta batch (doc_id % {INCR_DELTA_MOD} = 0 plays the role) "
+    "checked against the existing base corpus, emitting (delta_doc, "
+    "base_doc, hamming) verified matches only across the boundary — "
+    "never delta×delta or base×base. Expressed as a filter over the "
+    "maintained simhash pair artifact, so it inherits the hot-bucket "
+    "guard and wedge rescue for free; at 100 TB the edge artifact is "
+    "exactly what an ingest pipeline maintains incrementally (union the "
+    "delta's band rows into the index, emit only pairs touching the "
+    "delta), so per-day cost scales with the delta, not the corpus.",
+    bench=False,
+    tags=("dedup", "simhash", "incremental", "llm-pipeline"),
+)
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = simhash_verified_pairs(spark, sf_dir)
+    da = (F.col("doc_a") % INCR_DELTA_MOD) == 0
+    db = (F.col("doc_b") % INCR_DELTA_MOD) == 0
+    return (
+        pairs.filter(da != db)
+        .select(
+            F.when(da, F.col("doc_a")).otherwise(F.col("doc_b")).alias("delta_doc"),
+            F.when(da, F.col("doc_b")).otherwise(F.col("doc_a")).alias("base_doc"),
+            "hamming",
+        )
+    )
+
+
 # --- embedding-cosine near-dup --------------------------------------------
 def _sql_emb_oracle() -> str:
     from apache_flink_pratices_spark.operators.similarity import (
