@@ -415,3 +415,41 @@ def test_ann_lsh_clustered_no_cartesian_and_vectorized_signatures(spark):
     assert "BroadcastNestedLoopJoin" not in kinds
     assert "MapInPandas" in plan
     assert "BroadcastHashJoin" in kinds  # query bands + query vectors
+
+
+def test_dedup_semantic_cell_local_and_vectorized_verify(spark):
+    """dedup_semantic (round 9): the pair join must be a cell equi-join
+    (never cartesian/nested-loop), and the exact-cosine verify must be
+    the ONE vectorized Arrow mapInPandas stage on the pair stream (the
+    interpreted higher-order dot measured ~80% of the query at sf0.1) —
+    plus the map-side IVF assignment kernel."""
+    from apache_flink_pratices_spark.registry import get_spec
+    from apache_flink_pratices_spark.operators import dedup  # noqa: F401
+
+    spark.catalog.clearCache()
+    df = get_spec("dedup_semantic").fn(spark, SF)
+    try:
+        plan = formatted_plan(df)
+        kinds = join_kinds(plan)
+        assert "CartesianProduct" not in kinds, kinds
+        assert "BroadcastNestedLoopJoin" not in kinds, kinds
+        assert "MapInPandas" in plan, plan
+    finally:
+        spark.catalog.clearCache()
+
+
+def test_dedup_incremental_is_artifact_scan_with_pushed_verify(spark):
+    """dedup_incremental (round 9) must be a pure filter over the
+    materialized pair artifact: no fingerprint kernel (MapInPandas) and
+    no join in the plan, with the Hamming verify pushed into the
+    artifact's parquet scan — the shape whose cost follows the delta,
+    not the corpus."""
+    from apache_flink_pratices_spark.registry import get_spec
+    from apache_flink_pratices_spark.operators import dedup  # noqa: F401
+
+    df = get_spec("dedup_incremental").fn(spark, SF)
+    plan = formatted_plan(df)
+    assert "MapInPandas" not in plan, plan
+    assert not join_kinds(plan), plan
+    pushed = " ".join(pushed_filters(plan))
+    assert "hamming" in pushed, plan
