@@ -370,19 +370,40 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Candidate-bounded verify: expand each candidate pair by doc_a's
     # shingles, then equi-join (doc_b, h) against the shingle table. Work is
     # Σ_{(a,b)∈cand} |shingles(a)| — proportional to bucket collisions.
-    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("h").alias("ha"))
-    sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("h").alias("hb"))
-    expanded = cand.join(sa, "doc_a")
-    inter = (
-        expanded.join(
-            sb,
-            (expanded["doc_b"] == sb["doc_b"]) & (expanded["ha"] == sb["hb"]),
+    # The shingle sides are re-derived with fresh unique aliases on EVERY
+    # call: verify runs twice on the above-cap path (base candidates,
+    # then wedge-rescued ones whose lineage already contains the first
+    # pass's attributes), and reusing one frame across both makes the
+    # second join's column references ambiguous.
+    def verify(c: DataFrame) -> DataFrame:
+        s_a = sh.select(F.col("doc_id").alias("__va"), F.col("h").alias("__ha"))
+        s_b = sh.select(F.col("doc_id").alias("__vb"), F.col("h").alias("__hb"))
+        inter = (
+            c.join(s_a, F.col("doc_a") == F.col("__va"))
+            .join(
+                s_b,
+                (F.col("doc_b") == F.col("__vb"))
+                & (F.col("__ha") == F.col("__hb")),
+            )
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count("*").alias("inter"))
         )
-        .drop(sb["doc_b"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("inter"))
-    )
-    return _jaccard_from_inter(inter, sizes)
+        return _jaccard_from_inter(inter, sizes)
+
+    pairs = verify(cand)
+    if hint > HOT_BUCKET_CAP:
+        # above-cap wedge rescue, same shape as the simhash tier (round
+        # 9). Jaccard DISTANCE is a metric, so members sharing a
+        # verified representative edge sit at J ≥ 2·τ−1 of each other —
+        # worth re-verifying exactly. Below the cap this branch never
+        # builds: minhash LSH is probabilistic (no pigeonhole guarantee),
+        # so an unconditional closure could ADD pairs the uncapped band
+        # join never emits and break the DuckDB oracle — the guard-fired
+        # gate is what keeps the below-cap pair set bit-identical.
+        pairs = pairs.unionByName(
+            verify(wedge_rescue_pairs(pairs))
+        ).dropDuplicates(["doc_a", "doc_b"])
+    return pairs
 
 
 # --- SimHash near-dup -----------------------------------------------------

@@ -520,9 +520,11 @@ def phash_band_pairs(ph: DataFrame, sf_dir: str | None = None) -> DataFrame:
     # joins: identical pairs below the cap, B·reps bound above it); the
     # pre-check scalar is a write-once corpus statistic
     from apache_flink_pratices_spark.operators.dedup import (
+        HOT_BUCKET_CAP,
         _max_bucket_size,
         banded_candidate_pairs,
         corpus_probe,
+        wedge_rescue_pairs,
     )
 
     hint = (
@@ -533,18 +535,33 @@ def phash_band_pairs(ph: DataFrame, sf_dir: str | None = None) -> DataFrame:
             config=(PHASH_BAND_BITS, PHASH_SHIFT),
         )
         if sf_dir is not None
-        else None
+        else _max_bucket_size(bands)
     )
     cand = banded_candidate_pairs(bands, id_col="id", max_bucket_hint=hint)
     pa = ph.select(F.col("id").alias("id_a"), F.col("phash").alias("ph_a"))
     pb = ph.select(F.col("id").alias("id_b"), F.col("phash").alias("ph_b"))
     ham = F.bit_count(F.col("ph_a").bitwiseXOR(F.col("ph_b")))
-    return (
-        cand.join(pa, "id_a")
-        .join(pb, "id_b")
-        .filter(ham <= PHASH_HAMMING_MAX)
-        .select("id_a", "id_b", ham.cast("long").alias("hamming"))
-    )
+
+    def verify(c: DataFrame) -> DataFrame:
+        return (
+            c.join(pa, "id_a")
+            .join(pb, "id_b")
+            .filter(ham <= PHASH_HAMMING_MAX)
+            .select("id_a", "id_b", ham.cast("long").alias("hamming"))
+        )
+
+    pairs = verify(cand)
+    if hint > HOT_BUCKET_CAP:
+        # same above-cap wedge rescue as the simhash tier (round 9):
+        # phash Hamming is a metric, so a missed true pair whose members
+        # both verify against a shared low-degree representative is
+        # recovered by closing the 2-hop path and re-verifying. Below
+        # the cap this branch never builds — plan and output identical
+        # to the plain join (and the uncapped DuckDB oracle).
+        pairs = pairs.unionByName(
+            verify(wedge_rescue_pairs(pairs, id_a="id_a", id_b="id_b"))
+        ).dropDuplicates(["id_a", "id_b"])
+    return pairs
 
 
 def phash_table_from_pngs(files: DataFrame) -> DataFrame:

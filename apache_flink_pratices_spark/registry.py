@@ -93,14 +93,20 @@ CRITICAL = (
 #:   rows (r8) predate the change, and a kernel change is precisely when
 #:   the driver's independent check is owed (VERDICT r8 "what's wrong"
 #:   #1, applied proactively this time).
+#: - ``dedup_minhash_lsh``: round 9 wired the same above-cap rescue into
+#:   the minhash tier and re-derived its verify's shingle sides with
+#:   per-call aliases (self-join lineage fix) — a changed verify
+#:   formulation with only an r7 row. ``mm_phash_pairs`` got the same
+#:   treatment but rotates into the window by staleness already (r6).
 #:
-#: Three slots spent; the r9 window still drains the whole r5 cohort, so
+#: Four slots spent; the r9 window still drains the whole r5 cohort, so
 #: after r9 the invariant is: no latest row older than r6. CLEAR THIS
 #: TUPLE next round once the fresh rows land.
 RE_ANCHORED = (
     "dedup_clusters",
     "dedup_simhash",
     "dup_ngram_coverage",
+    "dedup_minhash_lsh",
 )
 
 DEMOTED_ANCHORS = (
