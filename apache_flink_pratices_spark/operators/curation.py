@@ -361,6 +361,105 @@ def domain_mix_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- token-budget mixture planning ------------------------------------------
+
+#: total token budget the plan allocates (an absolute constant: the plan
+#: is a property of (corpus, budget), and each scale factor computes its
+#: own — at sf0.01 the budget exceeds the corpus, so scarce sources show
+#: epochs > 1, exercising the repeat math)
+TOKEN_BUDGET = 1_000_000
+#: repeat-factor ceiling in basis points (4 epochs): data-constrained
+#: pretraining gets diminishing returns past ~4 repeats (Muennighoff et
+#: al., "Scaling Data-Constrained Language Models", 2023 — public paper)
+MAX_EPOCHS_BP = 40_000
+
+
+def _register_token_budget_plan() -> None:
+    from apache_flink_pratices_spark.operators.text import _BPEISH
+
+    ep = f"(({TOKEN_BUDGET} * share_bp // 10000) * 10000 // available_tokens)"
+
+    @register(
+        "token_budget_plan",
+        oracle=f"""
+        WITH counts AS (
+          SELECT source, {_SQL_MIX_BP} AS share_bp,
+                 CAST(SUM(len(regexp_extract_all(lower(text), '{_BPEISH}')))
+                      AS BIGINT) AS available_tokens
+          FROM documents GROUP BY source
+        )
+        SELECT source, share_bp, available_tokens,
+               CAST({TOKEN_BUDGET} * share_bp // 10000 AS BIGINT) AS target_tokens,
+               CAST({ep} AS BIGINT) AS epochs_bp,
+               CAST(least({ep}, {MAX_EPOCHS_BP}) AS BIGINT) AS epochs_capped_bp,
+               CAST(available_tokens * least({ep}, {MAX_EPOCHS_BP}) // 10000
+                    AS BIGINT) AS planned_tokens
+        FROM counts
+        WHERE available_tokens > 0
+        """,
+        doc="Token-budget mixture planner — the table an LLM pretraining "
+        "run is provisioned from: per source, the tokens AVAILABLE (BPE-ish "
+        "count summed corpus-wide), the tokens the target mix WANTS "
+        f"(budget × share), the repeat factor that implies (epochs, basis "
+        f"points), the same capped at {MAX_EPOCHS_BP // 10000} epochs "
+        "(data-constrained scaling: repeats beyond ~4 stop paying), and "
+        "the PLANNED tokens after the cap. Token-weighted, not doc-"
+        "weighted — documents vary 100× in length, so doc-count mixes "
+        "misallocate budget. All rate arithmetic is integer (basis "
+        "points), so both engines compute identical plans. One map-side-"
+        "combined aggregate over the corpus (sources × 8-byte rows "
+        "shuffle); the plan itself is sources-sized — at 100 TB this is "
+        "a metadata query over the same scan the token-count stats "
+        "pipeline already makes.",
+        tags=("curation", "tokens", "llm-pipeline"),
+    )
+    def token_budget_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+        d = load(spark, sf_dir, "documents")
+        bpeish = F.expr(f"size(regexp_extract_all(lower(text), '{_BPEISH}', 0))")
+        tier = F.substring("source", 4, 16).cast("int") % 4
+        share_bp = F.when(F.lit(False), F.lit(0))
+        for i, bp in enumerate(MIX_TIER_BP):
+            share_bp = share_bp.when(tier == i, F.lit(bp))
+        counts = (
+            d.groupBy("source")
+            .agg(F.sum(bpeish.cast("long")).alias("available_tokens"))
+            .select(
+                "source",
+                share_bp.otherwise(None).alias("share_bp"),
+                "available_tokens",
+            )
+            .filter(F.col("available_tokens") > 0)
+        )
+        target = F.expr(f"CAST({TOKEN_BUDGET} * share_bp AS BIGINT) DIV 10000")
+        epochs = F.expr(
+            f"(CAST({TOKEN_BUDGET} * share_bp AS BIGINT) DIV 10000) * 10000 "
+            "DIV available_tokens"
+        )
+        capped = F.least(epochs, F.lit(MAX_EPOCHS_BP).cast("long"))
+        return counts.select(
+            "source",
+            "share_bp",
+            "available_tokens",
+            target.alias("target_tokens"),
+            epochs.cast("long").alias("epochs_bp"),
+            capped.cast("long").alias("epochs_capped_bp"),
+            (F.col("available_tokens") * capped)
+            .cast("long")
+            .alias("__pt_raw"),
+        ).select(
+            "source",
+            "share_bp",
+            "available_tokens",
+            "target_tokens",
+            "epochs_bp",
+            "epochs_capped_bp",
+            F.expr("__pt_raw DIV 10000").alias("planned_tokens"),
+        )
+
+
+_register_token_budget_plan()
+
+
 # --- end-to-end curation decision -----------------------------------------
 
 QUALITY_MIN = 0.3
