@@ -393,13 +393,20 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = verify(cand)
     if hint > HOT_BUCKET_CAP:
         # above-cap wedge rescue, same shape as the simhash tier (round
-        # 9). Jaccard DISTANCE is a metric, so members sharing a
-        # verified representative edge sit at J ≥ 2·τ−1 of each other —
-        # worth re-verifying exactly. Below the cap this branch never
-        # builds: minhash LSH is probabilistic (no pigeonhole guarantee),
-        # so an unconditional closure could ADD pairs the uncapped band
-        # join never emits and break the DuckDB oracle — the guard-fired
-        # gate is what keeps the below-cap pair set bit-identical.
+        # 9). Honest bound note: Jaccard DISTANCE is a metric, so wedge
+        # endpoints sit at J ≥ 2·τ−1 — a REAL floor only when τ > 0.5;
+        # at this tier's testdata-rescaled τ = 0.4 the floor is vacuous
+        # and the rescue's value is purely structural (bounded deg_cap²
+        # candidates per pivot, each re-verified exactly — rescued pairs
+        # sharing zero shingles drop out of the intersection join).
+        # Below the cap this branch never builds: minhash LSH is
+        # probabilistic (no pigeonhole guarantee), so an unconditional
+        # closure could ADD pairs the uncapped band join never emits and
+        # break the DuckDB oracle — the guard-fired gate keeps the
+        # below-cap pair set bit-identical. Persisted: the rescue
+        # references the verified frame ~5×, and each re-evaluation here
+        # is a full shingle-expansion join (review r9).
+        pairs = pairs.persist(StorageLevel.MEMORY_AND_DISK)
         pairs = pairs.unionByName(
             verify(wedge_rescue_pairs(pairs))
         ).dropDuplicates(["doc_a", "doc_b"])
@@ -633,8 +640,8 @@ def corpus_probe(sf_dir: str, name: str, compute, config: tuple = ()) -> int:
 def banded_candidate_pairs(
     bands: DataFrame,
     id_col: str = "doc_id",
-    cap: int = HOT_BUCKET_CAP,
-    n_reps: int = HOT_BUCKET_REPS,
+    cap: int | None = None,
+    n_reps: int | None = None,
     max_bucket_hint: int | None = None,
 ) -> DataFrame:
     """(id_a, id_b) pairs sharing a (band, bucket), hot buckets bounded.
@@ -679,6 +686,11 @@ def banded_candidate_pairs(
     # persist here would just pay materialization twice. Callers with an
     # immutable corpus pass max_bucket_hint from corpus_probe so the
     # pre-check job runs once per (corpus, config), not once per query.
+    # None-sentinel defaults resolve the module constants at CALL time,
+    # not def time, so tests monkeypatching HOT_BUCKET_CAP drive the
+    # real guard branch instead of a gate-only illusion (review r9)
+    cap = HOT_BUCKET_CAP if cap is None else cap
+    n_reps = HOT_BUCKET_REPS if n_reps is None else n_reps
     a_id, b_id = f"a.{id_col}", f"b.{id_col}"
     max_bsz = (
         max_bucket_hint if max_bucket_hint is not None else _max_bucket_size(bands)
@@ -753,8 +765,8 @@ def _simhash_bands(fp: DataFrame, band_bits: int = SIMHASH_BAND_BITS) -> DataFra
 def _simhash_candidates(
     fp: DataFrame,
     band_bits: int = SIMHASH_BAND_BITS,
-    cap: int = HOT_BUCKET_CAP,
-    n_reps: int = HOT_BUCKET_REPS,
+    cap: int | None = None,
+    n_reps: int | None = None,
     max_bucket_hint: int | None = None,
 ) -> DataFrame:
     """(doc_a, doc_b) pairs sharing at least one exact band of the fp."""
@@ -1343,7 +1355,14 @@ def _build_candidate_pairs(
         # recovers those near-threshold pairs with bounded fan-out (see
         # wedge_rescue_pairs). Below the cap this branch never runs, so
         # the shipped corpora's plan and output stay bit-identical to
-        # the plain self-join (and the uncapped DuckDB oracle).
+        # the plain self-join (and the uncapped DuckDB oracle). The base
+        # pair frame is persisted because the rescue references it ~5×
+        # (union left side, degree count, adjacency, both wedge sides) —
+        # unpersisted, the guarded band join re-ran per reference on
+        # exactly the adversarial corpora where it is most expensive
+        # (review r9); session-lived like fp, released by
+        # registry.released_caches in long-lived sessions.
+        pairs = pairs.persist(StorageLevel.MEMORY_AND_DISK)
         verified = pairs.filter(F.col("hamming") <= SIMHASH_HAMMING_MAX)
         rescued = with_hamming(wedge_rescue_pairs(verified))
         pairs = pairs.unionByName(rescued).dropDuplicates(["doc_a", "doc_b"])
@@ -1614,12 +1633,14 @@ def _semantic_pair_cosine_expr(pairs: DataFrame) -> DataFrame:
 def _register_dedup_semantic() -> None:
     from apache_flink_pratices_spark.operators.similarity import (
         _SCALE,
+        _SQL_IVF_DIRS,
         _sql_dot,
-        _sql_md5_pm_cte,
         IVF_CELLS,
     )
 
-    dirs_cte = _sql_md5_pm_cte("dirs", "afp-ivf", IVF_CELLS, "m", "s", "1.0", "-1.0")
+    # the ONE dirs-CTE definition, shared with the ann_ivf oracles — a
+    # verbatim re-derivation here could silently drift (review r9)
+    dirs_cte = _SQL_IVF_DIRS
 
     @register(
         "dedup_semantic",
@@ -1652,18 +1673,21 @@ def _register_dedup_semantic() -> None:
           FROM elems e JOIN assigned a ON a.vec_id = e.vec_id
           GROUP BY a.cell, e.k
         ),
-        csim AS (
-          SELECT e.vec_id,
-                 SUM(CAST(floor(CAST(e.x AS DOUBLE) * c.c * {_SCALE}) AS BIGINT)) AS cs
-          FROM elems e
-            JOIN assigned a ON a.vec_id = e.vec_id
-            JOIN cent c ON c.cell = a.cell AND c.k = e.k
-          GROUP BY e.vec_id
-        ),
         norms AS (
           SELECT vec_id, {_sql_dot('u.x', 'u.x')} AS nrm
           FROM embeddings, LATERAL (SELECT unnest(embedding) AS x) u
           GROUP BY vec_id
+        ),
+        csim AS (
+          SELECT e.vec_id,
+                 CAST(SUM(CAST(floor(CAST(e.x AS DOUBLE) * c.c * {_SCALE})
+                               AS BIGINT)) AS DOUBLE)
+                   / sqrt(MAX(n.nrm)) AS cs
+          FROM elems e
+            JOIN assigned a ON a.vec_id = e.vec_id
+            JOIN cent c ON c.cell = a.cell AND c.k = e.k
+            JOIN norms n ON n.vec_id = e.vec_id
+          GROUP BY e.vec_id
         ),
         cand AS (
           SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.cell
@@ -1706,10 +1730,12 @@ def _register_dedup_semantic() -> None:
         doc=f"Semantic dedup (SemDeDup, Abbas et al. 2023 — public paper): "
         f"corpus k-partitioned into {IVF_CELLS} IVF cells map-side, exact "
         f"cosine pairs WITHIN each cell at τ ≥ {SEM_DEDUP_TAU}, and for "
-        "each duplicate pair the member closer to its cell centroid is "
-        "dropped (keeping the outlier preserves diversity — the paper's "
-        "rule). Centroid similarities compare as exact scaled int64, so "
-        "the drop decision is bit-deterministic across engines. At 100 TB "
+        "each duplicate pair the member closer to its cell centroid — by "
+        "NORMALIZED similarity, the corpus is not unit-norm — is dropped "
+        "(keeping the outlier preserves diversity — the paper's rule). "
+        "Centroid dots accumulate as exact scaled int64 (< 2^53) before "
+        "one double division per member, so the drop decision is "
+        "bit-deterministic across engines. At 100 TB "
         "the corpus is bucketed by cell on disk: the pair join and the "
         "centroid pass are both cell-local — no global shuffle, and cell "
         "granularity (corpus/cells rows) bounds the per-task pair "
@@ -1761,7 +1787,18 @@ def _register_dedup_semantic() -> None:
             .agg(
                 F.sum(
                     F.floor(F.col("x") * F.col("c") * _SCALE).cast("long")
-                ).alias("cs")
+                ).alias("cs_raw")
+            )
+            # NORMALIZED centroid similarity (review r9): the corpus is
+            # not unit-norm, so comparing raw centroid dot products
+            # would rank a long far-pointing vector "nearer" than a
+            # short centroid-aligned one — inverting the paper's rule.
+            # cs_raw is exact int64 < 2^53, so the double cast, the
+            # sqrt and the division are IEEE-identical across engines.
+            .join(assigned.select("vec_id", "nrm"), "vec_id")
+            .select(
+                "vec_id",
+                (F.col("cs_raw").cast("double") / F.sqrt("nrm")).alias("cs"),
             )
         )
         a = assigned.select(

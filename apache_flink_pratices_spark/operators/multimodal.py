@@ -557,7 +557,11 @@ def phash_band_pairs(ph: DataFrame, sf_dir: str | None = None) -> DataFrame:
         # both verify against a shared low-degree representative is
         # recovered by closing the 2-hop path and re-verifying. Below
         # the cap this branch never builds — plan and output identical
-        # to the plain join (and the uncapped DuckDB oracle).
+        # to the plain join (and the uncapped DuckDB oracle). Persisted:
+        # the rescue references the verified frame ~5× (review r9).
+        from pyspark.storagelevel import StorageLevel
+
+        pairs = pairs.persist(StorageLevel.MEMORY_AND_DISK)
         pairs = pairs.unionByName(
             verify(wedge_rescue_pairs(pairs, id_a="id_a", id_b="id_b"))
         ).dropDuplicates(["id_a", "id_b"])

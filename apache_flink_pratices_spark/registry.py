@@ -324,7 +324,12 @@ def released_caches(spark: SparkSession):
     before the block are left alone (identity-compared via the JVM
     object, so a block re-persisting an already-cached plan does not
     evict the original owner's entry); entries the block created are
-    uncached (cascade=true) on exit, success or failure.
+    uncached on exit, success or failure — with cascade=false, because
+    cascade=true would also evict PRE-EXISTING entries whose plans
+    contain a released plan as a subtree (e.g. a user-cached frame
+    derived from an upstream a query re-persisted), violating the
+    left-alone guarantee (review r9; pinned by the dependent-plan case
+    in tests/test_cache_release.py).
 
     Driver-side cost is one CacheManager scan per entry/exit — no Spark
     jobs. Queries re-run after release simply rebuild their caches."""
@@ -336,7 +341,7 @@ def released_caches(spark: SparkSession):
         cm = spark._jsparkSession.sharedState().cacheManager()
         for p in _cached_plans(spark):
             if jvm.System.identityHashCode(p) not in before:
-                cm.uncacheQuery(spark._jsparkSession, p, True)
+                cm.uncacheQuery(spark._jsparkSession, p, False)
 
 
 def run_and_release(spark: SparkSession, name: str, sf_dir: str) -> int:

@@ -441,9 +441,13 @@ def measure_all(
         "auto": primary,
         "fraud_ev_s": {primary: int(fraud_rate)},
         "cep_ev_s": {primary: int(cep_rate)},
-        "secondary_runs": 1,
+        # 0 when no second backend is runnable (review r9: a reader must
+        # distinguish "one secondary run produced null" from "the native
+        # backend was unavailable"); set to 1 in the native branch below
+        "secondary_runs": 0,
     }
     if primary == "native":
+        backends["secondary_runs"] = 1
         sec = "pandas_state"
         if not small:  # untimed warm-up of the secondary backend
             fraud_events_per_sec(

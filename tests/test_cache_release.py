@@ -65,6 +65,28 @@ def test_released_caches_keeps_preexisting_entries(spark):
     keeper.unpersist()
 
 
+def test_released_caches_keeps_dependent_preexisting_entries(spark):
+    """Cascade hazard (review r9): a pre-existing cached frame DERIVED
+    from an upstream the block re-persists must survive the release —
+    cascade=true would evict it along with the block's own entry."""
+    spark.catalog.clearCache()
+    upstream = spark.range(1000).selectExpr("id", "id * 13 AS u")
+    derived = upstream.groupBy((upstream.u % 7).alias("g")).count().persist()
+    derived.count()
+    assert cached_entry_count(spark) == 1
+    with released_caches(spark):
+        # the block caches the shared UPSTREAM plan (like a query
+        # persisting the fingerprint frame a user's cached view reads)
+        inner = spark.range(1000).selectExpr("id", "id * 13 AS u").persist()
+        inner.count()
+        assert cached_entry_count(spark) == 2
+    # the block's upstream entry is gone; the pre-existing derived
+    # entry — whose plan CONTAINS the released plan — survives
+    assert cached_entry_count(spark) == 1
+    assert derived.count() == 7
+    derived.unpersist()
+
+
 def test_released_caches_releases_on_error(spark):
     spark.catalog.clearCache()
     try:

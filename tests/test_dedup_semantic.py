@@ -91,24 +91,60 @@ def test_vectorized_pair_cosine_twin_on_adversarial_floats(spark):
 
 def test_dedup_semantic_drop_rule(spark):
     """The dropped member of every pair must be the one NEARER its cell
-    centroid (the SemDeDup keep-the-outlier rule): recompute the rule
-    from the query's own building blocks and cross-check the output."""
+    centroid by NORMALIZED similarity (the SemDeDup keep-the-outlier
+    rule) — recomputed INDEPENDENTLY in numpy so an inverted F.when (or
+    a raw-dot comparison, the review-r9 bug this pins) fails here even
+    though the DuckDB oracle would mirror the same inversion."""
+    import numpy as np
+
     from apache_flink_pratices_spark.registry import get_spec
     from apache_flink_pratices_spark.operators import dedup  # noqa: F401
-
-    out = get_spec("dedup_semantic").fn(spark, SF).collect()
-    assert len(out) > 0
-    assert all(r.n_dups >= 1 and r.max_cos >= SEM_DEDUP_TAU for r in out)
-    # every dropped vec must actually appear in a τ-pair within its cell
     from apache_flink_pratices_spark.io import load
+    from apache_flink_pratices_spark.operators.similarity import ivf_assign
 
-    e = load(spark, SF, "embeddings")
-    raw = _pair_frame_from(spark, e)
-    pairs = {
-        (r.vec_a, r.vec_b)
-        for r in _semantic_pair_cosine(raw)
-        .filter(F.col("cosine") >= SEM_DEDUP_TAU)
-        .collect()
+    out = {
+        r.vec_id: (r.cell, r.n_dups, r.max_cos)
+        for r in get_spec("dedup_semantic").fn(spark, SF).collect()
     }
-    members = {v for p in pairs for v in p}
-    assert {r.vec_id for r in out} <= members
+    assert len(out) > 0
+    assert all(n >= 1 and c >= SEM_DEDUP_TAU for _, n, c in out.values())
+
+    # independent reference: collect cells + embeddings, redo the whole
+    # rule in float64 numpy (plain means/cosines — no scaled-int tricks,
+    # so any shared-bug coupling with the production kernel is broken)
+    rows = ivf_assign(load(spark, SF, "embeddings")).collect()
+    emb = {r.vec_id: np.array(r.embedding, dtype=np.float64) for r in rows}
+    cell = {r.vec_id: r.cell for r in rows}
+    cents = {}
+    for c in set(cell.values()):
+        vs = [emb[v] for v in emb if cell[v] == c]
+        cents[c] = np.mean(vs, axis=0)
+
+    def csim(v):
+        return float(
+            emb[v] @ cents[cell[v]] / np.linalg.norm(emb[v])
+        )
+
+    ids = sorted(emb)
+    expect_drop = set()
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            if cell[a] != cell[b]:
+                continue
+            cos = float(
+                emb[a] @ emb[b]
+                / (np.linalg.norm(emb[a]) * np.linalg.norm(emb[b]))
+            )
+            # stay clear of the float boundary: the reference uses plain
+            # numpy arithmetic, the kernel quantized products — identical
+            # to ~1e-12, so only exact-boundary pairs could disagree
+            if abs(cos - SEM_DEDUP_TAU) < 1e-9:
+                continue
+            if cos < SEM_DEDUP_TAU:
+                continue
+            ca, cb = csim(a), csim(b)
+            if abs(ca - cb) < 1e-9:
+                expect_drop.add(max(a, b))
+            else:
+                expect_drop.add(a if ca > cb else b)
+    assert set(out) == expect_drop
