@@ -973,7 +973,11 @@ def hot_bucket_recall_bench(spark: SparkSession) -> dict:
     # planted fps must be unique (an accidental duplicate would open an
     # unplanned exact-match path and corrupt the accounting)
     planted_a = [fp for did, fp in rows_a if not did.startswith("m")]
-    assert len(set(planted_a)) == len(planted_a) and center not in planted_a
+    # bench-integrity invariants raise explicitly, not via assert: assert
+    # is stripped under `python -O`, which would let the corrupted
+    # accounting these comments describe pass silently (ADVICE r9)
+    if not (len(set(planted_a)) == len(planted_a) and center not in planted_a):
+        raise RuntimeError("recall bench: corpus-A planted fps not unique")
     # no planted id may win a representative slot: the 8 md5-smallest
     # MASS ids sit in every hot bucket, so if every planted md5 sorts
     # above them, every bucket's bottom-8 is mass-only. (First run of
@@ -982,11 +986,12 @@ def hot_bucket_recall_bench(spark: SparkSession) -> dict:
     mass_floor = sorted(
         md5v(did) for did, _ in rows_a if did.startswith("m")
     )[: HOT_BUCKET_REPS]
-    assert all(
+    if not all(
         md5v(did) > mass_floor[-1]
         for did, _ in rows_a
         if not did.startswith("m")
-    )
+    ):
+        raise RuntimeError("recall bench: a corpus-A planted id wins a rep slot")
 
     # --- corpus B: heterogeneous hot bucket ------------------------------
     # bands 0 and 3 carry the shared (hot) pattern; bands 1-2 are
@@ -1017,16 +1022,19 @@ def hot_bucket_recall_bench(spark: SparkSession) -> dict:
         orphan.append((f"bq{j}a", f"bq{j}b"))
         rows_b += [(f"bq{j}a", q1), (f"bq{j}b", q2)]
     planted_b = [fp for did, fp in rows_b if not did.startswith("h")]
-    assert len(set(planted_b)) == len(planted_b)
+    if len(set(planted_b)) != len(planted_b):
+        raise RuntimeError("recall bench: corpus-B planted fps not unique")
     # planted members must not themselves win representative slots (md5
-    # order is deterministic — assert, don't hope)
+    # order is deterministic — check mechanically, don't hope)
     rep_floor = sorted(md5v(did) for did, _ in rows_b)[:HOT_BUCKET_REPS]
-    assert md5v(p_id) == rep_floor[0]
-    assert all(
+    if md5v(p_id) != rep_floor[0]:
+        raise RuntimeError("recall bench: pivot is not the md5-smallest member")
+    if not all(
         md5v(did) not in rep_floor
         for did, _ in rows_b
         if not did.startswith("h")
-    )
+    ):
+        raise RuntimeError("recall bench: a corpus-B planted id wins a rep slot")
 
     def measure(rows, classes) -> dict:
         fp = spark.createDataFrame(rows, "doc_id string, fp long").persist(

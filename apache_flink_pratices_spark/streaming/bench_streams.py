@@ -449,9 +449,15 @@ def measure_all(
     if primary == "native":
         backends["secondary_runs"] = 1
         sec = "pandas_state"
-        if not small:  # untimed warm-up of the secondary backend
+        if not small:  # untimed warm-up of the secondary backend — BOTH
+            # paths: warming only fraud left the single timed CEP
+            # pandas_state run paying worker spin-up the primary's
+            # best-of-N never pays (ADVICE r9)
             fraud_events_per_sec(
                 spark, os.path.join(wd, "w2"), n_tx=2_000, impl=sec
+            )
+            cep_events_per_sec(
+                spark, os.path.join(wd, "w3"), n_codes=4, n_cycles=3, impl=sec
             )
         sd = os.path.join(wd, "sec")
         sfr, sa = fraud_events_per_sec(

@@ -65,8 +65,10 @@ def _current_round(repo_root: str) -> int:
     if env:
         # validate BEFORE any Spark work is queued: a malformed pin must
         # fail fast with the variable named, not as a bare ValueError
-        # mid-run (ADVICE r8)
-        if not env.isdigit():
+        # mid-run (ADVICE r8). ASCII-only: str.isdigit() accepts Unicode
+        # digit chars (superscripts) that int() then rejects, and "0"
+        # despite the 'positive' message (ADVICE r9).
+        if not (env.isascii() and env.isdigit() and int(env) > 0):
             raise SystemExit(
                 f"SPARK_GRAFT_ROUND must be a positive integer, got {env!r}"
             )
