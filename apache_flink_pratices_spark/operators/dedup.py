@@ -444,22 +444,37 @@ def _simhash_fingerprints_of(d: DataFrame) -> DataFrame:
     fingerprints regardless of band width — a data property, not a plan
     property; see tests/test_simhash_scale.py).
 
-    Implementation note (round 8): the 64-term sign-sum aggregate is a
-    vectorized Arrow ``mapInPandas`` stage — the 64 per-row sign
-    expressions (8 of them modular arithmetic) measured ~1.7 s of
-    dedup_simhash's 2.85 s at sf0.1 over 116k TF rows, while the numpy
-    formulation of the SAME integer arithmetic does it in ~0.1 s. The
-    TF table is hash-repartitioned on doc_id so every doc's rows land in
-    one partition; the kernel accumulates the partition's batches, then
-    one pandas groupby-sum emits (doc_id, fp). Bit-for-bit equal to the
-    retained expression twin (:func:`_simhash_fingerprints_expr_of`,
-    pinned by ``tests/test_simhash_scale.py``): truncated modulo
-    (``np.fmod``) matches Spark's and DuckDB's ``%`` on negative
-    dividends, arithmetic int64 shifts match ``shiftright``, and the
-    final bit-weight sum wraps to two's complement exactly like the JVM
-    long accumulation."""
+    Implementation note (round 8, Arrow-native round 10): the 64-term
+    sign-sum aggregate is a vectorized ``mapInArrow`` stage — the 64
+    per-row sign expressions (8 of them modular arithmetic) measured
+    ~1.7 s of dedup_simhash's 2.85 s at sf0.1 over 116k TF rows, while
+    the numpy formulation of the SAME integer arithmetic does it in
+    ~0.1 s. The TF table is hash-repartitioned on doc_id so every doc's
+    rows land in one partition; the kernel accumulates the partition's
+    batches, then one factorize+``np.add.at`` group-sum emits
+    (doc_id, fp). Bit-for-bit equal to the retained expression twin
+    (:func:`_simhash_fingerprints_expr_of`, pinned by
+    ``tests/test_simhash_scale.py``): truncated modulo (``np.fmod``)
+    matches Spark's and DuckDB's ``%`` on negative dividends, arithmetic
+    int64 shifts match ``shiftright``, and the final bit-weight sum
+    wraps to two's complement exactly like the JVM long accumulation.
+
+    Why ``mapInArrow`` and not ``mapInPandas`` (VERDICT r9 #3): a
+    nullable LONG doc_id batch containing an actual null reaches pandas
+    as float64, silently collapsing ids past 2^53 onto even neighbours
+    (and null-free batches arrive int64 — per-batch dtype flapping).
+    Round 8's mechanical guard was a lossless long→string→long
+    round-trip, correct but a measured 0.19 s at sf0.1
+    (docs/scale_notes.md). Arrow record batches keep nullable int64 AS
+    int64 with a validity bitmap, so the kernel now reads doc_id via
+    ``to_pylist()`` (exact Python ints / strings / None — never a float)
+    and emits it back in the input's own Arrow type: no cast, no detour,
+    the adversarial 2^53-straddling + null corpus still pinned in
+    ``tests/test_simhash_scale.py``. hm/cnt are non-nullable int64
+    (md5-derived hash, count) and stay zero-copy numpy."""
     import numpy as np
     import pandas as pd
+    import pyarrow as pa
 
     hi_coeffs = np.array(SH_COEFFS[56:], dtype=np.int64)  # (8, 2)
     # bit 63 contributes int64-min (two's complement); positives accumulate
@@ -469,10 +484,14 @@ def _simhash_fingerprints_of(d: DataFrame) -> DataFrame:
         chunks = list(batches)
         if not chunks:
             return
-        pdf = pd.concat(chunks, ignore_index=True)
-        hm = pdf["hm"].to_numpy(dtype=np.int64)
-        cnt = pdf["cnt"].to_numpy(dtype=np.int64)
-        n = len(pdf)
+        tbl = pa.Table.from_batches(chunks)
+        hm = tbl.column("hm").to_numpy(zero_copy_only=False).astype(
+            np.int64, copy=False
+        )
+        cnt = tbl.column("cnt").to_numpy(zero_copy_only=False).astype(
+            np.int64, copy=False
+        )
+        n = len(hm)
         signs = np.empty((n, SIMHASH_BITS), dtype=np.int64)
         # bits 0..55: raw hash bit — arithmetic shift + mask, like
         # F.shiftright(hm, i).bitwiseAND(1) * 2 - 1
@@ -488,42 +507,34 @@ def _simhash_fingerprints_of(d: DataFrame) -> DataFrame:
             v = np.fmod(a * r + b, np.int64(P31))
             signs[:, 56 + j] = np.fmod(v, np.int64(2)) * 2 - 1
         contrib = signs * cnt[:, None]
-        # dropna=False: Spark's groupBy keeps a null doc_id group and the
-        # expression twin / DuckDB oracle emit a fingerprint row for it,
-        # so the kernel must too (review r8; pandas drops the NaN group
-        # by default). doc_id reaches this kernel as STRING regardless of
-        # the caller's type (see the lossless cast round-trip below), so
-        # the Arrow→pandas float64 conversion a nullable LONG batch would
-        # get — silently corrupting ids past 2^53 — cannot happen here.
-        sums = (
-            pd.DataFrame(contrib)
-            .groupby(pdf["doc_id"].to_numpy(), sort=False, dropna=False)
-            .sum()
-        )
-        s = sums.to_numpy(dtype=np.int64)
-        bits = s > 0
+        # group-sum by doc_id with EXACT ids: to_pylist yields Python
+        # ints / strings / None verbatim (no float64 path exists), and
+        # factorize keys them; null ids get code -1 → their own group,
+        # because Spark's groupBy keeps a null doc_id group and the
+        # expression twin / DuckDB oracle emit a fingerprint row for it
+        # (review r8). int64 overflow in np.add.at wraps two's
+        # complement, matching the JVM long accumulation.
+        id_field = tbl.schema.field("doc_id")
+        codes, uniques = pd.factorize(tbl.column("doc_id").to_pylist())
+        has_null = bool((codes == -1).any())
+        g = len(uniques)
+        sums = np.zeros((g + 1 if has_null else g, SIMHASH_BITS), np.int64)
+        np.add.at(sums, np.where(codes == -1, g, codes), contrib)
+        bits = sums > 0
         fp = (bits[:, :63] * w_low).sum(axis=1, dtype=np.int64) + np.where(
             bits[:, 63], np.int64(_I64_MIN), np.int64(0)
         )
-        yield pd.DataFrame({"doc_id": sums.index.to_numpy(), "fp": fp})
+        out_ids = list(uniques) + ([None] if has_null else [])
+        yield pa.record_batch(
+            [pa.array(out_ids, type=id_field.type), pa.array(fp, pa.int64())],
+            names=["doc_id", "fp"],
+        )
 
-    # preserve the caller's doc_id type (the testdata corpus uses long,
-    # synthetic/planted corpora string). Non-string ids take a LOSSLESS
-    # string round-trip around the kernel: a nullable long column whose
-    # batch contains an actual null reaches pandas as float64, silently
-    # corrupting ids past 2^53 (and batches WITHOUT a null would arrive
-    # int64 — per-batch dtype flapping). long→string→long is exact for
-    # every int64 value and for null, and the cast-back happens JVM-side
-    # after the kernel (ADVICE r8 / VERDICT r8 #4; adversarial ids > 2^53
-    # + nulls pinned in tests/test_simhash_scale.py).
+    # the output carries the caller's doc_id type verbatim (testdata
+    # corpus long, synthetic/planted corpora string)
     id_type = d.schema["doc_id"].dataType.simpleString()
     tf = _simhash_tf(d)
-    if id_type != "string":
-        tf = tf.withColumn("doc_id", F.col("doc_id").cast("string"))
-    out = tf.repartition("doc_id").mapInPandas(fn, "doc_id string, fp long")
-    if id_type != "string":
-        out = out.withColumn("doc_id", F.col("doc_id").cast(id_type))
-    return out
+    return tf.repartition("doc_id").mapInArrow(fn, f"doc_id {id_type}, fp long")
 
 
 def _simhash_fingerprints_expr_of(d: DataFrame) -> DataFrame:
