@@ -18,15 +18,20 @@ probes are directly comparable):
 
 - fresh ``get_spark`` engine session (local[$SPARK_GRAFT_CPUS]);
 - one small parquet read (spins the reader/codegen framework classes),
-  then ONE untimed execution of the query (its own codegen/JIT warm-up);
-- ``$SPARK_GRAFT_BENCH_RUNS`` timed noop-format writes, cache cleared
+  then ``$SPARK_GRAFT_BENCH_WARMUPS`` (default 3) untimed executions of
+  the query — one warm-up leaves min-of-N on the C2 compile ramp for
+  sub-second queries (VERDICT r9 #2: ±45% driver-vs-preflight disagreement
+  on identical code); the measured ann_pq plateau needs ~3;
+- ``$SPARK_GRAFT_BENCH_RUNS`` timed noop-format writes (doubled when the
+  last warm-up ran <1.2 s — a sub-second query's ramp tail is a larger
+  fraction of its measurement and extra runs are cheap), cache cleared
   and GC run between runs (outside the timed window);
 - one untimed ``count()`` for the sanity row count.
 
 Entry points (each prints ONE JSON line on stdout):
 
 - ``python -m apache_flink_pratices_spark.bench_query <name>`` —
-  ``{"name", "min", "median", "rows"}``;
+  ``{"name", "min", "median", "spread_pct", "runs", "rows"}``;
 - ``python -m apache_flink_pratices_spark.bench_query --extras`` —
   the untimed scale-evidence extras (clustered-ANN candidate fraction,
   hot-bucket guard) in their own fresh session.
@@ -47,36 +52,55 @@ def _run_query(name: str) -> dict:
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "4"))
+    n_warm = int(os.environ.get("SPARK_GRAFT_BENCH_WARMUPS", "3"))
     spec = bench_specs()[name]
     spark = get_spark(f"afp-bench-{name}")
     spark.sparkContext.setLogLevel("WARN")
 
-    # warm-up, untimed: reader/codegen framework classes, then the query
-    # itself once (C2-compiles ITS generated code; min-of-N cannot remove
-    # a cost every one of the N runs shares)
-    spark.read.parquet(f"{sf_dir}/region.parquet").count()
-    spec.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-    spark.catalog.clearCache()
-    spark._jvm.System.gc()
-
-    per: list[float] = []
-    for _ in range(n_runs):
+    def one_noop_write() -> float:
         t0 = time.perf_counter()
         df = spec.fn(spark, sf_dir)
         # noop-format write: materializes every output column end-to-end
         # (count() lets Catalyst skip final projections)
         df.write.format("noop").mode("overwrite").save()
-        per.append(time.perf_counter() - t0)
+        dt = time.perf_counter() - t0
         # drop any persist() the query made so repeats stay independent;
         # GC outside the timed window
         spark.catalog.clearCache()
         spark._jvm.System.gc()
+        return dt
+
+    # warm-up, untimed: reader/codegen framework classes, then the query
+    # itself n_warm times. ONE warm-up is not enough to reach the C2
+    # plateau (measured ann_pq_topk trace in one fresh session: 7.50,
+    # 2.28, 1.67, 1.51, 1.91, 1.42 … — min-of-4-after-one-warm-up still
+    # rides the ramp, and the r9 driver-vs-preflight gap hit ±45% on
+    # sub-second queries; VERDICT r9 #2), so the default is 3.
+    spark.read.parquet(f"{sf_dir}/region.parquet").count()
+    last_warm = 0.0
+    for _ in range(n_warm):
+        last_warm = one_noop_write()
+
+    # sub-second queries get extra timed runs: their C2 tail is a larger
+    # FRACTION of the measurement, and each extra run costs <1.2 s — the
+    # min sits on the plateau instead of sampling the ramp's tail
+    runs = n_runs if last_warm >= 1.2 else max(n_runs, 2 * n_runs)
+    per = [one_noop_write() for _ in range(runs)]
     rows = spec.fn(spark, sf_dir).count()  # untimed, for sanity
     spark.stop()
+    mn = min(per)
     return {
         "name": name,
-        "min": round(min(per), 3),
-        "median": round(statistics.median(per), 3),
+        "min": round(mn, 3),
+        # median 2-decimal / spread integer-percent: indicators, not the
+        # headline metric — and the summary-line worst-case budget is
+        # tight (tests/test_bench_contract.py)
+        "median": round(statistics.median(per), 2),
+        # run-to-run spread: the per-query noise-floor indicator the
+        # artifact surfaces (VERDICT r9 #2) — deltas smaller than this
+        # are box noise, not code
+        "spread_pct": int(round(100.0 * (max(per) - mn) / mn)) if mn else 0,
+        "runs": runs,
         "rows": rows,
     }
 

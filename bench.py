@@ -23,13 +23,17 @@ compact): two JSON lines are printed —
    note naming the harness version;
 2. the COMPACT summary line, LAST: {"metric", "value" (sum of mins),
    "unit", "sf", "runs", "queries" (per-query MIN, 3-decimal floats,
-   no spaces)}. tests/test_bench_contract.py pins its length budget.
+   no spaces), "med" + "spread_pct" (per-query median and
+   100*(max-min)/min, ARRAYS aligned with the "queries" key order —
+   the noise-floor indicator, VERDICT r9 #2)}.
+   tests/test_bench_contract.py pins its length budget.
 
-Each query runs $SPARK_GRAFT_BENCH_RUNS times (default 4) after one
-untimed warm-up execution in its subprocess; the min is the best
-estimate of the plan's cost on this box. Timing is a noop-format
-write — count() lets Catalyst skip computing final projections, which
-made round-1 numbers up to 10x optimistic.
+Each query runs $SPARK_GRAFT_BENCH_RUNS times (default 4; doubled for
+sub-second queries) after $SPARK_GRAFT_BENCH_WARMUPS (default 3) untimed
+warm-up executions in its subprocess; the min is the best estimate of
+the plan's cost on this box. Timing is a noop-format write — count()
+lets Catalyst skip computing final projections, which made round-1
+numbers up to 10x optimistic.
 """
 
 from __future__ import annotations
@@ -82,6 +86,7 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     medians: dict[str, float] = {}
+    spreads: dict[str, float] = {}
     rows: dict[str, int] = {}
     for name in names:
         r = _subprocess_json(
@@ -90,6 +95,7 @@ def main() -> None:
         )
         timings[name] = r["min"]
         medians[name] = r["median"]
+        spreads[name] = r["spread_pct"]
         rows[name] = r["rows"]
 
     # --- scale-evidence extras (untimed, own fresh session) --------------
@@ -121,17 +127,21 @@ def main() -> None:
 
     detail = {
         "queries_median": medians,
+        "queries_spread_pct": spreads,
         "rows": rows,
         **extras,
         "streaming": stream_detail,
         "schema_note": (
-            "harness v2 (r9): each query timed in its OWN fresh subprocess "
-            "engine — min/median over `runs` noop-write executions after "
-            "one untimed warm-up run (cache cleared + GC between runs); "
-            "r8 and earlier used one shared session for all queries (see "
-            "docs/scale_notes.md round-9 re-baseline table before "
-            "comparing across the boundary). streaming.backends: rates "
-            "per stateful backend, primary = `auto`"
+            "harness v2.1 (r10): each query timed in its OWN fresh "
+            "subprocess engine — min/median/spread over `runs` noop-write "
+            "executions (doubled for sub-second queries) after 3 untimed "
+            "warm-up runs (cache cleared + GC between runs); summary "
+            "`med`/`spread_pct` arrays align with the `queries` key order "
+            "(spread_pct = 100*(max-min)/min — deltas under a query's "
+            "spread are box noise, not code; VERDICT r9 #2). r9 used one "
+            "warm-up; r8 and earlier one shared session for all queries "
+            "(docs/scale_notes.md re-baseline tables). streaming.backends: "
+            "rates per stateful backend, primary = `auto`"
         ),
     }
     summary = {
@@ -141,6 +151,13 @@ def main() -> None:
         "sf": sf,
         "runs": n_runs,
         "queries": timings,
+        # per-query medians + run-to-run spread (%), aligned with the
+        # `queries` key order — arrays, not dicts, to stay inside the
+        # driver's 2000-char tail capture (VERDICT r9 #2: without a
+        # noise indicator on the PARSED line, a ±40% sub-second delta
+        # cannot be told from a regression)
+        "med": [medians[n] for n in names],
+        "spread_pct": [spreads[n] for n in names],
         # streaming ev/s repeated on the summary line: the driver may only
         # capture the LAST line, and the metric must land in BENCH_r{N}
         "streaming": streaming,

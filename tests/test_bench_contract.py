@@ -44,6 +44,18 @@ def test_bench_cli_contract():
     detail = json.loads(lines[-2])
     assert set(detail["rows"]) == set(doc["queries"])
     assert set(detail["queries_median"]) == set(doc["queries"])
+    assert set(detail["queries_spread_pct"]) == set(doc["queries"])
+    # noise-floor indicator on the PARSED line (VERDICT r9 #2): med and
+    # spread_pct arrays align with the queries key order
+    assert len(doc["med"]) == len(doc["queries"])
+    assert len(doc["spread_pct"]) == len(doc["queries"])
+    for n, med in zip(doc["queries"], doc["med"]):
+        assert med == detail["queries_median"][n]
+        # 2-decimal median never lands below the 3-decimal min by more
+        # than its own rounding step
+        assert med >= doc["queries"][n] - 0.005
+    for n, sp in zip(doc["queries"], doc["spread_pct"]):
+        assert sp == detail["queries_spread_pct"][n] and sp >= 0
     # round-7 scale-evidence extras: measured LSH pruning on the planted
     # clusters, and streaming ev/s through the two stateful flagship paths
     assert 0 < detail["ann_lsh_clustered_candidate_fraction"] < 0.2
@@ -92,6 +104,8 @@ def test_bench_summary_line_budget():
         "sf": "0.001",
         "runs": 99,
         "queries": {n: 9999.999 for n in names},
+        "med": [9999.99 for _ in names],
+        "spread_pct": [999 for _ in names],
         "streaming": {
             "fraud_ev_s": 99999999,
             "cep_ev_s": 99999999,
