@@ -414,50 +414,59 @@ def _register_token_budget_plan() -> None:
         tags=("curation", "tokens", "llm-pipeline"),
     )
     def token_budget_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
-        d = load(spark, sf_dir, "documents")
-        bpeish = F.expr(f"size(regexp_extract_all(lower(text), '{_BPEISH}', 0))")
-        tier = F.substring("source", 4, 16).cast("int") % 4
-        share_bp = F.when(F.lit(False), F.lit(0))
-        for i, bp in enumerate(MIX_TIER_BP):
-            share_bp = share_bp.when(tier == i, F.lit(bp))
-        counts = (
-            d.groupBy("source")
-            .agg(F.sum(bpeish.cast("long")).alias("available_tokens"))
-            .select(
-                "source",
-                share_bp.otherwise(None).alias("share_bp"),
-                "available_tokens",
-            )
-            .filter(F.col("available_tokens") > 0)
-        )
-        target = F.expr(f"CAST({TOKEN_BUDGET} * share_bp AS BIGINT) DIV 10000")
-        epochs = F.expr(
-            f"(CAST({TOKEN_BUDGET} * share_bp AS BIGINT) DIV 10000) * 10000 "
-            "DIV available_tokens"
-        )
-        capped = F.least(epochs, F.lit(MAX_EPOCHS_BP).cast("long"))
-        return counts.select(
-            "source",
-            "share_bp",
-            "available_tokens",
-            target.alias("target_tokens"),
-            epochs.cast("long").alias("epochs_bp"),
-            capped.cast("long").alias("epochs_capped_bp"),
-            (F.col("available_tokens") * capped)
-            .cast("long")
-            .alias("__pt_raw"),
-        ).select(
-            "source",
-            "share_bp",
-            "available_tokens",
-            "target_tokens",
-            "epochs_bp",
-            "epochs_capped_bp",
-            F.expr("__pt_raw DIV 10000").alias("planned_tokens"),
-        )
+        return token_budget_plan_frame(load(spark, sf_dir, "documents"))
 
 
 _register_token_budget_plan()
+
+
+def token_budget_plan_frame(d: DataFrame) -> DataFrame:
+    """The token-budget mixture plan for any ``(source, text)`` frame —
+    split out so composed pipelines (corpus_pipeline_e2e) budget the
+    SURVIVORS of upstream dedup/quality gates instead of the raw corpus."""
+    from apache_flink_pratices_spark.operators.text import _BPEISH
+
+    bpeish = F.expr(f"size(regexp_extract_all(lower(text), '{_BPEISH}', 0))")
+    tier = F.substring("source", 4, 16).cast("int") % 4
+    share_bp = F.when(F.lit(False), F.lit(0))
+    for i, bp in enumerate(MIX_TIER_BP):
+        share_bp = share_bp.when(tier == i, F.lit(bp))
+    counts = (
+        d.groupBy("source")
+        .agg(F.sum(bpeish.cast("long")).alias("available_tokens"))
+        .select(
+            "source",
+            share_bp.otherwise(None).alias("share_bp"),
+            "available_tokens",
+        )
+        .filter(F.col("available_tokens") > 0)
+    )
+    target = F.expr(f"CAST({TOKEN_BUDGET} * share_bp AS BIGINT) DIV 10000")
+    epochs = F.expr(
+        f"(CAST({TOKEN_BUDGET} * share_bp AS BIGINT) DIV 10000) * 10000 "
+        "DIV available_tokens"
+    )
+    capped = F.least(epochs, F.lit(MAX_EPOCHS_BP).cast("long"))
+    return counts.select(
+        "source",
+        "share_bp",
+        "available_tokens",
+        target.alias("target_tokens"),
+        epochs.cast("long").alias("epochs_bp"),
+        capped.cast("long").alias("epochs_capped_bp"),
+        (F.col("available_tokens") * capped)
+        .cast("long")
+        .alias("__pt_raw"),
+    ).select(
+        "source",
+        "share_bp",
+        "available_tokens",
+        "target_tokens",
+        "epochs_bp",
+        "epochs_capped_bp",
+        F.expr("__pt_raw DIV 10000").alias("planned_tokens"),
+    )
+
 
 
 # --- end-to-end curation decision -----------------------------------------
@@ -1224,4 +1233,132 @@ def scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_type").alias("state"),
         qlong(F.col("value"), 100).alias("value_c"),
         nxt.isNull().cast("long").alias("is_current"),
+    )
+
+
+# --- composed production curation pipeline ---------------------------------
+
+def _pipeline_oracle() -> str:
+    """The full-chain DuckDB twin: near-dup canonicalization (dedup_clusters
+    semantics) -> Gopher quality gate -> token-budget plan over the
+    SURVIVORS -> sequence packing of the survivors, each stage the exact
+    SQL of its registered component re-scoped from `documents` to `surv`."""
+    from apache_flink_pratices_spark import registry
+    from apache_flink_pratices_spark.operators.text import _BPEISH
+
+    gopher = registry.get_spec("quality_gopher_rules").oracle
+    ep = f"(({TOKEN_BUDGET} * share_bp // 10000) * 10000 // available_tokens)"
+    shards = (
+        f"SELECT GREATEST(1, CAST(CEIL(COUNT(*) / {float(PACK_DOCS_PER_SHARD)}) "
+        "AS BIGINT)) FROM surv WHERE length(text) > 0"
+    )
+    return f"""
+    WITH RECURSIVE {SQL_SIMHASH_PAIR_CTES},
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM sh_pairs
+      UNION ALL
+      SELECT doc_b AS src, doc_a AS dst FROM sh_pairs
+    ),
+    reach(doc_id, label) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.doc_id
+    ),
+    comp AS (SELECT doc_id, MIN(label) AS cluster_id FROM reach GROUP BY doc_id),
+    gop AS ({gopher}),
+    surv AS (
+      SELECT d.doc_id, d.source, d.text
+      FROM documents d
+        JOIN comp c ON c.doc_id = d.doc_id AND c.cluster_id = d.doc_id
+        JOIN gop g ON g.doc_id = d.doc_id AND g.passes_gopher = 1
+    ),
+    counts AS (
+      SELECT source, {_SQL_MIX_BP} AS share_bp,
+             CAST(SUM(len(regexp_extract_all(lower(text), '{_BPEISH}')))
+                  AS BIGINT) AS available_tokens
+      FROM surv GROUP BY source
+    ),
+    budget AS (
+      SELECT source, share_bp,
+             CAST(least({ep}, {MAX_EPOCHS_BP}) AS BIGINT) AS epochs_capped_bp,
+             CAST(available_tokens * least({ep}, {MAX_EPOCHS_BP}) // 10000
+                  AS BIGINT) AS planned_tokens
+      FROM counts WHERE available_tokens > 0
+    ),
+    toks AS (
+      SELECT doc_id, source, doc_id % ({shards}) AS shard,
+             len(regexp_extract_all(lower(text), '{_BPEISH}')) AS n_tokens
+      FROM surv WHERE length(text) > 0
+    ),
+    pref AS (
+      SELECT doc_id, source, shard, n_tokens,
+             CAST(COALESCE(SUM(n_tokens) OVER (
+               PARTITION BY shard ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+               AS prefix_tokens
+      FROM toks
+    )
+    SELECT p.doc_id, p.source, p.shard, p.n_tokens, p.prefix_tokens,
+           CAST(p.prefix_tokens // {PACK_BUDGET} AS BIGINT) AS bin,
+           b.share_bp, b.epochs_capped_bp, b.planned_tokens
+    FROM pref p JOIN budget b ON b.source = p.source
+    """
+
+
+@register(
+    "corpus_pipeline_e2e",
+    oracle=_pipeline_oracle(),
+    doc="The production curation pipeline as ONE query (VERDICT r9 #5) — "
+    "the shape a real 100 TB curation run has: near-dup canonicalization "
+    "(dedup_clusters: keep the min-doc_id member of each verified simhash "
+    "component), the Gopher quality gate over the keepers, the "
+    "token-budget mixture plan computed from the SURVIVORS (not the raw "
+    "corpus — budget follows what curation kept), and sequence packing "
+    "of the survivors, each packed doc carrying its source's planned "
+    "budget columns. Operator COMPOSITION is the point: the documents "
+    "table is loaded once and persisted, and Spark's CacheManager swaps "
+    "every component's own `load(documents)` subtree for the cached "
+    "frame (plan-level dedup), so ONE corpus scan feeds dedup, gating, "
+    "budgeting and packing — asserted against the physical plan in "
+    "tests/test_plan_audit.py. The near-dup edges ride the maintained "
+    "pair artifact; the budget join is a broadcast (sources-sized).",
+    tags=("curation", "dedup", "tokens", "packing", "llm-pipeline", "composition"),
+)
+def corpus_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from apache_flink_pratices_spark.operators.text import gopher_rules_frame
+
+    docs = load(spark, sf_dir, "documents").persist(StorageLevel.MEMORY_AND_DISK)
+    canon = (
+        dedup_clusters(spark, sf_dir)
+        .filter(F.col("is_canonical"))
+        .select("doc_id")
+    )
+    gate = (
+        gopher_rules_frame(docs)
+        .filter(F.col("passes_gopher") == 1)
+        .select("doc_id")
+    )
+    surv = (
+        docs.select("doc_id", "source", "text")
+        .join(canon, "doc_id")
+        .join(gate, "doc_id")
+    )
+    budget = token_budget_plan_frame(surv).select(
+        "source", "share_bp", "epochs_capped_bp", "planned_tokens"
+    )
+    packed = doc_packing_frame(surv.filter(F.length("text") > 0))
+    return (
+        packed.join(surv.select("doc_id", "source"), "doc_id")
+        .join(F.broadcast(budget), "source")
+        .select(
+            "doc_id",
+            "source",
+            "shard",
+            "n_tokens",
+            "prefix_tokens",
+            "bin",
+            "share_bp",
+            "epochs_capped_bp",
+            "planned_tokens",
+        )
     )

@@ -760,7 +760,13 @@ def _gopher_metrics() -> dict[str, F.Column]:
     tags=("text", "quality", "llm-pipeline"),
 )
 def quality_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load(spark, sf_dir, "documents")
+    return gopher_rules_frame(load(spark, sf_dir, "documents"))
+
+
+def gopher_rules_frame(d: DataFrame) -> DataFrame:
+    """Gopher-rule flags for any ``(doc_id, text)`` frame — split out so
+    composed pipelines (corpus_pipeline_e2e) gate an already-loaded,
+    cached corpus frame instead of re-scanning documents."""
     ws = tokens()
     t = d.select("doc_id", ws.alias("ws")).filter(F.size("ws") > 0)
     m = _gopher_metrics()

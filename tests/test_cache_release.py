@@ -32,6 +32,9 @@ CACHE_BEARING = [
     "dedup_simhash",
     "pagerank_neardup",
     "dedup_clusters",
+    # the composed pipeline persists the documents frame it feeds to
+    # every stage (round 10) — released like the rest
+    "corpus_pipeline_e2e",
 ]
 
 

@@ -453,3 +453,28 @@ def test_dedup_incremental_is_artifact_scan_with_pushed_verify(spark):
     assert not join_kinds(plan), plan
     pushed = " ".join(pushed_filters(plan))
     assert "hamming" in pushed, plan
+
+
+def test_corpus_pipeline_e2e_single_documents_scan(spark):
+    """corpus_pipeline_e2e (VERDICT r9 #5) composes dedup_clusters +
+    gopher gate + token budget + packing; its claim is operator
+    COMPOSITION: the documents table is persisted once and Spark's
+    CacheManager swaps every component's own load(documents) subtree
+    for the cached frame, so ONE corpus scan feeds the whole chain,
+    and the sources-sized budget join is a broadcast."""
+    from apache_flink_pratices_spark.registry import get_spec
+    from apache_flink_pratices_spark.operators import curation  # noqa: F401
+
+    spark.catalog.clearCache()
+    try:
+        df = get_spec("corpus_pipeline_e2e").fn(spark, SF)
+        plan = formatted_plan(df)
+        # exactly one parquet scan of documents — the cache fill; every
+        # other consumer reads the InMemoryRelation
+        assert plan.count("documents.parquet") == 1, plan
+        assert "InMemoryTableScan" in plan or "TableCacheQueryStage" in plan
+        kinds = join_kinds(plan)
+        assert "CartesianProduct" not in kinds, kinds
+        assert "BroadcastHashJoin" in kinds, kinds  # budget join
+    finally:
+        spark.catalog.clearCache()
