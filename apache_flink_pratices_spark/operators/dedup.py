@@ -1245,7 +1245,9 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: alone, so a silent implementation change would serve stale pairs to
 #: pagerank_neardup / triangle_count_neardup / dedup_clusters while
 #: their DuckDB oracles recompute live.
-_NEARDUP_IMPL_VERSION = "v3-wedge-rescue"
+_NEARDUP_IMPL_VERSION = "v4-arrow-kernel"  # r10: mapInArrow fingerprint
+# kernel (bit-identical to v3 by twin pin, but the artifact must reflect
+# the implementation that would rebuild it)
 
 
 def _neardup_artifact_base() -> str:

@@ -72,41 +72,36 @@ CRITICAL = (
 #: plain-session recipe at sf0.01 this round (tools/
 #: driver_replica_check.py); they rotate into the r8 window naturally as
 #: the then-stalest cohort.
-#: One-round application of the RE-ANCHOR ON CODE CHANGE rule (round 9).
-#: The round-8 pins (``ann_pq_topk``/``ann_ivfpq_topk``) landed their
-#: fresh green rows in CORRECTNESS_r08 and are cleared per the rule's
-#: own docstring. This round's pins:
+#: One-round application of the RE-ANCHOR ON CODE CHANGE rule (round 10).
+#: The round-9 pins (``dedup_clusters``/``dedup_simhash``/
+#: ``dup_ngram_coverage``/``dedup_minhash_lsh``) landed their fresh green
+#: rows in CORRECTNESS_r09 and are cleared per the rule's own docstring.
+#: This round's pins:
 #:
-#: - ``dedup_clusters`` consumes the simhash fingerprint/candidate
-#:   artifact that round 8 rewrote as a vectorized kernel (``dedup.py``),
-#:   but its latest driver row (r7) predates that change and is too
-#:   young to re-enter the ~50-slot window by staleness alone — the
-#:   other two fingerprint consumers (``pagerank_neardup``/
-#:   ``triangle_count_neardup``, rows r5) rotate in naturally as part of
-#:   the stalest cohort (VERDICT r8 #1).
-#: - ``dedup_simhash`` / ``dup_ngram_coverage``: round 9 itself changed
-#:   their kernel path again — the fingerprint kernel now routes
-#:   non-string doc_ids through a lossless string round-trip (the 2^53
-#:   id guard) and ``_build_candidate_pairs`` gained the above-cap wedge
-#:   rescue branch. Output on the driver corpora is proven unchanged
-#:   (below-cap branch + HEAD replica sweep), but their latest driver
-#:   rows (r8) predate the change, and a kernel change is precisely when
-#:   the driver's independent check is owed (VERDICT r8 "what's wrong"
-#:   #1, applied proactively this time).
-#: - ``dedup_minhash_lsh``: round 9 wired the same above-cap rescue into
-#:   the minhash tier and re-derived its verify's shingle sides with
-#:   per-call aliases (self-join lineage fix) — a changed verify
-#:   formulation with only an r7 row. ``mm_phash_pairs`` got the same
-#:   treatment but rotates into the window by staleness already (r6).
+#: - Round 10 rewrote the simhash fingerprint kernel as ``mapInArrow``
+#:   (dropping the 2^53 id-guard string round-trip, VERDICT r9 #3) and
+#:   bumped ``_NEARDUP_IMPL_VERSION``, so the pair ARTIFACT rebuilds from
+#:   the new kernel. Output is proven bit-identical (expression-twin pin,
+#:   adversarial 2^53+null corpus, replica check), but a kernel change is
+#:   precisely when the driver's independent check is owed: re-anchor the
+#:   direct query (``dedup_simhash``) and every artifact consumer whose
+#:   r9 rows predate the change (``dedup_clusters``, ``pagerank_neardup``,
+#:   ``triangle_count_neardup``, ``dedup_incremental``).
+#:   ``dup_ngram_coverage`` is pinned too — VERDICT r9 #3 names it in the
+#:   changed-kernel rule's done-criterion.
 #:
-#: Four slots spent; the r9 window still drains the whole r5 cohort, so
-#: after r9 the invariant is: no latest row older than r6. CLEAR THIS
-#: TUPLE next round once the fresh rows land.
+#: Six slots spent; the r10 window still drains the whole 21-query
+#: r6-stale cohort (14 CRITICAL + 6 here + 1 never-checked newcomer
+#: leaves ~29 rotation slots), so after r10 the invariant is: no latest
+#: row older than r7. CLEAR THIS TUPLE next round once the fresh rows
+#: land.
 RE_ANCHORED = (
-    "dedup_clusters",
     "dedup_simhash",
     "dup_ngram_coverage",
-    "dedup_minhash_lsh",
+    "dedup_clusters",
+    "pagerank_neardup",
+    "triangle_count_neardup",
+    "dedup_incremental",
 )
 
 DEMOTED_ANCHORS = (

@@ -434,21 +434,26 @@ def measure_all(
     # primary's.
     from apache_flink_pratices_spark.streaming.native_state import (
         native_state_available,
+        resolve_stateful_backend,
     )
 
-    primary = "native" if native_state_available() else "pandas_state"
+    # `auto` resolves by the measured policy (round 10: pandas_state for
+    # the shipped small-state machines — crossover table in
+    # docs/scale_notes.md); the secondary measured backend is native,
+    # runnable only where the worker runtime supports it
+    primary = resolve_stateful_backend("small")
     backends: dict = {
         "auto": primary,
         "fraud_ev_s": {primary: int(fraud_rate)},
         "cep_ev_s": {primary: int(cep_rate)},
         # 0 when no second backend is runnable (review r9: a reader must
         # distinguish "one secondary run produced null" from "the native
-        # backend was unavailable"); set to 1 in the native branch below
+        # backend was unavailable"); set to 1 in the branch below
         "secondary_runs": 0,
     }
-    if primary == "native":
+    sec = "native" if primary != "native" else "pandas_state"
+    if sec == "pandas_state" or native_state_available():
         backends["secondary_runs"] = 1
-        sec = "pandas_state"
         if not small:  # untimed warm-up of the secondary backend — BOTH
             # paths: warming only fraud left the single timed CEP
             # pandas_state run paying worker spin-up the primary's
@@ -475,7 +480,7 @@ def measure_all(
             )
         backends["fraud_ev_s"][sec] = int(sfr)
         backends["cep_ev_s"][sec] = int(scr)
-    else:
+    else:  # native unavailable in this runtime
         backends["fraud_ev_s"]["native"] = None
         backends["cep_ev_s"]["native"] = None
 
@@ -493,10 +498,68 @@ def measure_all(
     }
 
 
+def crossover_sweep(
+    spark: SparkSession,
+    wd: str,
+    n_tx: int = 100_000,
+    cardinalities: tuple[int, ...] = (50, 500, 5_000, 50_000),
+    runs: int = 2,
+) -> dict:
+    """Measured native-vs-pandas_state crossover over key cardinality
+    (VERDICT r9 #4): the W1 fraud path, same rows (``n_tx``), swept over
+    ``n_accounts`` so the per-key state-server round-trip cost the native
+    backend pays (and the monolithic-tuple serialization the fallback
+    pays) are both measured where they actually diverge — per distinct
+    key per batch. Both backends get an untimed warm-up; each cell is
+    best-of-``runs``. Returns ``{"n_tx": ..., "cells": {n_accounts:
+    {"native": ev_s, "pandas_state": ev_s}}}``; the measured table and
+    the `auto` policy it justifies live in docs/scale_notes.md."""
+    from apache_flink_pratices_spark.streaming.native_state import (
+        native_state_available,
+    )
+
+    if not native_state_available():
+        raise RuntimeError(
+            "crossover sweep needs both backends runnable (native state "
+            "unavailable in this runtime)"
+        )
+    for impl in ("native", "pandas_state"):  # untimed worker spin-up
+        fraud_events_per_sec(
+            spark, os.path.join(wd, f"w-{impl}"), n_tx=2_000, impl=impl
+        )
+    cells: dict = {}
+    for ka in cardinalities:
+        in_dir = os.path.join(wd, f"in{ka}")
+        n_rows = prepare_fraud_input(spark, in_dir, n_tx, n_accounts=ka)
+        row: dict = {}
+        for impl in ("native", "pandas_state"):
+            best = 0.0
+            for r in range(runs):
+                rate, n_out = fraud_events_per_sec(
+                    spark,
+                    os.path.join(wd, f"r{ka}-{impl}-{r}"),
+                    in_dir=in_dir,
+                    n_rows=n_rows,
+                    impl=impl,
+                )
+                if n_out <= 0:
+                    raise RuntimeError(
+                        f"crossover cell ({ka}, {impl}) produced no alerts"
+                    )
+                best = max(best, rate)
+            row[impl] = int(best)
+        cells[ka] = row
+    return {"n_tx": n_tx, "cells": cells}
+
+
 def main() -> None:
     """Subprocess entry for bench.py: run the streaming measurement in a
-    fresh engine and print ONE JSON line (the streaming dict)."""
+    fresh engine and print ONE JSON line (the streaming dict).
+
+    ``--crossover``: run :func:`crossover_sweep` instead (not part of the
+    per-round bench — a diagnostic for the `auto` backend policy)."""
     import json
+    import sys
     import tempfile
 
     from apache_flink_pratices_spark.session import get_spark
@@ -505,7 +568,10 @@ def main() -> None:
     spark = get_spark("afp-bench-streams")
     spark.sparkContext.setLogLevel("ERROR")
     with tempfile.TemporaryDirectory(prefix="afp_bench_stream_") as wd:
-        out = measure_all(spark, wd, small=small)
+        if "--crossover" in sys.argv[1:]:
+            out = crossover_sweep(spark, wd)
+        else:
+            out = measure_all(spark, wd, small=small)
     print(json.dumps(out, separators=(",", ":")))
     spark.stop()
 

@@ -136,8 +136,10 @@ def fraud_alert_stream(
     - ``"pandas_state"`` — ``applyInPandasWithState`` (Spark 3.4+
       fallback): one state tuple per key, single timeout timestamp parked
       on the earliest armed timer.
-    - ``"auto"`` — native when the runtime supports it (requires the
-      google-protobuf wheel in the Python workers), else fallback.
+    - ``"auto"`` — the measured backend policy
+      (:func:`~apache_flink_pratices_spark.streaming.native_state.resolve_stateful_backend`):
+      pandas_state for this machine's small state profile (round-10
+      crossover sweep, docs/scale_notes.md), native by explicit opt-in.
 
     Both backends drive the SAME framework-free
     :class:`~apache_flink_pratices_spark.domain.rules.FraudMachine`, so
@@ -154,10 +156,13 @@ def fraud_alert_stream(
     )
     if impl == "auto":
         from apache_flink_pratices_spark.streaming.native_state import (
-            native_state_available,
+            resolve_stateful_backend,
         )
 
-        impl = "native" if native_state_available() else "pandas_state"
+        # small per-key state (3 scalars + bounded armed list): the
+        # measured policy picks the fallback backend (VERDICT r9 #4,
+        # crossover table in docs/scale_notes.md)
+        impl = resolve_stateful_backend("small")
     if impl == "native":
         from apache_flink_pratices_spark.streaming.native_state import (
             fraud_alert_stream_native,

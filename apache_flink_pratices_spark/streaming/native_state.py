@@ -94,6 +94,32 @@ def native_state_available() -> bool:
     return hasattr(GroupedData, "transformWithStateInPandas")
 
 
+def resolve_stateful_backend(state_profile: str = "small") -> str:
+    """The ``impl="auto"`` backend policy, set by MEASUREMENT
+    (VERDICT r9 #4; the round-10 crossover sweep table and this policy
+    live in docs/scale_notes.md).
+
+    ``state_profile="small"`` — every shipped machine: the fraud
+    detector is three scalars plus a bounded armed-timer list, the trend
+    machine a few scalars, the signal generator TTL-bounded windows —
+    resolves to ``"pandas_state"``: the sweep measured
+    ``applyInPandasWithState`` ~1.6× faster than
+    ``transformWithStateInPandas`` at EVERY key cardinality from 50 to
+    50,000 keys on identical rows (ratio flat ≈0.6 across three orders
+    of magnitude — no crossover in cardinality, so the native backend's
+    overhead is per-ROW protocol cost, not per-key round trips; the
+    prior qualitative low-cardinality argument is retired).
+
+    ``state_profile="large"`` resolves to ``"native"`` where the runtime
+    supports it: per-variable state access means a batch touching one
+    variable does not deserialize and rewrite a monolithic per-key
+    tuple — the axis the shipped small-state machines cannot measure,
+    and the scoped remainder of the 100 TB argument."""
+    if state_profile == "large" and native_state_available():
+        return "native"
+    return "pandas_state"
+
+
 def _make_fraud_processor(small: float, large: float, window_ms: int):
     """Build the StatefulProcessor subclass lazily: the base class import
     is cheap, but constructing it only behind the availability gate keeps

@@ -35,8 +35,9 @@ design, ``2. CEP 레이어...md:82,209``):
 - ``transformWithStateInPandas``
   (:mod:`apache_flink_pratices_spark.streaming.native_state`): separate
   named MapState/ListState/ValueState variables, REAL per-price event-time
-  timers and native TTL — selected by ``impl="auto"`` where the runtime
-  supports it.
+  timers and native TTL — selected by ``impl="native"``; ``impl="auto"``
+  follows the measured backend policy (pandas_state for this machine's
+  small state profile — round-10 crossover sweep, docs/scale_notes.md).
 
 Timer semantics follow the engine's documented event-time interleave (see
 ``docs/fraud_semantics.md``): armed spoof deadlines strictly earlier than
@@ -443,15 +444,19 @@ def signal_stream(
 
     ``impl``: ``"native"`` (transformWithStateInPandas — named state vars,
     real per-price timers, native TTL), ``"pandas_state"`` (monolithic
-    tuple fallback), or ``"auto"`` (native where the runtime supports it).
+    tuple fallback), or ``"auto"`` (the measured backend policy —
+    ``native_state.resolve_stateful_backend``).
     """
     src = drop_late(unified, ts_col)
     if impl == "auto":
         from apache_flink_pratices_spark.streaming.native_state import (
-            native_state_available,
+            resolve_stateful_backend,
         )
 
-        impl = "native" if native_state_available() else "pandas_state"
+        # TTL-bounded windows per key = small state profile: the
+        # measured policy picks the fallback backend (VERDICT r9 #4,
+        # crossover table in docs/scale_notes.md)
+        impl = resolve_stateful_backend("small")
     if impl == "native":
         from apache_flink_pratices_spark.streaming.native_state import (
             signal_stream_native,

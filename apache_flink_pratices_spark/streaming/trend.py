@@ -196,7 +196,8 @@ def trend_stream(
     :func:`~apache_flink_pratices_spark.streaming.fraud.fraud_alert_stream`):
     ``"native"`` = ``transformWithStateInPandas`` named state + one real
     event-time timer per key; ``"pandas_state"`` = monolithic-tuple
-    fallback; ``"auto"`` = native where the runtime supports it. Both
+    fallback; ``"auto"`` = the measured backend policy
+    (``native_state.resolve_stateful_backend``). Both
     backends drive the same :class:`TrendMachine`."""
     src = drop_late(trades, ts_col).select(
         F.col(code_col).cast("string").alias("code"),
@@ -206,10 +207,11 @@ def trend_stream(
     )
     if impl == "auto":
         from apache_flink_pratices_spark.streaming.native_state import (
-            native_state_available,
+            resolve_stateful_backend,
         )
 
-        impl = "native" if native_state_available() else "pandas_state"
+        # a few scalars per key = small state profile (VERDICT r9 #4)
+        impl = resolve_stateful_backend("small")
     if impl == "native":
         from apache_flink_pratices_spark.streaming.native_state import (
             trend_stream_native,

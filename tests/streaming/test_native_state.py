@@ -69,13 +69,18 @@ def test_machine_timer_diff_tracks_native_registry():
     assert m2.alerts == [(2_000_000, 900.00)]
 
 
-def test_auto_dispatch_matches_availability():
-    """impl='auto' must resolve to the fallback exactly when the native
-    runtime is unavailable (and to native when it is)."""
-    from apache_flink_pratices_spark.streaming import fraud  # noqa: F401
+def test_auto_dispatch_follows_measured_policy():
+    """impl='auto' resolves by the measured backend policy (round 10,
+    VERDICT r9 #4): pandas_state for the shipped small-state machines at
+    every measured key cardinality; native only for the large-state
+    profile AND only where the runtime supports it."""
+    from apache_flink_pratices_spark.streaming.native_state import (
+        resolve_stateful_backend,
+    )
 
-    # the probe is the single source of truth for the dispatcher
-    assert native_state_available() in (True, False)
+    assert resolve_stateful_backend("small") == "pandas_state"
+    expected = "native" if native_state_available() else "pandas_state"
+    assert resolve_stateful_backend("large") == expected
 
 
 # ---- real streaming drives (cluster-only in this sandbox) ----
