@@ -59,7 +59,11 @@ from apache_flink_pratices_spark.operators.dedup import (
     dedup_exact,
     simhash_verified_pairs,
 )
-from apache_flink_pratices_spark.operators.text import lang_id, text_quality
+from apache_flink_pratices_spark.operators.text import (
+    STOPWORDS,
+    lang_id,
+    text_quality,
+)
 from apache_flink_pratices_spark.registry import register
 
 # --- connected-component dedup clustering ---------------------------------
@@ -358,6 +362,85 @@ def domain_mix_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.join(F.broadcast(rates), "source")
         .filter(gate < F.col("accept_bp"))
         .select("doc_id", "source", "share_bp", "accept_bp")
+    )
+
+
+# --- quality-temperature sampling -------------------------------------------
+
+#: hash seed for the temperature-sample gate (distinct from SAMPLE_SEED /
+#: MIX_SEED so composing the three samplers keeps them independent)
+QTS_SEED = 13
+#: word-count saturation knob — same shape as text_quality's len/64 term
+QTS_WORD_NORM = 64
+
+
+@register(
+    "quality_temperature_sample",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, source, lang,
+             len(string_split(lower(text), ' ')) AS n_words,
+             len(list_filter(string_split(lower(text), ' '),
+                             w -> w IN {STOPWORDS!r})) AS n_stop
+      FROM documents
+    ), q AS (
+      SELECT doc_id, source, lang,
+             least(10000, n_words * 10000 // {QTS_WORD_NORM})
+               * (n_words - n_stop) // n_words AS q_bp
+      FROM t WHERE n_words > 0
+    )
+    SELECT doc_id, source, lang, q_bp, q_bp * q_bp // 10000 AS accept_bp
+    FROM q
+    WHERE {sql_md5_long("'qts|' || CAST(doc_id AS VARCHAR)", seed=QTS_SEED)}
+          % 10000 * 10000 < q_bp * q_bp
+    """,
+    doc="Quality-temperature sampling: keep-probability = quality^(1/T) "
+    "with T = 1/2 — the quadratic up-weighting of high-quality documents "
+    "a pretraining mixture applies when it can't afford the whole crawl. "
+    "Quality is the text_quality composite recomputed in exact basis "
+    "points (length saturation x non-stopword fraction, all integer "
+    "floor-division), and the exponent is applied as an integer cross-"
+    "multiplication (hash%10000 * 10000 < q_bp^2), so both engines "
+    "evaluate the identical gate with no float in the decision path. "
+    "Same deterministic per-doc hash gate as stratified_sample: map-only, "
+    "zero shuffles, reproducible across engines/runs/partitionings, and "
+    "independent of the other samplers by seed.",
+    tags=("sampling", "curation", "quality"),
+)
+def quality_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    ws = F.split(F.lower(F.col("text")), " ")
+    t = d.select(
+        "doc_id",
+        "source",
+        "lang",
+        F.size(ws).cast("long").alias("n_words"),
+        F.size(F.filter(ws, lambda w: w.isin(*STOPWORDS)))
+        .cast("long")
+        .alias("n_stop"),
+    ).filter(F.col("n_words") > 0)
+    q = t.select(
+        "doc_id",
+        "source",
+        "lang",
+        F.expr(
+            f"least(10000, n_words * 10000 div {QTS_WORD_NORM})"
+            " * (n_words - n_stop) div n_words"
+        ).alias("q_bp"),
+    )
+    gate = (
+        md5_long(
+            F.concat(F.lit("qts|"), F.col("doc_id").cast("string")),
+            seed=QTS_SEED,
+        )
+        % 10000
+    )
+    return q.filter(gate * 10000 < F.col("q_bp") * F.col("q_bp")).select(
+        "doc_id",
+        "source",
+        "lang",
+        "q_bp",
+        F.expr("q_bp * q_bp div 10000").alias("accept_bp"),
     )
 
 

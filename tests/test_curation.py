@@ -475,3 +475,53 @@ def test_scd2_intervals_tile_and_single_current(spark):
         assert vs[-1].valid_to is None
         for a, b in zip(vs, vs[1:]):
             assert a.valid_to == b.valid_from, (uid, a.version)
+
+
+def test_quality_temperature_sample_gate_quality_and_plan(spark):
+    """Temperature sampling is (a) deterministic, (b) exactly the
+    hash-vs-q_bp^2 gate — pinned by an INDEPENDENT plain-Python recompute
+    of quality and gate from the raw corpus, not the mirrored SQL — and
+    (c) map-only: zero exchanges in the physical plan."""
+    import hashlib
+
+    from apache_flink_pratices_spark.operators.curation import (
+        QTS_SEED,
+        QTS_WORD_NORM,
+        quality_temperature_sample,
+    )
+    from apache_flink_pratices_spark.operators.text import STOPWORDS
+    from apache_flink_pratices_spark.plans.explain import (
+        exchange_count,
+        formatted_plan,
+    )
+
+    a = quality_temperature_sample(spark, SF_SMOKE)
+    kept = {r["doc_id"]: r for r in a.collect()}
+    again = sorted(r["doc_id"] for r in quality_temperature_sample(spark, SF_SMOKE).collect())
+    assert sorted(kept) == again  # hash-gated: identical across runs
+
+    def gate(doc_id: int) -> int:
+        h = hashlib.md5(f"{QTS_SEED}|qts|{doc_id}".encode()).hexdigest()
+        return int(h[:14], 16) % 10000
+
+    expected = {}
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").select(
+        "doc_id", "text"
+    ).collect()
+    for d in docs:
+        ws = d["text"].lower().split(" ")
+        n_words, n_stop = len(ws), sum(w in STOPWORDS for w in ws)
+        if n_words == 0:
+            continue
+        q_bp = (
+            min(10000, n_words * 10000 // QTS_WORD_NORM)
+            * (n_words - n_stop)
+            // n_words
+        )
+        if gate(d["doc_id"]) * 10000 < q_bp * q_bp:
+            expected[d["doc_id"]] = q_bp
+    assert {k: r["q_bp"] for k, r in kept.items()} == expected
+    for r in kept.values():
+        assert r["accept_bp"] == r["q_bp"] * r["q_bp"] // 10000
+
+    assert exchange_count(formatted_plan(a)) == 0  # map-only, no shuffle
