@@ -525,3 +525,64 @@ def test_quality_temperature_sample_gate_quality_and_plan(spark):
         assert r["accept_bp"] == r["q_bp"] * r["q_bp"] // 10000
 
     assert exchange_count(formatted_plan(a)) == 0  # map-only, no shuffle
+
+
+def test_bloom_no_false_negatives_and_fpr_bounded():
+    """The bloom contract the operator's exactness rests on: every
+    inserted hash tests positive (no false negatives — same position
+    function on both sides), and the false-positive rate at realistic
+    fill stays far below the exact-verify stage's capacity."""
+    import numpy as np
+
+    from apache_flink_pratices_spark.operators.curation import (
+        BLOOM_M,
+        _bloom_positions,
+    )
+
+    rng = np.random.default_rng(7)
+    members = rng.integers(0, 1 << 56, size=200_000, dtype=np.int64)
+    others = rng.integers(0, 1 << 56, size=200_000, dtype=np.int64)
+    others = others[~np.isin(others, members)]
+
+    words = np.zeros(BLOOM_M // 64, dtype=np.uint64)
+    for p in _bloom_positions(members):
+        np.bitwise_or.at(
+            words,
+            (p >> np.uint64(6)).astype(np.int64),
+            np.uint64(1) << (p & np.uint64(63)),
+        )
+
+    def test(h):
+        hit = np.ones(len(h), dtype=bool)
+        for p in _bloom_positions(h):
+            hit &= (
+                (words[(p >> np.uint64(6)).astype(np.int64)]
+                 >> (p & np.uint64(63)))
+                & np.uint64(1)
+            ).astype(bool)
+        return hit
+
+    assert test(members).all()  # no false negatives, ever
+    fpr = test(others).mean()
+    assert fpr < 0.01, fpr  # 200k keys in 2^22 bits, k=4
+
+
+def test_decontaminate_bloom_partitions_train_with_contamination(spark):
+    """clean (decontaminate_bloom) and dirty (contamination_ngrams'
+    doc_ids) must exactly partition the train docs that HAVE shingles;
+    shingle-less train docs are clean with n_shingles = 0."""
+    from apache_flink_pratices_spark.operators.curation import (
+        EVAL_MOD,
+        contamination_ngrams,
+        decontaminate_bloom,
+    )
+
+    clean = {r["doc_id"]: r["n_shingles"] for r in decontaminate_bloom(spark, SF_SMOKE).collect()}
+    dirty = {r["doc_id"] for r in contamination_ngrams(spark, SF_SMOKE).collect() if r["n_shared"] > 0}
+    train = {
+        r["doc_id"]
+        for r in spark.read.parquet(f"{SF_SMOKE}/documents.parquet").collect()
+        if r["doc_id"] % EVAL_MOD != 0
+    }
+    assert set(clean) | dirty == train
+    assert not (set(clean) & dirty)
