@@ -24,6 +24,17 @@ from apache_flink_pratices_spark.plans.explain import (
 SF = "/root/testdata/sf0.001"
 
 
+@pytest.fixture(autouse=True)
+def _clean_cache(spark):
+    """Plan audits assert properties of plans built against the PARQUET
+    scans; a cache entry left by an earlier test (e.g. a query that
+    persists the documents frame) makes the CacheManager swap the scan
+    subtree for an InMemoryRelation and the audited plan is no longer
+    the one that runs at scale. Audit under a clean cache, always."""
+    spark.catalog.clearCache()
+    yield
+
+
 def test_q6_filters_pushed_to_scan(spark):
     plan = formatted_plan(q6_forecast_revenue(spark, SF))
     pushed = " ".join(pushed_filters(plan))
