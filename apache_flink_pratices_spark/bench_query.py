@@ -113,6 +113,9 @@ def _run_query(name: str) -> dict:
 
 
 def _run_extras() -> dict:
+    from apache_flink_pratices_spark.operators.curation import (
+        decontaminate_bloom_stats,
+    )
     from apache_flink_pratices_spark.operators.dedup import (
         hot_bucket_guard_bench,
         hot_bucket_recall_bench,
@@ -132,11 +135,15 @@ def _run_extras() -> dict:
     # measured verified-pair recall above the cap + wedge rescue
     # (VERDICT r8 #3) — synthetic planted corpora, sf-independent
     hot_recall = hot_bucket_recall_bench(spark)
+    spark.catalog.clearCache()
+    # measured bloom prefilter effectiveness at bench scale (round 10)
+    bloom_stats = decontaminate_bloom_stats(spark, sf_dir)
     spark.stop()
     return {
         "ann_lsh_clustered_candidate_fraction": cand_fraction,
         "hot_bucket_guard": hot_guard,
         "hot_bucket_recall": hot_recall,
+        "decontaminate_bloom": bloom_stats,
     }
 
 

@@ -302,6 +302,69 @@ def _build_bloom(eval_h: DataFrame):
     return out
 
 
+def _bloom_probed(spark: SparkSession, sf_dir: str):
+    """(eval_h, probed): the eval shingle hashes and the train shingle
+    rows annotated with their bloom verdict — shared by the registered
+    query and the bench's measured-evidence stats."""
+    import numpy as np
+    import pyarrow as pa
+
+    sh = _shingles(spark, sf_dir).persist(StorageLevel.MEMORY_AND_DISK)
+    eval_h = sh.filter(F.col("doc_id") % EVAL_MOD == 0).select("h")
+    words = _build_bloom(eval_h)
+    bc = spark.sparkContext.broadcast(words.tobytes())
+
+    def probe(batches):
+        w = np.frombuffer(bc.value, dtype=np.uint64)
+        for b in batches:
+            h = b.column("h").to_numpy(zero_copy_only=False).astype(
+                np.int64, copy=False
+            )
+            hit = np.ones(len(h), dtype=bool)
+            for p in _bloom_positions(h):
+                hit &= (
+                    (w[(p >> np.uint64(6)).astype(np.int64)]
+                     >> (p & np.uint64(63)))
+                    & np.uint64(1)
+                ).astype(bool)
+            yield pa.record_batch(
+                [b.column("doc_id"), b.column("h"),
+                 pa.array(hit.astype(np.int32), pa.int32())],
+                names=["doc_id", "h", "hit"],
+            )
+
+    train = sh.filter(F.col("doc_id") % EVAL_MOD != 0)
+    probed = train.mapInArrow(probe, "doc_id long, h long, hit int").persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    return eval_h, probed
+
+
+def decontaminate_bloom_stats(spark: SparkSession, sf_dir: str) -> dict:
+    """Measured bloom effectiveness at ``sf_dir`` scale (emitted in the
+    bench's scale-evidence extras each round): candidate fraction (how
+    much of the train shingle stream the exact verify join must touch)
+    and the realized row-level false-positive rate (bloom-positive rows
+    NOT in the exact eval set, over truly-negative rows)."""
+    eval_h, probed = _bloom_probed(spark, sf_dir)
+    total = probed.count()
+    pos = probed.filter(F.col("hit") == 1).count()
+    true_rows = (
+        probed.filter(F.col("hit") == 1)
+        .join(F.broadcast(eval_h.distinct()), "h")
+        .count()
+    )
+    neg_truth = total - true_rows
+    return {
+        "train_shingle_rows": total,
+        "bloom_positive_rows": pos,
+        "candidate_fraction": round(pos / max(1, total), 4),
+        "false_positive_rate": round(
+            (pos - true_rows) / max(1, neg_truth), 5
+        ),
+    }
+
+
 @register(
     "decontaminate_bloom",
     oracle=f"""
@@ -338,37 +401,7 @@ def _build_bloom(eval_h: DataFrame):
     tags=("text", "contamination", "curation", "bloom", "llm-pipeline"),
 )
 def decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import numpy as np
-    import pyarrow as pa
-
-    sh = _shingles(spark, sf_dir).persist(StorageLevel.MEMORY_AND_DISK)
-    eval_h = sh.filter(F.col("doc_id") % EVAL_MOD == 0).select("h")
-    words = _build_bloom(eval_h)
-    bc = spark.sparkContext.broadcast(words.tobytes())
-
-    def probe(batches):
-        w = np.frombuffer(bc.value, dtype=np.uint64)
-        for b in batches:
-            h = b.column("h").to_numpy(zero_copy_only=False).astype(
-                np.int64, copy=False
-            )
-            hit = np.ones(len(h), dtype=bool)
-            for p in _bloom_positions(h):
-                hit &= (
-                    (w[(p >> np.uint64(6)).astype(np.int64)]
-                     >> (p & np.uint64(63)))
-                    & np.uint64(1)
-                ).astype(bool)
-            yield pa.record_batch(
-                [b.column("doc_id"), b.column("h"),
-                 pa.array(hit.astype(np.int32), pa.int32())],
-                names=["doc_id", "h", "hit"],
-            )
-
-    train = sh.filter(F.col("doc_id") % EVAL_MOD != 0)
-    probed = train.mapInArrow(probe, "doc_id long, h long, hit int").persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    eval_h, probed = _bloom_probed(spark, sf_dir)
     # exact verify over bloom-positive rows only — the bloom's measured
     # false-positive rate bounds this join's input, and a false positive
     # dies here (no overlap in the exact set)

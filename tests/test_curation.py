@@ -586,3 +586,30 @@ def test_decontaminate_bloom_partitions_train_with_contamination(spark):
     }
     assert set(clean) | dirty == train
     assert not (set(clean) & dirty)
+
+
+def test_decontaminate_bloom_stats_consistent(spark):
+    """The measured-evidence stats must be internally consistent with
+    the exact sets: positives cover every truly-shared row (no false
+    negatives), the candidate fraction bounds the verify join's input,
+    and the realized FPR stays inside the same order as the analytic
+    sizing (<1% at shipped fill)."""
+    from apache_flink_pratices_spark.operators.curation import (
+        _bloom_probed,
+        decontaminate_bloom_stats,
+    )
+
+    s = decontaminate_bloom_stats(spark, SF_SMOKE)
+    assert 0 < s["bloom_positive_rows"] <= s["train_shingle_rows"]
+    assert 0.0 <= s["false_positive_rate"] < 0.01
+
+    # the end-to-end no-false-negative property on the real corpus: a
+    # bloom-NEGATIVE train shingle row must never exist in the exact
+    # eval set (this is what lets bloom-clean docs skip the verify join)
+    eval_h, probed = _bloom_probed(spark, SF_SMOKE)
+    missed = (
+        probed.filter(F.col("hit") == 0)
+        .join(eval_h.distinct(), "h")
+        .count()
+    )
+    assert missed == 0
