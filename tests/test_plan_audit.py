@@ -489,3 +489,17 @@ def test_corpus_pipeline_e2e_single_documents_scan(spark):
         assert "BroadcastHashJoin" in kinds, kinds  # budget join
     finally:
         spark.catalog.clearCache()
+
+
+def test_decontaminate_bloom_verify_join_is_broadcast(spark):
+    """The exact verify join behind the bloom prefilter must be a
+    broadcast hash join on the (small) eval hash set — never a shuffle
+    of the train shingle stream, and never a nested-loop product."""
+    from apache_flink_pratices_spark.operators.curation import (
+        decontaminate_bloom,
+    )
+
+    plan = formatted_plan(decontaminate_bloom(spark, SF))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
