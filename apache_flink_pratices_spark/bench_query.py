@@ -84,7 +84,7 @@ def _run_query(name: str) -> dict:
     # sub-second queries get extra timed runs: their C2 tail is a larger
     # FRACTION of the measurement, and each extra run costs <1.2 s — the
     # min sits on the plateau instead of sampling the ramp's tail
-    runs = n_runs if last_warm >= 1.2 else max(n_runs, 2 * n_runs)
+    runs = n_runs if last_warm >= 1.2 else 2 * n_runs
     per = [one_noop_write() for _ in range(runs)]
     # noise-adaptive extension (bounded to ONE extra batch): a >25%
     # max-over-min spread after the base runs means the sample still

@@ -424,23 +424,20 @@ def measure_all(
             )
 
     # --- per-backend rates (VERDICT r8 #6) -----------------------------
-    # The headline rates above run impl="auto" (native where the runtime
-    # supports it). The OTHER backend gets one measured run per path so
-    # the artifact carries both: when auto resolves to native the
-    # secondary is applyInPandasWithState; when the runtime lacks native
-    # state there is no second runnable backend and the secondary is
-    # recorded null. One run (vs the primary's best-of-N) bounds cost;
-    # the small untimed warm-up covers its worker spin-up like the
-    # primary's.
+    # The headline rates above run impl="auto", which resolves by the
+    # measured policy (round 10: pandas_state for the shipped
+    # small-state machines — crossover table in docs/scale_notes.md).
+    # The OTHER backend — native, the explicit large-state opt-in — gets
+    # one measured run per path so the artifact carries both; when the
+    # worker runtime lacks native state there is no second runnable
+    # backend and the secondary is recorded null. One run (vs the
+    # primary's best-of-N) bounds cost; the small untimed warm-up covers
+    # its worker spin-up like the primary's.
     from apache_flink_pratices_spark.streaming.native_state import (
         native_state_available,
         resolve_stateful_backend,
     )
 
-    # `auto` resolves by the measured policy (round 10: pandas_state for
-    # the shipped small-state machines — crossover table in
-    # docs/scale_notes.md); the secondary measured backend is native,
-    # runnable only where the worker runtime supports it
     primary = resolve_stateful_backend("small")
     backends: dict = {
         "auto": primary,
@@ -451,8 +448,8 @@ def measure_all(
         # backend was unavailable"); set to 1 in the branch below
         "secondary_runs": 0,
     }
-    sec = "native" if primary != "native" else "pandas_state"
-    if sec == "pandas_state" or native_state_available():
+    sec = "native"  # the policy pins primary = pandas_state
+    if native_state_available():
         backends["secondary_runs"] = 1
         if not small:  # untimed warm-up of the secondary backend — BOTH
             # paths: warming only fraud left the single timed CEP

@@ -115,6 +115,11 @@ def resolve_stateful_backend(state_profile: str = "small") -> str:
     variable does not deserialize and rewrite a monolithic per-key
     tuple — the axis the shipped small-state machines cannot measure,
     and the scoped remainder of the 100 TB argument."""
+    if state_profile not in ("small", "large"):
+        # an explicit opt-in must not silently fall back on a typo
+        raise ValueError(
+            f"unknown state_profile {state_profile!r} (use 'small' or 'large')"
+        )
     if state_profile == "large" and native_state_available():
         return "native"
     return "pandas_state"

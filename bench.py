@@ -88,6 +88,7 @@ def main() -> None:
     medians: dict[str, float] = {}
     spreads: dict[str, float] = {}
     rows: dict[str, int] = {}
+    run_counts: dict[str, int] = {}
     for name in names:
         r = _subprocess_json(
             ["-m", "apache_flink_pratices_spark.bench_query", name],
@@ -97,6 +98,7 @@ def main() -> None:
         medians[name] = r["median"]
         spreads[name] = r["spread_pct"]
         rows[name] = r["rows"]
+        run_counts[name] = r["runs"]
 
     # --- scale-evidence extras (untimed, own fresh session) --------------
     # measured LSH pruning on the planted-cluster corpus (VERDICT r6 #5)
@@ -128,13 +130,20 @@ def main() -> None:
     detail = {
         "queries_median": medians,
         "queries_spread_pct": spreads,
+        # actual timed samples behind each min (v2.1 varies it: doubled
+        # for sub-second queries, +1 batch on >25% spread) — the sample-
+        # size context the summary's base `runs` field cannot carry
+        "queries_runs": run_counts,
         "rows": rows,
         **extras,
         "streaming": stream_detail,
         "schema_note": (
             "harness v2.1 (r10): each query timed in its OWN fresh "
-            "subprocess engine — min/median/spread over `runs` noop-write "
-            "executions (doubled for sub-second queries) after 3 untimed "
+            "subprocess engine — min/median/spread over noop-write "
+            "executions (summary `runs` is the BASE count; the actual "
+            "per-query sample counts — doubled for sub-second queries, "
+            "one extra batch on >25% spread — are detail.queries_runs) "
+            "after 3 untimed "
             "warm-up runs (cache cleared + GC between runs); summary "
             "`med`/`spread_pct` arrays align with the `queries` key order "
             "(spread_pct = 100*(max-min)/min — deltas under a query's "

@@ -81,6 +81,9 @@ def test_auto_dispatch_follows_measured_policy():
     assert resolve_stateful_backend("small") == "pandas_state"
     expected = "native" if native_state_available() else "pandas_state"
     assert resolve_stateful_backend("large") == expected
+    # an explicit opt-in must not silently fall back on a typo
+    with pytest.raises(ValueError, match="state_profile"):
+        resolve_stateful_backend("LARGE")
 
 
 # ---- real streaming drives (cluster-only in this sandbox) ----

@@ -35,6 +35,9 @@ CACHE_BEARING = [
     # the composed pipeline persists the documents frame it feeds to
     # every stage (round 10) — released like the rest
     "corpus_pipeline_e2e",
+    # bloom decontamination persists the shingle frame and the probed
+    # (bloom-tested) rows (round 10)
+    "decontaminate_bloom",
 ]
 
 

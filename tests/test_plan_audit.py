@@ -30,9 +30,13 @@ def _clean_cache(spark):
     scans; a cache entry left by an earlier test (e.g. a query that
     persists the documents frame) makes the CacheManager swap the scan
     subtree for an InMemoryRelation and the audited plan is no longer
-    the one that runs at scale. Audit under a clean cache, always."""
+    the one that runs at scale. Audit under a clean cache, always —
+    and clear AFTER too, so audits that eagerly persist (the bloom
+    decontamination builds its bitmap at construction) don't hand the
+    same hazard to alphabetically-later modules."""
     spark.catalog.clearCache()
     yield
+    spark.catalog.clearCache()
 
 
 def test_q6_filters_pushed_to_scan(spark):
