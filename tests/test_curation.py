@@ -613,3 +613,63 @@ def test_decontaminate_bloom_stats_consistent(spark):
         .count()
     )
     assert missed == 0
+
+
+def test_bloom_positions_properties():
+    """Property test for the shared position function: every probe lands
+    in-table, the stride is odd (full-period walk of the power-of-two
+    table), and positions are a pure function of the hash (determinism
+    is what makes the no-false-negative contract structural)."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from apache_flink_pratices_spark.operators.curation import (
+        BLOOM_K,
+        BLOOM_M,
+        _bloom_positions,
+    )
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.lists(st.integers(min_value=0, max_value=(1 << 56) - 1),
+                    min_size=1, max_size=50))
+    def check(hs):
+        h = np.array(hs, dtype=np.int64)
+        ps = _bloom_positions(h)
+        assert len(ps) == BLOOM_K
+        again = _bloom_positions(h)
+        for a, b in zip(ps, again):
+            assert (a == b).all()          # deterministic
+            assert (a < BLOOM_M).all()     # in-table
+        # consecutive probes differ by a constant odd stride per hash
+        stride = (ps[1] - ps[0]) & np.uint64(BLOOM_M - 1)
+        assert (stride % np.uint64(2) == 1).all()
+        for j in range(2, BLOOM_K):
+            d = (ps[j] - ps[j - 1]) & np.uint64(BLOOM_M - 1)
+            assert (d == stride).all()
+
+    check()
+
+
+def test_quality_temperature_gate_is_monotone_in_quality():
+    """Pure-python property of the gate arithmetic: for a FIXED hash
+    draw, raising q_bp can only turn keep on, never off — the sampler
+    is monotone in quality, the property the temperature exponent must
+    preserve."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=500, deadline=None)
+    @given(st.integers(min_value=0, max_value=9999),
+           st.integers(min_value=0, max_value=10000),
+           st.integers(min_value=0, max_value=10000))
+    def check(gate, q1, q2):
+        lo, hi = sorted((q1, q2))
+        keep_lo = gate * 10000 < lo * lo
+        keep_hi = gate * 10000 < hi * hi
+        assert keep_hi or not keep_lo  # keep set grows with quality
+        # acceptance matches the quadratic temperature exactly at the
+        # basis-point grid: kept iff gate < ceil(q^2/10000) boundary
+        assert keep_lo == (gate < (lo * lo + 9999) // 10000)
+
+    check()
