@@ -563,11 +563,10 @@ QTS_SEED = 13
 #: word-count saturation knob — same shape as text_quality's len/64 term
 QTS_WORD_NORM = 64
 
-
-@register(
-    "quality_temperature_sample",
-    oracle=f"""
-    WITH t AS (
+#: the q_bp CTE shared by quality_temperature_sample and
+#: quality_topk_per_source (integer basis points, no float)
+_SQL_QBP = f"""
+    t AS (
       SELECT doc_id, source, lang,
              len(string_split(lower(text), ' ')) AS n_words,
              len(list_filter(string_split(lower(text), ' '),
@@ -579,6 +578,38 @@ QTS_WORD_NORM = 64
                * (n_words - n_stop) // n_words AS q_bp
       FROM t WHERE n_words > 0
     )
+"""
+
+
+def _quality_bp_frame(d: DataFrame) -> DataFrame:
+    """(doc_id, source, lang, q_bp): the exact integer basis-point
+    quality score — length saturation x non-stopword fraction, all
+    floor-division, identical arithmetic to the ``_SQL_QBP`` oracle."""
+    ws = F.split(F.lower(F.col("text")), " ")
+    t = d.select(
+        "doc_id",
+        "source",
+        "lang",
+        F.size(ws).cast("long").alias("n_words"),
+        F.size(F.filter(ws, lambda w: w.isin(*STOPWORDS)))
+        .cast("long")
+        .alias("n_stop"),
+    ).filter(F.col("n_words") > 0)
+    return t.select(
+        "doc_id",
+        "source",
+        "lang",
+        F.expr(
+            f"least(10000, n_words * 10000 div {QTS_WORD_NORM})"
+            " * (n_words - n_stop) div n_words"
+        ).alias("q_bp"),
+    )
+
+
+@register(
+    "quality_temperature_sample",
+    oracle=f"""
+    WITH {_SQL_QBP}
     SELECT doc_id, source, lang, q_bp, q_bp * q_bp // 10000 AS accept_bp
     FROM q
     WHERE {sql_md5_long("'qts|' || CAST(doc_id AS VARCHAR)", seed=QTS_SEED)}
@@ -598,26 +629,7 @@ QTS_WORD_NORM = 64
     tags=("sampling", "curation", "quality"),
 )
 def quality_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load(spark, sf_dir, "documents")
-    ws = F.split(F.lower(F.col("text")), " ")
-    t = d.select(
-        "doc_id",
-        "source",
-        "lang",
-        F.size(ws).cast("long").alias("n_words"),
-        F.size(F.filter(ws, lambda w: w.isin(*STOPWORDS)))
-        .cast("long")
-        .alias("n_stop"),
-    ).filter(F.col("n_words") > 0)
-    q = t.select(
-        "doc_id",
-        "source",
-        "lang",
-        F.expr(
-            f"least(10000, n_words * 10000 div {QTS_WORD_NORM})"
-            " * (n_words - n_stop) div n_words"
-        ).alias("q_bp"),
-    )
+    q = _quality_bp_frame(load(spark, sf_dir, "documents"))
     gate = (
         md5_long(
             F.concat(F.lit("qts|"), F.col("doc_id").cast("string")),
@@ -631,6 +643,65 @@ def quality_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         "q_bp",
         F.expr("q_bp * q_bp div 10000").alias("accept_bp"),
+    )
+
+
+#: docs kept per source by the quality ranking
+TOPK_PER_SOURCE = 10
+
+
+@register(
+    "quality_topk_per_source",
+    oracle=f"""
+    WITH {_SQL_QBP},
+    r AS (
+      SELECT doc_id, source, q_bp,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY q_bp DESC, doc_id) AS rank
+      FROM q
+    )
+    SELECT doc_id, source, q_bp, CAST(rank AS BIGINT) AS rank
+    FROM r WHERE rank <= {TOPK_PER_SOURCE}
+    """,
+    doc="Per-source quality top-k — 'keep the N best documents per "
+    "domain', the ranking cousin of stratified_exact_n (which keeps a "
+    "RANDOM N). The naive plan is one window partitioned by source: "
+    "with few, huge domains that is one reducer per domain sorting the "
+    "whole domain — the canonical skew trap at 100 TB. This runs the "
+    "EXACT two-phase prune instead: phase 1 ranks within (source, "
+    "input-partition) — the same salted-shuffle shape as "
+    "q1_pricing_summary — and keeps each shard's local top-k (any "
+    "global top-k row is necessarily in its shard's top-k, so the "
+    "prune is lossless); phase 2 re-ranks only sources x shards x k "
+    "survivors. The skewed sort fans out over every core, and the "
+    "per-source stage touches a bounded row count regardless of "
+    "domain size. Ties break on doc_id in both phases — deterministic "
+    "and engine-identical (exact integer q_bp).",
+    tags=("curation", "quality", "ranking", "skew"),
+)
+def quality_topk_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    q = _quality_bp_frame(load(spark, sf_dir, "documents")).select(
+        "doc_id", "source", "q_bp", F.spark_partition_id().alias("pid")
+    )
+    w_local = Window.partitionBy("source", "pid").orderBy(
+        F.col("q_bp").desc(), F.col("doc_id")
+    )
+    survivors = (
+        q.withColumn("lr", F.row_number().over(w_local))
+        .filter(F.col("lr") <= TOPK_PER_SOURCE)
+        .drop("lr", "pid")
+    )
+    w_global = Window.partitionBy("source").orderBy(
+        F.col("q_bp").desc(), F.col("doc_id")
+    )
+    return (
+        survivors.withColumn(
+            "rank", F.row_number().over(w_global).cast("long")
+        )
+        .filter(F.col("rank") <= TOPK_PER_SOURCE)
+        .select("doc_id", "source", "q_bp", "rank")
     )
 
 

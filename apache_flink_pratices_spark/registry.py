@@ -91,8 +91,8 @@ CRITICAL = (
 #:   changed-kernel rule's done-criterion.
 #:
 #: Six slots spent; the r10 window still drains the whole 21-query
-#: r6-stale cohort (14 CRITICAL + 6 here + 3 never-checked newcomers
-#: leaves ~27 rotation slots), so after r10 the invariant is: no latest
+#: r6-stale cohort (14 CRITICAL + 6 here + 4 never-checked newcomers
+#: leaves ~26 rotation slots), so after r10 the invariant is: no latest
 #: row older than r7. CLEAR THIS TUPLE next round once the fresh rows
 #: land.
 RE_ANCHORED = (

@@ -673,3 +673,37 @@ def test_quality_temperature_gate_is_monotone_in_quality():
         assert keep_lo == (gate < (lo * lo + 9999) // 10000)
 
     check()
+
+
+def test_quality_topk_two_phase_equals_naive_window(spark):
+    """The salted two-phase prune must be EXACT: identical rows to the
+    naive one-window-per-source formulation (any global top-k row is in
+    its shard's local top-k, so phase 1 is lossless)."""
+    from pyspark.sql.window import Window
+
+    from apache_flink_pratices_spark.io import load
+    from apache_flink_pratices_spark.operators.curation import (
+        TOPK_PER_SOURCE,
+        _quality_bp_frame,
+        quality_topk_per_source,
+    )
+
+    got = sorted(
+        tuple(r)
+        for r in quality_topk_per_source(spark, SF_SMOKE)
+        .select("doc_id", "source", "q_bp", "rank")
+        .collect()
+    )
+    naive_w = Window.partitionBy("source").orderBy(
+        F.col("q_bp").desc(), F.col("doc_id")
+    )
+    want = sorted(
+        tuple(r)
+        for r in _quality_bp_frame(load(spark, SF_SMOKE, "documents"))
+        .withColumn("rank", F.row_number().over(naive_w).cast("long"))
+        .filter(F.col("rank") <= TOPK_PER_SOURCE)
+        .select("doc_id", "source", "q_bp", "rank")
+        .collect()
+    )
+    assert got == want
+    assert len(got) > 0
