@@ -648,6 +648,8 @@ def quality_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 #: docs kept per source by the quality ranking
 TOPK_PER_SOURCE = 10
+#: salt fan-out for the phase-1 ranking sort (same role as KMV_SALT)
+TOPK_SALT = 32
 
 
 @register(
@@ -676,32 +678,29 @@ TOPK_PER_SOURCE = 10
     "survivors. The skewed sort fans out over every core, and the "
     "per-source stage touches a bounded row count regardless of "
     "domain size. Ties break on doc_id in both phases — deterministic "
-    "and engine-identical (exact integer q_bp).",
+    "and engine-identical (exact integer q_bp). Runs on the SHARED "
+    "salted kernel (operators/skew.salted_bottom_k — one fix to "
+    "salting or tie-handling lands here and in the KMV/index callers "
+    "alike), as a bottom-k over the negated score.",
     tags=("curation", "quality", "ranking", "skew"),
 )
 def quality_topk_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window
+    from apache_flink_pratices_spark.operators.skew import salted_bottom_k
 
     q = _quality_bp_frame(load(spark, sf_dir, "documents")).select(
-        "doc_id", "source", "q_bp", F.spark_partition_id().alias("pid")
+        "doc_id", "source", "q_bp", (-F.col("q_bp")).alias("neg_q")
     )
-    w_local = Window.partitionBy("source", "pid").orderBy(
-        F.col("q_bp").desc(), F.col("doc_id")
+    ranked = salted_bottom_k(
+        q,
+        ["source"],
+        "neg_q",
+        TOPK_PER_SOURCE,
+        TOPK_SALT,
+        salt_from="doc_id",
+        tiebreak_cols=["doc_id"],
     )
-    survivors = (
-        q.withColumn("lr", F.row_number().over(w_local))
-        .filter(F.col("lr") <= TOPK_PER_SOURCE)
-        .drop("lr", "pid")
-    )
-    w_global = Window.partitionBy("source").orderBy(
-        F.col("q_bp").desc(), F.col("doc_id")
-    )
-    return (
-        survivors.withColumn(
-            "rank", F.row_number().over(w_global).cast("long")
-        )
-        .filter(F.col("rank") <= TOPK_PER_SOURCE)
-        .select("doc_id", "source", "q_bp", "rank")
+    return ranked.select(
+        "doc_id", "source", "q_bp", F.col("rn").cast("long").alias("rank")
     )
 
 

@@ -448,8 +448,14 @@ def measure_all(
         # backend was unavailable"); set to 1 in the branch below
         "secondary_runs": 0,
     }
-    sec = "native"  # the policy pins primary = pandas_state
-    if native_state_available():
+    # derive the secondary as the COMPLEMENT of the policy's pick, and
+    # fail loudly if a future policy change ever makes them collide —
+    # a silent primary==sec would overwrite the headline best-of-N rate
+    # with the secondary's single run (review r10)
+    sec = "pandas_state" if primary == "native" else "native"
+    if primary == sec:
+        raise RuntimeError(f"backend bench: primary == secondary ({primary})")
+    if sec != "native" or native_state_available():
         backends["secondary_runs"] = 1
         if not small:  # untimed warm-up of the secondary backend — BOTH
             # paths: warming only fraud left the single timed CEP

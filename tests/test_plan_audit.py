@@ -510,13 +510,14 @@ def test_decontaminate_bloom_verify_join_is_broadcast(spark):
 
 
 def test_quality_topk_first_sort_is_salted(spark):
-    """The heavy ranking sort must partition by (source, input shard) —
-    the q1 salting shape — so one huge domain fans out over every core;
-    only the bounded survivor stage may partition by source alone."""
+    """The heavy ranking sort must partition by (source, salt) — the
+    shared salted_bottom_k kernel's shape — so one huge domain fans out
+    over every core; only the bounded survivor stage may partition by
+    source alone."""
     from apache_flink_pratices_spark.operators.curation import (
         quality_topk_per_source,
     )
 
     plan = formatted_plan(quality_topk_per_source(spark, SF))
-    assert "SPARK_PARTITION_ID" in plan.upper(), plan
+    assert "salt" in plan, plan
     assert exchange_count(plan) == 2, plan
