@@ -77,15 +77,24 @@ def _run_query(name: str) -> dict:
     # rides the ramp, and the r9 driver-vs-preflight gap hit ±45% on
     # sub-second queries; VERDICT r9 #2), so the default is 3.
     spark.read.parquet(f"{sf_dir}/region.parquet").count()
-    last_warm = 0.0
-    for _ in range(n_warm):
-        last_warm = one_noop_write()
+    warm = [one_noop_write() for _ in range(n_warm)]
 
     # sub-second queries get extra timed runs: their C2 tail is a larger
     # FRACTION of the measurement, and each extra run costs <1.2 s — the
-    # min sits on the plateau instead of sampling the ramp's tail
-    runs = n_runs if last_warm >= 1.2 else 2 * n_runs
-    per = [one_noop_write() for _ in range(runs)]
+    # min sits on the plateau instead of sampling the ramp's tail.
+    # The doubling keys on the MIN of the warm-up times (ADVICE r10: the
+    # last warm-up alone can be GC-stalled past 1.2 s on a genuinely
+    # sub-second query, skipping the doubling); with warm-ups disabled
+    # (SPARK_GRAFT_BENCH_WARMUPS=0) the first timed run is the probe
+    # instead — never a constant-0.0 that silently always doubles.
+    per: list[float] = []
+    if warm:
+        probe = min(warm)
+    else:
+        per.append(one_noop_write())
+        probe = per[0]
+    runs = n_runs if probe >= 1.2 else 2 * n_runs
+    per += [one_noop_write() for _ in range(runs - len(per))]
     # noise-adaptive extension (bounded to ONE extra batch): a >25%
     # max-over-min spread after the base runs means the sample still
     # straddles a compile/GC event — more samples tighten the min

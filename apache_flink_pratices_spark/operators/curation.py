@@ -270,8 +270,12 @@ def _build_bloom(eval_h: DataFrame):
     local 512 KiB bitmap, and the driver ORs the per-partition bitmaps —
     the driver receives n_partitions x m/8 bytes, NOT the raw hash set,
     which is the construction that still works when the eval superset has
-    10^9 n-grams (the bitmaps OR; the hashes would not fit). coalesce(8)
-    bounds the collect under the driver's plain 200-partition session."""
+    10^9 n-grams (the bitmaps OR; the hashes would not fit). repartition(8)
+    bounds the collect under the driver's plain 200-partition session
+    WITHOUT narrowing the upstream stage: coalesce(8) would fuse the whole
+    shingle distinct into 8 tasks (ADVICE r10), while the shuffle boundary
+    keeps the eval-shingle build at full parallelism and only the tiny
+    8-bitmap fold runs narrow."""
     import numpy as np
     import pyarrow as pa
 
@@ -297,17 +301,35 @@ def _build_bloom(eval_h: DataFrame):
             )
 
     out = np.zeros(n_words, dtype=np.uint64)
-    for row in eval_h.coalesce(8).mapInArrow(fn, "bm binary").collect():
+    for row in eval_h.repartition(8).mapInArrow(fn, "bm binary").collect():
         out |= np.frombuffer(row["bm"], dtype=np.uint64)
     return out
+
+
+#: (applicationId, sf_dir) -> (eval_h, probed): one bloom build + one pair
+#: of persisted frames per session and scale dir (ADVICE r10: the eager
+#: bitmap-collect job ran on EVERY frame construction — plan audits and
+#: registry tooling paid a full cluster job — and stats + operator each
+#: registered their own duplicate MEMORY_AND_DISK entries with no
+#: unpersist path). A released_caches block may unpersist the memoized
+#: frames; reuse after that simply recomputes lazily (the broadcast bloom
+#: stays valid), it never rebuilds eagerly.
+_BLOOM_PROBED_CACHE: dict = {}
 
 
 def _bloom_probed(spark: SparkSession, sf_dir: str):
     """(eval_h, probed): the eval shingle hashes and the train shingle
     rows annotated with their bloom verdict — shared by the registered
-    query and the bench's measured-evidence stats."""
+    query and the bench's measured-evidence stats, memoized per
+    (session, sf_dir) so both consumers see ONE bloom build and ONE pair
+    of persisted frames (ADVICE r10)."""
     import numpy as np
     import pyarrow as pa
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    hit = _BLOOM_PROBED_CACHE.get(key)
+    if hit is not None:
+        return hit
 
     sh = _shingles(spark, sf_dir).persist(StorageLevel.MEMORY_AND_DISK)
     eval_h = sh.filter(F.col("doc_id") % EVAL_MOD == 0).select("h")
@@ -337,6 +359,7 @@ def _bloom_probed(spark: SparkSession, sf_dir: str):
     probed = train.mapInArrow(probe, "doc_id long, h long, hit int").persist(
         StorageLevel.MEMORY_AND_DISK
     )
+    _BLOOM_PROBED_CACHE[key] = (eval_h, probed)
     return eval_h, probed
 
 

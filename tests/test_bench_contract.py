@@ -52,8 +52,10 @@ def test_bench_cli_contract():
     for n, med in zip(doc["queries"], doc["med"]):
         assert med == detail["queries_median"][n]
         # 2-decimal median never lands below the 3-decimal min by more
-        # than its own rounding step
-        assert med >= doc["queries"][n] - 0.005
+        # than the two rounding steps combined: min can round UP <=0.0005
+        # and median DOWN <=0.005, so the legitimate worst-case gap is
+        # 0.0055 (ADVICE r10: 0.005 could fail a correct run by ~0.0005)
+        assert med >= doc["queries"][n] - 0.0055
     for n, sp in zip(doc["queries"], doc["spread_pct"]):
         assert sp == detail["queries_spread_pct"][n] and sp >= 0
     # round-7 scale-evidence extras: measured LSH pruning on the planted
