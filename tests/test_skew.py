@@ -160,3 +160,162 @@ def test_salted_bottom_k_global_group(spark):
         (r.rn, r.v) for r in salted_bottom_k(df, [], "v", 5, 8).collect()
     )
     assert out == [(1, 1), (2, 2), (3, 3), (4, 4), (5, 5)]
+
+
+# --- kernel-level tie-handling properties (VERDICT r10 #6) -----------------
+# The PRECONDITION note on salted_bottom_k (unique order values OR a
+# tiebreak total order) was enforced only by caller discipline; these pin
+# it at the kernel level, over the four callers' shapes: grouped with
+# salt-from-order (KMV), grouped with separate salt_from + tiebreak
+# (quality_topk_per_source, hot-bucket reps), multi-column groups, and
+# the global (empty group_cols) sketch shape.
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_tied_rows = st.lists(
+    st.tuples(
+        st.integers(0, 2),  # group (up to 3 groups; 0 rows in one is fine)
+        st.integers(0, 4),  # order value from a 5-value domain -> heavy ties
+    ),
+    min_size=1,
+    max_size=60,
+)
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    rows=_tied_rows,
+    k=st.integers(1, 6),
+    salt_n=st.integers(1, 5),
+    n_parts=st.integers(1, 7),
+    salt_from_order=st.booleans(),
+)
+def test_salted_bottom_k_ties_with_tiebreak_equals_naive_window(
+    spark, rows, k, salt_n, n_parts, salt_from_order
+):
+    """PROPERTY: with duplicated order values and a tiebreak total order,
+    the two-phase salted kernel returns row-for-row (payload included)
+    exactly the naive per-group window's bottom-k, under arbitrary input
+    partitionings, salt fan-outs, k, and both salt sources (the order
+    column itself vs a distinct unique column)."""
+    from apache_flink_pratices_spark.operators.skew import salted_bottom_k
+
+    spark = spark
+    data = [(f"g{g}", v, i) for i, (g, v) in enumerate(rows)]  # pid unique
+    df = spark.createDataFrame(
+        data, "grp string, v long, pid long"
+    ).repartition(n_parts)
+    got = sorted(
+        (r.grp, r.rn, r.v, r.pid)
+        for r in salted_bottom_k(
+            df,
+            ["grp"],
+            "v",
+            k,
+            salt_n,
+            salt_from=None if salt_from_order else "pid",
+            tiebreak_cols=["pid"],
+        ).collect()
+    )
+    by_grp: dict = {}
+    for g, v, p in data:
+        by_grp.setdefault(g, []).append((v, p))
+    expect = sorted(
+        (g, i + 1, v, p)
+        for g, vs in by_grp.items()
+        for i, (v, p) in enumerate(sorted(vs)[:k])
+    )
+    assert got == expect
+
+
+@settings(max_examples=8, deadline=None)
+@given(rows=_tied_rows, k=st.integers(1, 5), n_parts=st.integers(1, 5))
+def test_salted_bottom_k_ties_without_tiebreak_values_deterministic(
+    spark, rows, k, n_parts
+):
+    """Mechanical record of the documented nondeterminism: with ties and
+    NO tiebreak, the (group, rank) -> ORDER VALUE mapping is still exactly
+    the naive window's (each salt slice keeps its k smallest values, and
+    the k smallest of the union of slice-wise k-smallest are the k
+    smallest overall), but WHICH tied row survives — its payload — is
+    partition-dependent and NOT asserted. Callers needing payload
+    determinism must pass tiebreak_cols (the kernel docstring's
+    PRECONDITION; quality_topk_per_source does)."""
+    from apache_flink_pratices_spark.operators.skew import salted_bottom_k
+
+    spark = spark
+    data = [(f"g{g}", v, i) for i, (g, v) in enumerate(rows)]
+    df = spark.createDataFrame(
+        data, "grp string, v long, pid long"
+    ).repartition(n_parts)
+    got = sorted(
+        (r.grp, r.rn, r.v)
+        for r in salted_bottom_k(df, ["grp"], "v", k, 3).collect()
+    )
+    by_grp: dict = {}
+    for g, v, _ in data:
+        by_grp.setdefault(g, []).append(v)
+    expect = sorted(
+        (g, i + 1, v)
+        for g, vs in by_grp.items()
+        for i, v in enumerate(sorted(vs)[:k])
+    )
+    assert got == expect
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    vals=st.lists(st.integers(0, 3), min_size=1, max_size=40),
+    k=st.integers(1, 5),
+    salt_n=st.integers(1, 4),
+)
+def test_salted_bottom_k_global_group_ties_with_tiebreak(
+    spark, vals, k, salt_n
+):
+    """The sketch_kmv_jaccard shape (empty group_cols = global bottom-k),
+    under ties + tiebreak: stage 2 is a single-task sort over <= salt_n*k
+    survivors and must still match the naive global sort row-for-row."""
+    from apache_flink_pratices_spark.operators.skew import salted_bottom_k
+
+    spark = spark
+    data = [(v, i) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(data, "v long, pid long")
+    got = sorted(
+        (r.rn, r.v, r.pid)
+        for r in salted_bottom_k(
+            df, [], "v", k, salt_n, salt_from="pid", tiebreak_cols=["pid"]
+        ).collect()
+    )
+    expect = sorted(
+        (i + 1, v, p) for i, (v, p) in enumerate(sorted(data)[:k])
+    )
+    assert got == expect
+
+
+@settings(max_examples=6, deadline=None)
+@given(rows=_tied_rows, k=st.integers(1, 4))
+def test_salted_bottom_k_multi_group_cols_ties(spark, rows, k):
+    """The hot-bucket-reps shape: two group columns (band, bucket) with a
+    tiebreak — the composite-key partitioning must not leak rows across
+    (band, bucket) pairs."""
+    from apache_flink_pratices_spark.operators.skew import salted_bottom_k
+
+    spark = spark
+    data = [(g % 2, g // 2, v, i) for i, (g, v) in enumerate(rows)]
+    df = spark.createDataFrame(data, "band int, bucket int, v long, pid long")
+    got = sorted(
+        (r.band, r.bucket, r.rn, r.v, r.pid)
+        for r in salted_bottom_k(
+            df, ["band", "bucket"], "v", k, 8, tiebreak_cols=["pid"]
+        ).collect()
+    )
+    by_g: dict = {}
+    for b, u, v, p in data:
+        by_g.setdefault((b, u), []).append((v, p))
+    expect = sorted(
+        (b, u, i + 1, v, p)
+        for (b, u), vs in by_g.items()
+        for i, (v, p) in enumerate(sorted(vs)[:k])
+    )
+    assert got == expect
