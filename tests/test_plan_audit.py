@@ -471,12 +471,15 @@ def test_dedup_incremental_is_artifact_scan_with_pushed_verify(spark):
 
 
 def test_corpus_pipeline_e2e_single_documents_scan(spark):
-    """corpus_pipeline_e2e (VERDICT r9 #5) composes dedup_clusters +
-    gopher gate + token budget + packing; its claim is operator
-    COMPOSITION: the documents table is persisted once and Spark's
-    CacheManager swaps every component's own load(documents) subtree
-    for the cached frame, so ONE corpus scan feeds the whole chain,
-    and the sources-sized budget join is a broadcast."""
+    """corpus_pipeline_e2e (VERDICT r9 #5, stages extended r10 #5)
+    composes dedup_clusters + gopher gate + bloom decontamination +
+    quality-temperature gate + token budget + packing; its claim is
+    operator COMPOSITION: the documents table is persisted once and
+    Spark's CacheManager swaps every component's own load(documents)
+    subtree for the cached frame, so ONE corpus scan feeds the whole
+    chain, the sources-sized budget join is a broadcast, and the decon
+    stage is a broadcast ANTI join (never a shuffle of the corpus
+    against the dirty-doc set)."""
     from apache_flink_pratices_spark.registry import get_spec
     from apache_flink_pratices_spark.operators import curation  # noqa: F401
 
@@ -491,6 +494,9 @@ def test_corpus_pipeline_e2e_single_documents_scan(spark):
         kinds = join_kinds(plan)
         assert "CartesianProduct" not in kinds, kinds
         assert "BroadcastHashJoin" in kinds, kinds  # budget join
+        # decontamination rides the plan as an anti join of the corpus
+        # against the (small) dirty-doc set
+        assert "LeftAnti" in plan, plan
     finally:
         spark.catalog.clearCache()
 
