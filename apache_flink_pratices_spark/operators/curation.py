@@ -306,35 +306,13 @@ def _build_bloom(eval_h: DataFrame):
     return out
 
 
-#: (applicationId, sf_dir) -> (eval_h, probed): one bloom build + one pair
-#: of persisted frames per session and scale dir (ADVICE r10: the eager
-#: bitmap-collect job ran on EVERY frame construction — plan audits and
-#: registry tooling paid a full cluster job — and stats + operator each
-#: registered their own duplicate MEMORY_AND_DISK entries with no
-#: unpersist path). A released_caches block may unpersist the memoized
-#: frames; reuse after that simply recomputes lazily (the broadcast bloom
-#: stays valid), it never rebuilds eagerly.
-_BLOOM_PROBED_CACHE: dict = {}
-
-
-def _bloom_probed(spark: SparkSession, sf_dir: str):
-    """(eval_h, probed): the eval shingle hashes and the train shingle
-    rows annotated with their bloom verdict — shared by the registered
-    query and the bench's measured-evidence stats, memoized per
-    (session, sf_dir) so both consumers see ONE bloom build and ONE pair
-    of persisted frames (ADVICE r10)."""
+def _bloom_probe_fn(bc):
+    """The vectorized Arrow bloom-probe kernel over ``(doc_id, h)``
+    batches, bound to a broadcast bitmap — the ONE probe implementation
+    shared by the batch operator (:func:`_bloom_probed`) and the
+    streaming twin (stream_decon_golden), so a probe fix lands in both."""
     import numpy as np
     import pyarrow as pa
-
-    key = (spark.sparkContext.applicationId, sf_dir)
-    hit = _BLOOM_PROBED_CACHE.get(key)
-    if hit is not None:
-        return hit
-
-    sh = _shingles(spark, sf_dir).persist(StorageLevel.MEMORY_AND_DISK)
-    eval_h = sh.filter(F.col("doc_id") % EVAL_MOD == 0).select("h")
-    words = _build_bloom(eval_h)
-    bc = spark.sparkContext.broadcast(words.tobytes())
 
     def probe(batches):
         w = np.frombuffer(bc.value, dtype=np.uint64)
@@ -355,10 +333,40 @@ def _bloom_probed(spark: SparkSession, sf_dir: str):
                 names=["doc_id", "h", "hit"],
             )
 
+    return probe
+
+
+#: (applicationId, sf_dir) -> (eval_h, probed): one bloom build + one pair
+#: of persisted frames per session and scale dir (ADVICE r10: the eager
+#: bitmap-collect job ran on EVERY frame construction — plan audits and
+#: registry tooling paid a full cluster job — and stats + operator each
+#: registered their own duplicate MEMORY_AND_DISK entries with no
+#: unpersist path). A released_caches block may unpersist the memoized
+#: frames; reuse after that simply recomputes lazily (the broadcast bloom
+#: stays valid), it never rebuilds eagerly.
+_BLOOM_PROBED_CACHE: dict = {}
+
+
+def _bloom_probed(spark: SparkSession, sf_dir: str):
+    """(eval_h, probed): the eval shingle hashes and the train shingle
+    rows annotated with their bloom verdict — shared by the registered
+    query and the bench's measured-evidence stats, memoized per
+    (session, sf_dir) so both consumers see ONE bloom build and ONE pair
+    of persisted frames (ADVICE r10)."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    hit = _BLOOM_PROBED_CACHE.get(key)
+    if hit is not None:
+        return hit
+
+    sh = _shingles(spark, sf_dir).persist(StorageLevel.MEMORY_AND_DISK)
+    eval_h = sh.filter(F.col("doc_id") % EVAL_MOD == 0).select("h")
+    words = _build_bloom(eval_h)
+    bc = spark.sparkContext.broadcast(words.tobytes())
+
     train = sh.filter(F.col("doc_id") % EVAL_MOD != 0)
-    probed = train.mapInArrow(probe, "doc_id long, h long, hit int").persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    probed = train.mapInArrow(
+        _bloom_probe_fn(bc), "doc_id long, h long, hit int"
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     _BLOOM_PROBED_CACHE[key] = (eval_h, probed)
     return eval_h, probed
 

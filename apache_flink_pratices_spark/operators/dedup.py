@@ -154,12 +154,11 @@ def _docs_repartitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load(spark, sf_dir, "documents").repartition(p, "doc_id")
 
 
-def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, h): distinct 56-bit hashes of 3-token shingles.
-
-    Hashes before the distinct so the dedup shuffle carries 8-byte longs
-    instead of shingle strings (~5× less shuffle volume)."""
-    d = _docs_repartitioned(spark, sf_dir)
+def shingles_of(d: DataFrame) -> DataFrame:
+    """(doc_id, h): distinct 56-bit hashes of 3-token shingles for ANY
+    ``(doc_id, text)`` frame — the ONE shingle+hash definition shared by
+    the sf_dir-bound :func:`_shingles` and streaming consumers probing
+    per-micro-batch document frames (stream_decon_golden)."""
     ws = F.split(F.lower(F.col("text")), " ")
     shingle = F.expr(
         "transform(sequence(1, size(ws) - 2), "
@@ -172,6 +171,14 @@ def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", md5_long(F.col("s")).alias("h"))
         .distinct()
     )
+
+
+def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, h): distinct 56-bit hashes of 3-token shingles.
+
+    Hashes before the distinct so the dedup shuffle carries 8-byte longs
+    instead of shingle strings (~5× less shuffle volume)."""
+    return shingles_of(_docs_repartitioned(spark, sf_dir))
 
 
 def _jaccard_from_inter(inter: DataFrame, sizes: DataFrame) -> DataFrame:

@@ -884,3 +884,116 @@ def stream_cdc_golden(spark: SparkSession, sf_dir: str) -> DataFrame:
         chunks=2,
         output_mode="complete",
     )
+
+
+# --- streaming decontamination golden (VERDICT r10 #7) ----------------------
+
+#: static eval split: the fixed benchmark corpus the bloom is built from
+#: ONCE. Production shape: the eval superset is frozen while training
+#: batches keep arriving — so the bitmap is built once, broadcast, and
+#: every micro-batch reuses the same broadcast (never rebuilt per batch).
+_DECON_EVAL_TEXTS = [
+    (1000, "the quick brown fox jumps over the lazy dog"),
+    (1001, "pack my box with five dozen liquor jugs"),
+]
+
+#: train documents replayed in 3 micro-batches. Docs 2/4/6 each share a
+#: 3-gram shingle with an eval doc (contaminated, dropped); 1 and 5 are
+#: clean; 3 has <3 words → zero shingles → clean by construction (the
+#: no-shingle edge both engines must agree on).
+_DECON_TRAIN_ROWS = [
+    (1, "completely novel words nobody else wrote here"),
+    (2, "the quick brown fox appears again tonight"),
+    (3, "tiny doc"),
+    (4, "pack my box with care always"),
+    (5, "another unique sentence streaming through batch three"),
+    (6, "five dozen liquor jugs on the shelf"),
+]
+
+#: diagnostic for tests: micro-batch ids the last stream_decon_golden run
+#: processed (proves the multi-batch replay actually split).
+_DECON_LAST_BATCHES: list[int] = []
+
+
+@register(
+    "stream_decon_golden",
+    oracle="""
+    SELECT * FROM (VALUES
+      (CAST(1 AS BIGINT), CAST(5 AS BIGINT)),
+      (CAST(3 AS BIGINT), CAST(0 AS BIGINT)),
+      (CAST(5 AS BIGINT), CAST(5 AS BIGINT))
+    ) AS t(doc_id, n_shingles)
+    """,
+    doc="Streaming twin of decontaminate_bloom (VERDICT r10 #7): train "
+    "document batches arrive through a real readStream and a foreachBatch "
+    "sink probes each batch against a STATIC eval bloom — the bitmap is "
+    "built once from the eval split (same distributed _build_bloom as the "
+    "batch operator), broadcast once, and REUSED by every micro-batch; "
+    "the exact verify join runs only over bloom-positive shingle rows "
+    "(same no-false-negative contract, same Arrow probe kernel via "
+    "curation._bloom_probe_fn). Output is the clean documents with their "
+    "shingle counts — the delta-ingest decontamination shape a production "
+    "pipeline runs as new crawl batches land.",
+    tags=("streaming", "contamination", "bloom", "golden", "llm-pipeline"),
+)
+def stream_decon_golden(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from apache_flink_pratices_spark.operators.curation import (
+        _bloom_probe_fn,
+        _build_bloom,
+    )
+    from apache_flink_pratices_spark.operators.dedup import shingles_of
+    from apache_flink_pratices_spark.session import narrowed_shuffle_partitions
+
+    # bloom + exact-verify set built ONCE from the static eval split
+    eval_docs = spark.createDataFrame(_DECON_EVAL_TEXTS, "doc_id long, text string")
+    eval_sh = shingles_of(eval_docs).select("h").distinct()
+    bc = spark.sparkContext.broadcast(_build_bloom(eval_sh).tobytes())
+
+    out: list[tuple[int, int]] = []
+    _DECON_LAST_BATCHES.clear()
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        _DECON_LAST_BATCHES.append(batch_id)
+        sh = shingles_of(batch_df.select("doc_id", "text"))
+        probed = sh.mapInArrow(
+            _bloom_probe_fn(bc), "doc_id long, h long, hit int"
+        )
+        sizes = probed.groupBy("doc_id").agg(F.count("*").alias("n"))
+        dirty = (
+            probed.filter(F.col("hit") == 1)
+            .join(F.broadcast(eval_sh), "h")
+            .select("doc_id")
+            .distinct()
+        )
+        clean = (
+            batch_df.select("doc_id")
+            .join(dirty, "doc_id", "left_anti")
+            .join(sizes, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_shingles"),
+            )
+        )
+        out.extend((r["doc_id"], r["n_shingles"]) for r in clean.collect())
+
+    with narrowed_shuffle_partitions(spark, 8):
+        with tempfile.TemporaryDirectory(prefix="afp-golden-") as d:
+            src = stream_from_collection(
+                spark,
+                _DECON_TRAIN_ROWS,
+                "doc_id long, text string",
+                os.path.join(d, "in"),
+                chunks=3,
+            )
+            q = (
+                src.writeStream.foreachBatch(process)
+                .option("checkpointLocation", os.path.join(d, "ckpt"))
+                .start()
+            )
+            try:
+                q.processAllAvailable()
+            finally:
+                q.stop()
+    return spark.createDataFrame(sorted(out), "doc_id long, n_shingles long")
