@@ -28,6 +28,13 @@ compact): two JSON lines are printed —
    the noise-floor indicator, VERDICT r9 #2)}.
    tests/test_bench_contract.py pins its length budget.
 
+Since round 11 (VERDICT r10 #3: the driver's 2000-char stdout tail
+truncated the r10 detail line mid-object), the full {"detail", "summary"}
+payload is ALSO written to ``BENCH_DETAIL_r{N}.json`` at the repo root —
+the committed machine-readable record of the scale evidence. N = newest
+committed BENCH_r{N} + 1 (override: SPARK_GRAFT_ROUND); smoke runs with a
+query subset write only to SPARK_GRAFT_BENCH_DETAIL, if set.
+
 Each query runs $SPARK_GRAFT_BENCH_RUNS times (default 4; doubled for
 sub-second queries) after $SPARK_GRAFT_BENCH_WARMUPS (default 3) untimed
 warm-up executions in its subprocess; the min is the best estimate of
@@ -172,10 +179,45 @@ def main() -> None:
         "streaming": streaming,
     }
     print(json.dumps(detail))
+    # The driver keeps only the LAST ~2000 chars of stdout, which
+    # truncated the r10 detail line mid-object (VERDICT r10 #3) — so the
+    # bench persists its own full-detail artifact, committed per round.
+    # Round = newest committed BENCH_r{N} + 1 (the driver writes
+    # BENCH_r{N} at the END of round N); SPARK_GRAFT_ROUND overrides.
+    # Subset smoke runs (the pytest contract drive) must not overwrite
+    # the round's real artifact: they write to SPARK_GRAFT_BENCH_DETAIL
+    # if set, else skip.
+    override = os.environ.get("SPARK_GRAFT_BENCH_DETAIL")
+    if override or not subset:
+        _write_detail_artifact({"detail": detail, "summary": summary}, override)
     # LAST line, compact separators: must fit (with slack) inside the
     # driver's 2000-char stdout tail capture or the round loses its
     # benchmark artifact (BENCH_r05 parsed=null).
     print(json.dumps(summary, separators=(",", ":")))
+
+
+def _detail_round() -> int:
+    env = os.environ.get("SPARK_GRAFT_ROUND")
+    if env:
+        return int(env)
+    import glob
+    import re
+
+    rounds = [
+        int(m.group(1))
+        for p in glob.glob(os.path.join(REPO, "BENCH_r*.json"))
+        if (m := re.search(r"BENCH_r(\d+)\.json$", p))
+    ]
+    return max(rounds, default=0) + 1
+
+
+def _write_detail_artifact(payload: dict, path: str | None = None) -> None:
+    path = path or os.path.join(
+        REPO, f"BENCH_DETAIL_r{_detail_round():02d}.json"
+    )
+    with open(path, "w") as f:
+        json.dump(payload, f, indent=1, sort_keys=True)
+        f.write("\n")
 
 
 if __name__ == "__main__":

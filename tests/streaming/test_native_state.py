@@ -70,17 +70,18 @@ def test_machine_timer_diff_tracks_native_registry():
 
 
 def test_auto_dispatch_follows_measured_policy():
-    """impl='auto' resolves by the measured backend policy (round 10,
-    VERDICT r9 #4): pandas_state for the shipped small-state machines at
-    every measured key cardinality; native only for the large-state
-    profile AND only where the runtime supports it."""
+    """impl='auto' resolves by the measured backend policy — now measured
+    on BOTH axes (r10 cardinality sweep, r11 state-size sweep): the
+    backends tie at the W4 touch-one-entry shape at every measured state
+    size and pandas_state wins at every cardinality, so BOTH profiles
+    resolve to pandas_state; native stays an explicit impl='native'
+    opt-in chosen for semantic fidelity, not throughput."""
     from apache_flink_pratices_spark.streaming.native_state import (
         resolve_stateful_backend,
     )
 
     assert resolve_stateful_backend("small") == "pandas_state"
-    expected = "native" if native_state_available() else "pandas_state"
-    assert resolve_stateful_backend("large") == expected
+    assert resolve_stateful_backend("large") == "pandas_state"
     # an explicit opt-in must not silently fall back on a typo
     with pytest.raises(ValueError, match="state_profile"):
         resolve_stateful_backend("LARGE")

@@ -12,7 +12,7 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def test_bench_cli_contract():
+def test_bench_cli_contract(tmp_path):
     env = dict(os.environ)
     env["SPARK_GRAFT_SF_DIR"] = "/root/testdata/sf0.001"
     env["SPARK_GRAFT_CPUS"] = "4"
@@ -22,6 +22,10 @@ def test_bench_cli_contract():
     # lines, extras, streaming) is identical per query, so three queries
     # bound the drive at ~5 min instead of 30 JVM starts
     env["SPARK_GRAFT_BENCH_QUERIES"] = "wordcount,dedup_simhash,fraud_alerts"
+    # detail artifact (VERDICT r10 #3): subset runs write it only to an
+    # explicit override path, never the repo-root round artifact
+    detail_path = str(tmp_path / "BENCH_DETAIL_smoke.json")
+    env["SPARK_GRAFT_BENCH_DETAIL"] = detail_path
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py")],
         capture_output=True,
@@ -86,6 +90,41 @@ def test_bench_cli_contract():
     assert hr["het"]["wedge"]["rescued"] == 1.0
     assert hr["mass"]["in_mass"]["component"] == 1.0
     assert hg["pairs"] < hg["unguarded_boiler_pairs"]
+    # VERDICT r10 #3: the committed per-round artifact must carry the FULL
+    # detail (the driver's 2000-char stdout tail truncated r10's detail
+    # line mid-object) — bench.py writes it itself; everything the stdout
+    # line carries must parse from the file, no reliance on prose notes
+    with open(detail_path) as f:
+        persisted = json.load(f)
+    assert persisted["summary"] == doc
+    assert persisted["detail"] == detail
+    assert persisted["detail"]["streaming"]["backends"] == bk
+    assert "ann_lsh_clustered_candidate_fraction" in persisted["detail"]
+    assert persisted["detail"]["queries_runs"] == detail["queries_runs"]
+
+
+def test_bench_detail_round_derivation(monkeypatch):
+    """The round-artifact name derives from the newest committed
+    BENCH_r{N} (+1), overridable via SPARK_GRAFT_ROUND."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "bench_mod", os.path.join(REPO, "bench.py")
+    )
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+    monkeypatch.delenv("SPARK_GRAFT_ROUND", raising=False)
+    import glob
+    import re
+
+    newest = max(
+        int(m.group(1))
+        for p in glob.glob(os.path.join(REPO, "BENCH_r*.json"))
+        if (m := re.search(r"BENCH_r(\d+)\.json$", p))
+    )
+    assert bench._detail_round() == newest + 1
+    monkeypatch.setenv("SPARK_GRAFT_ROUND", "33")
+    assert bench._detail_round() == 33
 
 
 def test_bench_summary_line_budget():
