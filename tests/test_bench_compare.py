@@ -1,0 +1,87 @@
+"""tools/bench_compare.py: spread-aware round-over-round comparison —
+pure JSON munging, no Spark."""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.join(REPO, "tools"))
+
+import bench_compare  # noqa: E402
+
+
+def _summary(queries, spreads, total=None):
+    return {
+        "metric": "headline_queries_total_wall",
+        "value": total if total is not None else sum(queries.values()),
+        "queries": queries,
+        "spread_pct": spreads,
+    }
+
+
+def test_flags_only_beyond_both_spread_and_floor():
+    old = _summary({"a": 1.0, "b": 1.0, "c": 1.0}, [5, 5, 5])
+    # a: +60% (beyond 5% spread and 25% floor) -> regression
+    # b: +20% (beyond spread, under floor)     -> within-noise
+    # c: -50%                                   -> improvement
+    new = _summary({"a": 1.6, "b": 1.2, "c": 0.5}, [5, 5, 5])
+    out = bench_compare.compare(old, new, floor_pct=25.0)
+    status = {r["query"]: r["status"] for r in out["rows"]}
+    assert status == {"a": "REGRESSION", "b": "within-noise", "c": "improvement"}
+    assert [r["query"] for r in out["regressions"]] == ["a"]
+
+
+def test_spread_wider_than_floor_wins():
+    old = _summary({"a": 1.0}, [80])
+    new = _summary({"a": 1.6}, [10])  # +60% but old spread was 80%
+    out = bench_compare.compare(old, new, floor_pct=25.0)
+    assert out["rows"][0]["status"] == "within-noise"
+
+
+def test_new_and_removed_queries_reported():
+    old = _summary({"a": 1.0, "gone": 2.0}, [5, 5])
+    new = _summary({"a": 1.0, "fresh": 3.0}, [5, 5])
+    out = bench_compare.compare(old, new, floor_pct=25.0)
+    status = {r["query"]: r["status"] for r in out["rows"]}
+    assert status["fresh"] == "new" and status["gone"] == "removed"
+
+
+def test_load_summary_accepts_both_artifact_shapes(tmp_path):
+    s = _summary({"a": 1.0}, [5])
+    driver = tmp_path / "BENCH_r10.json"
+    driver.write_text(json.dumps({"n": 10, "parsed": s}))
+    detail = tmp_path / "BENCH_DETAIL_r11.json"
+    detail.write_text(json.dumps({"summary": s, "detail": {}}))
+    bare = tmp_path / "bare.json"
+    bare.write_text(json.dumps(s))
+    for p in (driver, detail, bare):
+        assert bench_compare.load_summary(str(p))["queries"] == {"a": 1.0}
+    with pytest.raises(ValueError, match="no summary"):
+        junk = tmp_path / "junk.json"
+        junk.write_text(json.dumps({"x": 1}))
+        bench_compare.load_summary(str(junk))
+
+
+def test_cli_exit_codes(tmp_path, capsys):
+    old = tmp_path / "old.json"
+    old.write_text(json.dumps(_summary({"a": 1.0}, [5])))
+    flat = tmp_path / "flat.json"
+    flat.write_text(json.dumps(_summary({"a": 1.05}, [5])))
+    bad = tmp_path / "bad.json"
+    bad.write_text(json.dumps(_summary({"a": 2.0}, [5])))
+    assert bench_compare.main([str(old), str(flat)]) == 0
+    assert bench_compare.main([str(old), str(bad)]) == 1
+    text = capsys.readouterr().out
+    assert "REGRESSION" in text and "1 flagged regression(s)" in text
+
+
+def test_real_round_artifacts_parse():
+    """The committed r10 driver artifact must load (the comparator is for
+    exactly these files)."""
+    s = bench_compare.load_summary(os.path.join(REPO, "BENCH_r10.json"))
+    assert s["queries"] and len(s["spread_pct"]) == len(s["queries"])

@@ -1,0 +1,134 @@
+"""Spread-aware bench-artifact comparator.
+
+Round-over-round per-query deltas are only meaningful against the noise
+floor the harness measured (summary ``spread_pct``, VERDICT r9 #2) and
+the inter-session variance the rollup A/B quantified (±25% on identical
+code for ramp-heavy queries — docs/scale_notes.md round 11). This tool
+folds both in, so a round review starts from a short list of
+ATTRIBUTABLE movers instead of eyeballing 31 floats:
+
+  python tools/bench_compare.py BENCH_r10.json BENCH_DETAIL_r11.json
+
+Accepts either artifact shape per side: a driver ``BENCH_r{N}.json``
+(``{"parsed": summary}``) or a bench-written ``BENCH_DETAIL_r{N}.json``
+(``{"summary": ..., "detail": ...}``).
+
+A query is flagged only when |delta| exceeds BOTH sides' measured
+spread_pct AND the inter-session floor (default 25%, tune with
+--floor-pct). Everything else prints as within-noise. Exit code 1 when
+any regression is flagged (CI-friendly); 0 otherwise.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def load_summary(path: str) -> dict:
+    """The compact summary dict from either artifact shape."""
+    with open(path) as f:
+        doc = json.load(f)
+    if "summary" in doc and isinstance(doc["summary"], dict):
+        return doc["summary"]
+    if "parsed" in doc and isinstance(doc["parsed"], dict):
+        return doc["parsed"]
+    if "queries" in doc:  # a bare summary line saved as a file
+        return doc
+    raise ValueError(f"{path}: no summary payload found")
+
+
+def spread_map(summary: dict) -> dict[str, float]:
+    """query -> measured spread_pct (aligned arrays on the summary line);
+    missing spread data degrades to 0 (flag on the floor alone)."""
+    names = list(summary.get("queries", {}))
+    spreads = summary.get("spread_pct") or []
+    return {n: float(s) for n, s in zip(names, spreads)}
+
+
+def compare(old: dict, new: dict, floor_pct: float) -> dict:
+    """{"rows": [...], "regressions": [...], "improvements": [...]}"""
+    old_q, new_q = old.get("queries", {}), new.get("queries", {})
+    old_sp, new_sp = spread_map(old), spread_map(new)
+    rows, regressions, improvements = [], [], []
+    for name in new_q:
+        if name not in old_q:
+            rows.append({"query": name, "status": "new", "new": new_q[name]})
+            continue
+        a, b = float(old_q[name]), float(new_q[name])
+        if a <= 0:
+            continue
+        delta_pct = 100.0 * (b - a) / a
+        noise = max(old_sp.get(name, 0.0), new_sp.get(name, 0.0), floor_pct)
+        status = "within-noise"
+        if abs(delta_pct) > noise:
+            status = "REGRESSION" if delta_pct > 0 else "improvement"
+        row = {
+            "query": name,
+            "old": a,
+            "new": b,
+            "delta_pct": round(delta_pct, 1),
+            "noise_pct": round(noise, 1),
+            "status": status,
+        }
+        rows.append(row)
+        if status == "REGRESSION":
+            regressions.append(row)
+        elif status == "improvement":
+            improvements.append(row)
+    for name in old_q:
+        if name not in new_q:
+            rows.append({"query": name, "status": "removed", "old": old_q[name]})
+    return {
+        "rows": rows,
+        "regressions": regressions,
+        "improvements": improvements,
+        "old_total": old.get("value"),
+        "new_total": new.get("value"),
+    }
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    ap.add_argument("old_artifact")
+    ap.add_argument("new_artifact")
+    ap.add_argument(
+        "--floor-pct",
+        type=float,
+        default=25.0,
+        help="inter-session variance floor (measured ±25%% on identical "
+        "code for ramp-heavy queries; docs/scale_notes.md round 11)",
+    )
+    args = ap.parse_args(argv)
+    out = compare(
+        load_summary(args.old_artifact),
+        load_summary(args.new_artifact),
+        args.floor_pct,
+    )
+    for row in sorted(
+        (r for r in out["rows"] if "delta_pct" in r),
+        key=lambda r: -abs(r["delta_pct"]),
+    ):
+        print(
+            f"{row['status']:>13}  {row['query']:<32} "
+            f"{row['old']:>8.3f} -> {row['new']:>8.3f}  "
+            f"{row['delta_pct']:+6.1f}% (noise {row['noise_pct']:.0f}%)"
+        )
+    for row in out["rows"]:
+        if row["status"] in ("new", "removed"):
+            print(f"{row['status']:>13}  {row['query']}")
+    if out["old_total"] and out["new_total"]:
+        print(
+            f"total wall: {out['old_total']} -> {out['new_total']} "
+            f"({100.0 * (out['new_total'] - out['old_total']) / out['old_total']:+.1f}%)"
+        )
+    print(
+        f"{len(out['regressions'])} flagged regression(s), "
+        f"{len(out['improvements'])} attributable improvement(s)"
+    )
+    return 1 if out["regressions"] else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
