@@ -381,6 +381,14 @@ def measure_all(
     fraud_rate = cep_rate = 0.0
     day_s = float("inf")
     n_alerts = n_signals = n_replay_sigs = 0
+    # per-run rates travel in the detail artifact (round 11): the
+    # streaming window's INTER-subprocess variance measured up to 1.6x
+    # on identical code, and a best-of-N alone cannot tell "one slow
+    # run" from "the whole window was degraded" — three aligned lows
+    # mean discard the window, not the code
+    fraud_runs: list[int] = []
+    cep_runs: list[int] = []
+    replay_runs: list[float] = []
     if not small:  # warm-up: spin up workers/state server, untimed
         fraud_events_per_sec(spark, os.path.join(wd, "w0"), n_tx=2_000)
         cep_events_per_sec(spark, os.path.join(wd, "w1"), n_codes=10, n_cycles=1)
@@ -413,6 +421,9 @@ def measure_all(
         )
         fraud_rate, cep_rate = max(fraud_rate, fr), max(cep_rate, cr)
         day_s = min(day_s, ds)
+        fraud_runs.append(int(fr))
+        cep_runs.append(int(cr))
+        replay_runs.append(round(ds, 1))
         # a rate over an empty pipeline is not a measurement: fail loudly
         # rather than record it (review r7; the small-mode pytest smoke
         # asserts the same contract)
@@ -491,6 +502,9 @@ def measure_all(
         "fraud_ev_s": int(fraud_rate),
         "cep_ev_s": int(cep_rate),
         "replay_day_s": round(day_s, 1),
+        "fraud_ev_s_runs": fraud_runs,
+        "cep_ev_s_runs": cep_runs,
+        "replay_day_s_runs": replay_runs,
         "fraud_output_alerts": int(n_alerts),
         "cep_output_signals": int(n_signals),
         "replay_output_signals": int(n_replay_sigs),

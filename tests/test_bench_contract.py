@@ -72,6 +72,15 @@ def test_bench_cli_contract(tmp_path):
     assert detail["streaming"]["fraud_output_alerts"] > 0
     assert detail["streaming"]["cep_output_signals"] > 0
     assert detail["streaming"]["replay_output_signals"] > 0
+    # round 11: per-run rate arrays (the streaming window's
+    # inter-subprocess variance measured up to 1.6x; three aligned lows
+    # mean a degraded window, not a regression)
+    for k in ("fraud_ev_s_runs", "cep_ev_s_runs", "replay_day_s_runs"):
+        arr = detail["streaming"][k]
+        assert arr and all(v > 0 for v in arr), (k, arr)
+    assert max(detail["streaming"]["fraud_ev_s_runs"]) == detail[
+        "streaming"
+    ]["fraud_ev_s"]
     # VERDICT r8 #6: both stateful backends carry a measured rate (the
     # primary is whatever `auto` resolves to; the secondary may be null
     # only when the runtime lacks native state entirely)
