@@ -2095,6 +2095,136 @@ def dup_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- duplicated-span extraction (substring dedup, Lee et al. 2022) ----------
+
+
+def dup_spans_of(d: DataFrame) -> DataFrame:
+    """(doc_id, span_start, span_end, span_tokens) for ANY
+    ``(doc_id, text)`` frame: the MAXIMAL merged runs of token positions
+    covered by {DUPCOV_N}-gram shingles that also occur in another
+    document — the actionable output of substring-level dedup ('remove
+    the duplicated span, keep the document'; Lee et al., "Deduplicating
+    Training Data Makes Language Models Better", 2022 — public paper).
+    Span ends are exclusive token positions (0-based).
+
+    Same hit definition as dup_ngram_coverage (cross-doc duplication by
+    distinct-doc count, so within-doc repetition never triggers it);
+    where coverage SUMS the interval merge, this MATERIALIZES the
+    intervals via gaps-and-islands: a hit opens a new span iff its start
+    exceeds the running max of prior hit ends, and the running sum of
+    those flags is the span id — two windows over (doc, start), never an
+    explode of N positions per hit."""
+    from pyspark.sql.window import Window
+
+    n = DUPCOV_N
+    arrs = d.select("doc_id", F.split(F.lower("text"), " ").alias("a"))
+    start_seq = F.when(
+        F.size("a") >= n, F.sequence(F.lit(0), F.size("a") - n)
+    ).otherwise(F.array().cast("array<int>"))
+    starts = arrs.select(
+        "doc_id", F.explode(start_seq).alias("s"), "a"
+    ).select(
+        "doc_id",
+        "s",
+        md5_long(F.concat_ws(" ", F.slice("a", F.col("s") + 1, n))).alias("h"),
+    )
+    dup = (
+        starts.groupBy("h")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("h")
+    )
+    w_prev = (
+        Window.partitionBy("doc_id")
+        .orderBy("s")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = (
+        Window.partitionBy("doc_id")
+        .orderBy("s")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    hits = (
+        starts.join(dup, "h")
+        .withColumn("prev_end", F.max(F.col("s") + n).over(w_prev))
+        .withColumn(
+            "is_new",
+            (F.col("s") > F.coalesce("prev_end", F.lit(-1))).cast("int"),
+        )
+        .withColumn("span_seq", F.sum("is_new").over(w_run))
+    )
+    return hits.groupBy("doc_id", "span_seq").agg(
+        F.min("s").cast("long").alias("span_start"),
+        (F.max("s") + n).cast("long").alias("span_end"),
+        (F.max("s") + n - F.min("s")).cast("long").alias("span_tokens"),
+    ).select("doc_id", "span_start", "span_end", "span_tokens")
+
+
+@register(
+    "dup_span_extract",
+    oracle=f"""
+    WITH arrs AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS a
+      FROM documents
+    ),
+    starts AS (
+      SELECT doc_id, s,
+             {sql_md5_long(f"array_to_string(list_slice(a, s + 1, s + {DUPCOV_N}), ' ')")} AS h
+      FROM arrs, LATERAL (
+        SELECT unnest(generate_series(0, len(a) - {DUPCOV_N})) AS s
+      )
+    ),
+    dup AS (
+      SELECT h FROM starts GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2
+    ),
+    hits AS (
+      SELECT st.doc_id, st.s,
+             MAX(st.s + {DUPCOV_N}) OVER (
+               PARTITION BY st.doc_id ORDER BY st.s
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ) AS prev_end
+      FROM starts st JOIN dup USING (h)
+    ),
+    flagged AS (
+      SELECT doc_id, s,
+             CASE WHEN s > COALESCE(prev_end, -1) THEN 1 ELSE 0 END AS is_new
+      FROM hits
+    ),
+    runs AS (
+      SELECT doc_id, s,
+             SUM(is_new) OVER (
+               PARTITION BY doc_id ORDER BY s
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS span_seq
+      FROM flagged
+    )
+    SELECT doc_id,
+           CAST(MIN(s) AS BIGINT) AS span_start,
+           CAST(MAX(s) + {DUPCOV_N} AS BIGINT) AS span_end,
+           CAST(MAX(s) + {DUPCOV_N} - MIN(s) AS BIGINT) AS span_tokens
+    FROM runs GROUP BY doc_id, span_seq
+    """,
+    doc=f"Duplicated-SPAN extraction (substring dedup, Lee et al. 2022): "
+    f"the maximal merged token ranges covered by {DUPCOV_N}-gram shingles "
+    "that also occur in another document — the ranges a substring-level "
+    "deduper cuts OUT of a document it otherwise keeps (document-level "
+    "dedup throws away the whole doc; coverage stats say how much is "
+    "duplicated; this says exactly WHERE). Same cross-doc hit definition "
+    "as dup_ngram_coverage (distinct-doc count >= 2, so within-doc "
+    "repetition never triggers), materialized by gaps-and-islands over "
+    "(doc, shingle start): a hit opens a span iff it starts past the "
+    "running max of prior hit ends; the running sum of open flags is the "
+    "span id; one group-by emits (start, end) per span. Scale shape: "
+    "shingles shuffle as 8-byte hashes, the duplicated set is a two-stage "
+    "count-distinct, and the window/group stages partition by doc_id — "
+    "never an explode of N positions per hit, never a corpus-sized "
+    "distinct.",
+    tags=("dedup", "ngram", "spans", "llm-pipeline"),
+)
+def dup_span_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dup_spans_of(_docs_repartitioned(spark, sf_dir))
+
+
 # --- C4-style exact span dedup ----------------------------------------------
 SEG_N = 16  #: tokens per non-overlapping segment (C4 uses 3-sentence spans)
 

@@ -1,0 +1,93 @@
+"""dup_span_extract / dup_spans_of: maximal merged duplicated-span
+extraction (substring dedup, Lee et al. 2022)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from apache_flink_pratices_spark.operators.dedup import (
+    DUPCOV_N,
+    dup_ngram_coverage,
+    dup_span_extract,
+    dup_spans_of,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+
+
+def _w(prefix, n):
+    return " ".join(f"{prefix}{i}" for i in range(n))
+
+
+def test_shared_phrase_yields_one_merged_span_per_doc(spark):
+    """A shared run of DUPCOV_N+4 tokens produces overlapping duplicated
+    shingles that must merge into ONE maximal span in each doc, at the
+    right positions, with exclusive end."""
+    shared = _w("p", DUPCOV_N + 4)  # 12 tokens -> 5 overlapping dup shingles
+    a = f"{_w('a', 3)} {shared} {_w('b', 3)}"  # span at tokens [3, 15)
+    b = f"{shared} {_w('c', 5)}"  # span at tokens [0, 12)
+    spans = {
+        r.doc_id: (r.span_start, r.span_end, r.span_tokens)
+        for r in dup_spans_of(_docs(spark, [a, b])).collect()
+    }
+    assert spans == {
+        0: (3, 3 + DUPCOV_N + 4, DUPCOV_N + 4),
+        1: (0, DUPCOV_N + 4, DUPCOV_N + 4),
+    }
+
+
+def test_disjoint_shared_phrases_stay_separate_spans(spark):
+    """Two shared phrases separated by unique tokens must emit TWO spans,
+    not one merged range."""
+    s1, s2 = _w("x", DUPCOV_N), _w("y", DUPCOV_N)
+    a = f"{s1} {_w('u', 4)} {s2}"
+    b = f"{s2} {_w('v', 6)} {s1}"
+    out = dup_spans_of(_docs(spark, [a, b]))
+    spans_a = sorted(
+        (r.span_start, r.span_end)
+        for r in out.filter(F.col("doc_id") == 0).collect()
+    )
+    assert spans_a == [(0, DUPCOV_N), (DUPCOV_N + 4, 2 * DUPCOV_N + 4)]
+    assert out.count() == 4
+
+
+def test_within_doc_repetition_never_triggers(spark):
+    """The hit definition is cross-document (distinct-doc count >= 2):
+    a doc repeating its own phrase twice emits no spans."""
+    phrase = _w("r", DUPCOV_N)
+    doc = f"{phrase} {_w('m', 3)} {phrase}"
+    other = _w("z", DUPCOV_N + 5)
+    assert dup_spans_of(_docs(spark, [doc, other])).count() == 0
+
+
+def test_short_docs_yield_no_spans(spark):
+    """< DUPCOV_N tokens -> no shingles -> no spans (and no descending-
+    sequence crash, the ADVICE r5 bug class)."""
+    assert (
+        dup_spans_of(_docs(spark, ["tiny doc", _w("q", DUPCOV_N - 1)])).count()
+        == 0
+    )
+
+
+def test_span_totals_equal_coverage_metric(spark):
+    """The interval-merge arithmetic is shared with dup_ngram_coverage:
+    per doc, the SUM of extracted span_tokens must equal the coverage
+    metric's n_covered on the real corpus — two independent plans, one
+    truth."""
+    spans = (
+        dup_span_extract(spark, SF)
+        .groupBy("doc_id")
+        .agg(F.sum("span_tokens").alias("t"))
+    )
+    cov = dup_ngram_coverage(spark, SF).select("doc_id", "n_covered")
+    joined = cov.join(spans, "doc_id", "left").select(
+        "doc_id", "n_covered", F.coalesce("t", F.lit(0)).alias("t")
+    )
+    bad = joined.filter(F.col("n_covered") != F.col("t")).count()
+    assert bad == 0
