@@ -91,3 +91,63 @@ def test_span_totals_equal_coverage_metric(spark):
     )
     bad = joined.filter(F.col("n_covered") != F.col("t")).count()
     assert bad == 0
+
+
+try:
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    @settings(
+        max_examples=10,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        data=st.lists(
+            st.lists(
+                # 3-token vocab + DUPCOV_N-12 tokens/doc: duplicated
+                # shingles, adjacency (s == prev_end), and containment
+                # all occur organically
+                st.sampled_from(["aa", "bb", "cc"]),
+                min_size=0,
+                max_size=DUPCOV_N + 4,
+            ),
+            min_size=2,
+            max_size=5,
+        )
+    )
+    def test_spans_match_bruteforce_interval_merge(spark, data):
+        """For ARBITRARY tiny-vocab corpora, dup_spans_of equals a
+        brute-force oracle: collect duplicated shingles (distinct-doc
+        count >= 2), cover [s, s+N) per hit, merge overlapping-or-
+        adjacent intervals into maximal spans."""
+        docs = [(i, " ".join(toks)) for i, toks in enumerate(data)]
+        # brute force
+        shingles: dict[int, list[tuple[int, str]]] = {}
+        owners: dict[str, set[int]] = {}
+        for i, toks in enumerate(data):
+            for s in range(len(toks) - DUPCOV_N + 1):
+                g = " ".join(toks[s : s + DUPCOV_N])
+                shingles.setdefault(i, []).append((s, g))
+                owners.setdefault(g, set()).add(i)
+        expected = set()
+        for i in shingles:
+            spans: list[list[int]] = []
+            for s, g in shingles[i]:  # s ascending by construction
+                if len(owners[g]) < 2:
+                    continue
+                if spans and s <= spans[-1][1]:
+                    spans[-1][1] = max(spans[-1][1], s + DUPCOV_N)
+                else:
+                    spans.append([s, s + DUPCOV_N])
+            for a, b in spans:
+                expected.add((i, a, b, b - a))
+        got = {
+            (r.doc_id, r.span_start, r.span_end, r.span_tokens)
+            for r in dup_spans_of(
+                spark.createDataFrame(docs, "doc_id long, text string")
+            ).collect()
+        }
+        assert got == expected
+except ImportError:  # pragma: no cover - hypothesis is baked in
+    pass
