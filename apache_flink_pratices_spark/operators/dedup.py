@@ -2160,10 +2160,12 @@ def dup_spans_of(d: DataFrame) -> DataFrame:
     ).select("doc_id", "span_start", "span_end", "span_tokens")
 
 
-@register(
-    "dup_span_extract",
-    oracle=f"""
-    WITH arrs AS (
+#: CTE chain ending in ``dspans(doc_id, span_start, span_end,
+#: span_tokens)`` — the maximal merged duplicated spans. Shared by the
+#: dup_span_extract oracle and the removal twin so both engines always
+#: agree on the exact same span set.
+SQL_DUP_SPAN_CTES = f"""
+    arrs AS (
       SELECT doc_id, string_split(lower(text), ' ') AS a
       FROM documents
     ),
@@ -2197,12 +2199,22 @@ def dup_spans_of(d: DataFrame) -> DataFrame:
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
              ) AS span_seq
       FROM flagged
+    ),
+    dspans AS (
+      SELECT doc_id,
+             CAST(MIN(s) AS BIGINT) AS span_start,
+             CAST(MAX(s) + {DUPCOV_N} AS BIGINT) AS span_end,
+             CAST(MAX(s) + {DUPCOV_N} - MIN(s) AS BIGINT) AS span_tokens
+      FROM runs GROUP BY doc_id, span_seq
     )
-    SELECT doc_id,
-           CAST(MIN(s) AS BIGINT) AS span_start,
-           CAST(MAX(s) + {DUPCOV_N} AS BIGINT) AS span_end,
-           CAST(MAX(s) + {DUPCOV_N} - MIN(s) AS BIGINT) AS span_tokens
-    FROM runs GROUP BY doc_id, span_seq
+"""
+
+
+@register(
+    "dup_span_extract",
+    oracle=f"""
+    WITH {SQL_DUP_SPAN_CTES}
+    SELECT doc_id, span_start, span_end, span_tokens FROM dspans
     """,
     doc=f"Duplicated-SPAN extraction (substring dedup, Lee et al. 2022): "
     f"the maximal merged token ranges covered by {DUPCOV_N}-gram shingles "
@@ -2223,6 +2235,77 @@ def dup_spans_of(d: DataFrame) -> DataFrame:
 )
 def dup_span_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dup_spans_of(_docs_repartitioned(spark, sf_dir))
+
+
+def remove_dup_spans(d: DataFrame) -> DataFrame:
+    """(doc_id, n_tokens, n_removed, clean_text) for ANY
+    ``(doc_id, text)`` frame: the document with its duplicated spans
+    (see :func:`dup_spans_of`) cut out — the substring-dedup WRITE path.
+    Tokens are lowercased (spans are computed over lowercased text, so
+    position semantics and the emitted text agree). The span list is
+    doc-local and small, so the removal is one broadcast-free equi-join
+    on doc_id plus a per-row higher-order filter — no shuffle beyond the
+    span computation's own."""
+    spans = dup_spans_of(d).groupBy("doc_id").agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("sp")
+    )
+    j = d.join(spans, "doc_id", "left")
+    toks = F.split(F.lower("text"), " ")
+    kept = F.expr(
+        "filter(split(lower(text), ' '), (w, i) -> sp IS NULL OR "
+        "NOT exists(sp, s -> i >= s.span_start AND i < s.span_end))"
+    )
+    return j.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        (F.size(toks) - F.size(kept)).cast("long").alias("n_removed"),
+        F.array_join(kept, " ").alias("clean_text"),
+    )
+
+
+@register(
+    "dup_span_removal",
+    oracle=f"""
+    WITH {SQL_DUP_SPAN_CTES},
+    sp AS (
+      SELECT doc_id,
+             list(struct_pack(span_start := span_start,
+                              span_end := span_end)) AS sp
+      FROM dspans GROUP BY doc_id
+    ),
+    kept AS (
+      SELECT a.doc_id, a.a,
+             CASE WHEN p.sp IS NULL THEN a.a
+                  ELSE list_filter(a.a, (w, i) ->
+                    len(list_filter(p.sp, s ->
+                      i - 1 >= s.span_start AND i - 1 < s.span_end)) = 0)
+             END AS k
+      FROM arrs a LEFT JOIN sp p ON p.doc_id = a.doc_id
+    )
+    SELECT doc_id,
+           CAST(len(a) AS BIGINT) AS n_tokens,
+           CAST(len(a) - len(k) AS BIGINT) AS n_removed,
+           -- a fully-removed doc: DuckDB's array_to_string over the empty
+           -- list yields NULL where Spark's array_join yields '' — both
+           -- engines must emit the empty string
+           COALESCE(array_to_string(k, ' '), '') AS clean_text
+    FROM kept
+    """,
+    doc="Substring-dedup WRITE path (Lee et al. 2022): every document "
+    "with its cross-doc duplicated spans (dup_span_extract's exact span "
+    "set, by shared CTE) removed — n_tokens, n_removed, and the cleaned "
+    "text itself, value-hash-checked across engines. The removal is one "
+    "doc_id equi-join of the corpus against its (small, doc-local) span "
+    "lists plus a per-row higher-order position filter: zero additional "
+    "shuffles beyond the span computation, no UDF, and the token-index "
+    "lambda semantics (Spark 0-based, DuckDB 1-based) are reconciled "
+    "explicitly in the oracle.",
+    tags=("dedup", "ngram", "spans", "llm-pipeline"),
+)
+def dup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return remove_dup_spans(
+        _docs_repartitioned(spark, sf_dir).select("doc_id", "text")
+    )
 
 
 # --- C4-style exact span dedup ----------------------------------------------

@@ -151,3 +151,43 @@ try:
         assert got == expected
 except ImportError:  # pragma: no cover - hypothesis is baked in
     pass
+
+
+def test_removal_cuts_exactly_the_spans(spark):
+    """remove_dup_spans must cut exactly the extracted ranges: rebuild
+    each cleaned doc by hand from the span list and compare strings."""
+    from apache_flink_pratices_spark.operators.dedup import remove_dup_spans
+
+    shared = _w("p", DUPCOV_N + 4)
+    docs = [f"{_w('a', 3)} {shared} {_w('b', 3)}", f"{shared} {_w('c', 5)}"]
+    frame = _docs(spark, docs)
+    spans = {}
+    for r in dup_spans_of(frame).collect():
+        spans.setdefault(r.doc_id, []).append((r.span_start, r.span_end))
+    got = {r.doc_id: r for r in remove_dup_spans(frame).collect()}
+    for i, text in enumerate(docs):
+        toks = text.lower().split(" ")
+        keep = [
+            w
+            for j, w in enumerate(toks)
+            if not any(a <= j < b for a, b in spans.get(i, []))
+        ]
+        assert got[i].clean_text == " ".join(keep)
+        assert got[i].n_tokens == len(toks)
+        assert got[i].n_removed == len(toks) - len(keep)
+
+
+def test_removal_fully_duplicated_doc_is_empty_string(spark):
+    """A doc that is one big duplicated span cleans to '' (not null) —
+    the cross-engine edge the oracle coalesces explicitly."""
+    from apache_flink_pratices_spark.operators.dedup import remove_dup_spans
+
+    shared = _w("p", DUPCOV_N)
+    out = {
+        r.doc_id: r
+        for r in remove_dup_spans(
+            _docs(spark, [shared, f"{shared} {_w('x', 4)}"])
+        ).collect()
+    }
+    assert out[0].clean_text == "" and out[0].n_removed == DUPCOV_N
+    assert out[1].n_removed == DUPCOV_N and out[1].clean_text == _w("x", 4)
