@@ -86,9 +86,10 @@ CRITICAL = (
 #:   re-anchor for a fresh independent driver row.
 #:
 #: One slot spent; the r11 window drains the 29-query r7-stale cohort
-#: (14 CRITICAL + 1 here + ~1 never-checked newcomer leaves ~34 rotation
-#: slots ≥ 29), so after r11 the invariant is: no latest row older than
-#: r8. CLEAR THIS TUPLE next round once the fresh row lands.
+#: (14 CRITICAL + 1 here + 3 never-checked newcomers — stream_decon_golden,
+#: dup_span_extract, dup_span_removal — leaves 32 rotation slots ≥ 29 + 3
+#: r8-stale), so after r11 the invariant is: no latest row older than r8.
+#: CLEAR THIS TUPLE next round once the fresh row lands.
 RE_ANCHORED = (
     "corpus_pipeline_e2e",
 )
