@@ -2231,6 +2231,7 @@ SQL_DUP_SPAN_CTES = f"""
     "count-distinct, and the window/group stages partition by doc_id — "
     "never an explode of N positions per hit, never a corpus-sized "
     "distinct.",
+    bench=True,
     tags=("dedup", "ngram", "spans", "llm-pipeline"),
 )
 def dup_span_extract(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -163,7 +163,13 @@ def test_bench_summary_line_budget():
         },
     }
     line = json.dumps(worst, separators=(",", ":"))
-    assert len(line) <= 1500, (len(line), "compact summary over budget")
+    # Budget rationale: the driver captures 2000 chars and parses the LAST
+    # line; 1600 worst-case (every min 9999.999 — real lines run ~300
+    # chars shorter) leaves 400 chars of hard slack. Since round 11 the
+    # full detail rides its own committed BENCH_DETAIL_r{N}.json, so the
+    # stdout tail carries ONLY this summary — the earlier 1500 figure was
+    # also protecting detail-line leftovers in the capture window.
+    assert len(line) <= 1600, (len(line), "compact summary over budget")
 
 
 def test_bench_order_is_registration_order_not_rotation(tmp_path, monkeypatch):
