@@ -1626,9 +1626,11 @@ PIPE_DECON_MAX_BP = 1000
 
 def _pipeline_oracle() -> str:
     """The full-chain DuckDB twin: near-dup canonicalization (dedup_clusters
-    semantics) -> Gopher quality gate -> eval-set decontamination
-    (decontaminate_bloom semantics: drop the eval split and every training
-    doc sharing a 3-gram shingle with it) -> quality-temperature sampling
+    semantics) -> Gopher quality gate -> eval-set decontamination (drop
+    the eval split and every training doc whose eval-shared 3-gram
+    shingle fraction exceeds PIPE_DECON_MAX_BP — see the constant's note
+    on why the pipeline thresholds where the standalone operator is
+    strict) -> quality-temperature sampling
     (quality_temperature_sample's integer gate) -> token-budget plan over
     the SURVIVORS -> sequence packing of the survivors, each stage the
     exact SQL of its registered component re-scoped from `documents` to

@@ -2101,7 +2101,7 @@ def dup_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dup_spans_of(d: DataFrame) -> DataFrame:
     """(doc_id, span_start, span_end, span_tokens) for ANY
     ``(doc_id, text)`` frame: the MAXIMAL merged runs of token positions
-    covered by {DUPCOV_N}-gram shingles that also occur in another
+    covered by DUPCOV_N-gram shingles that also occur in another
     document — the actionable output of substring-level dedup ('remove
     the duplicated span, keep the document'; Lee et al., "Deduplicating
     Training Data Makes Language Models Better", 2022 — public paper).
