@@ -135,6 +135,11 @@ def main() -> None:
             raise RuntimeError(f"streaming bench produced no output: {k}=0")
 
     detail = {
+        # box context (round 11): four same-code full-bench runs this
+        # session spread 30.1-34.1 s total, and the box had REBOOTED
+        # between the r10 and r11 measurements — cross-round deltas need
+        # the machine state on record to be conditioned on it
+        "box": _box_context(),
         "queries_median": medians,
         "queries_spread_pct": spreads,
         # actual timed samples behind each min (v2.1 varies it: doubled
@@ -194,6 +199,23 @@ def main() -> None:
     # driver's 2000-char stdout tail capture or the round loses its
     # benchmark artifact (BENCH_r05 parsed=null).
     print(json.dumps(summary, separators=(",", ":")))
+
+
+def _box_context() -> dict:
+    """Machine state at bench start: what a cross-round comparison must
+    condition on (best-effort; absent fields mean the platform lacks
+    them, never a failed bench)."""
+    ctx: dict = {"cpus": os.cpu_count()}
+    try:
+        ctx["loadavg_start"] = [round(x, 2) for x in os.getloadavg()]
+    except OSError:
+        pass
+    try:
+        with open("/proc/uptime") as f:
+            ctx["uptime_s"] = round(float(f.read().split()[0]), 1)
+    except (OSError, ValueError):
+        pass
+    return ctx
 
 
 def _detail_round() -> int:

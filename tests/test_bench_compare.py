@@ -85,3 +85,15 @@ def test_real_round_artifacts_parse():
     exactly these files)."""
     s = bench_compare.load_summary(os.path.join(REPO, "BENCH_r10.json"))
     assert s["queries"] and len(s["spread_pct"]) == len(s["queries"])
+
+
+def test_load_box_from_detail_artifact(tmp_path):
+    s = _summary({"a": 1.0}, [5])
+    with_box = tmp_path / "BENCH_DETAIL_r12.json"
+    with_box.write_text(
+        json.dumps({"summary": s, "detail": {"box": {"cpus": 32, "uptime_s": 9.1}}})
+    )
+    without = tmp_path / "BENCH_r10.json"
+    without.write_text(json.dumps({"parsed": s}))
+    assert bench_compare.load_box(str(with_box)) == {"cpus": 32, "uptime_s": 9.1}
+    assert bench_compare.load_box(str(without)) is None

@@ -215,3 +215,19 @@ def test_stream_rate_functions_refuse_prebuilt_input_without_count():
         cep_events_per_sec(None, "wd", in_dir="prebuilt")
     with pytest.raises(ValueError, match="n_rows"):
         replay_day_seconds(None, "wd", in_dir="prebuilt")
+
+
+def test_box_context_fields():
+    """_box_context must carry cpu count plus (on linux) loadavg and
+    uptime, and never raise."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "bench_mod2", os.path.join(REPO, "bench.py")
+    )
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+    ctx = bench._box_context()
+    assert ctx["cpus"] >= 1
+    assert "loadavg_start" in ctx and len(ctx["loadavg_start"]) == 3
+    assert ctx["uptime_s"] > 0

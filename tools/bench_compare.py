@@ -39,6 +39,18 @@ def load_summary(path: str) -> dict:
     raise ValueError(f"{path}: no summary payload found")
 
 
+def load_box(path: str) -> dict | None:
+    """detail.box (uptime / load average at bench start), when the
+    artifact carries it — BENCH_DETAIL_r11+ does; driver BENCH_r{N}
+    stdout tails don't."""
+    with open(path) as f:
+        doc = json.load(f)
+    detail = doc.get("detail")
+    if isinstance(detail, dict):
+        return detail.get("box")
+    return None
+
+
 def spread_map(summary: dict) -> dict[str, float]:
     """query -> measured spread_pct (aligned arrays on the summary line);
     missing spread data degrades to 0 (flag on the floor alone)."""
@@ -123,6 +135,10 @@ def main(argv: list[str] | None = None) -> int:
             f"total wall: {out['old_total']} -> {out['new_total']} "
             f"({100.0 * (out['new_total'] - out['old_total']) / out['old_total']:+.1f}%)"
         )
+    for side, path in (("old", args.old_artifact), ("new", args.new_artifact)):
+        box = load_box(path)
+        if box:
+            print(f"{side} box: {json.dumps(box, sort_keys=True)}")
     print(
         f"{len(out['regressions'])} flagged regression(s), "
         f"{len(out['improvements'])} attributable improvement(s)"
