@@ -71,6 +71,17 @@ def _subprocess_json(args: list[str], what: str, timeout: int = 1800) -> dict:
 
 
 def main() -> None:
+    # no positional args by design (the driver invokes `python bench.py`
+    # bare; configuration is env-only) — but an unknown arg like --help
+    # must not silently launch a ~15-minute full run
+    if sys.argv[1:]:
+        raise SystemExit(
+            "bench.py takes no arguments; configure via env "
+            "(SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS, SPARK_GRAFT_BENCH_RUNS, "
+            "SPARK_GRAFT_BENCH_WARMUPS, SPARK_GRAFT_BENCH_QUERIES, "
+            "SPARK_GRAFT_BENCH_DETAIL, SPARK_GRAFT_ROUND, "
+            "SPARK_GRAFT_STREAM_BENCH). See the module docstring."
+        )
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "4"))
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]

@@ -231,3 +231,17 @@ def test_box_context_fields():
     assert ctx["cpus"] >= 1
     assert "loadavg_start" in ctx and len(ctx["loadavg_start"]) == 3
     assert ctx["uptime_s"] > 0
+
+
+def test_bench_rejects_arguments():
+    """`python bench.py --help` (or any stray arg) must exit with usage,
+    never silently launch a full ~15-minute run."""
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "bench.py"), "--help"],
+        capture_output=True,
+        text=True,
+        timeout=60,
+        cwd=REPO,
+    )
+    assert out.returncode != 0
+    assert "takes no arguments" in out.stderr
