@@ -912,6 +912,14 @@ _DECON_TRAIN_ROWS = [
 
 #: diagnostic for tests: micro-batch ids the last stream_decon_golden run
 #: processed (proves the multi-batch replay actually split).
+#: SINGLE-INVOCATION ASSUMPTION (ADVICE r11): the foreachBatch callback
+#: appends to this module global (and to the invocation's local result
+#: list), so two CONCURRENT stream_decon_golden runs in one process would
+#: interleave the diagnostic. All golden queries are sequential by
+#: contract — each spins up and drains its own bounded stream before
+#: returning, and the driver/pytest invoke them one at a time — so the
+#: global is only ever read after the writer finished. Results themselves
+#: are per-invocation (the `out` list is a closure local, never shared).
 _DECON_LAST_BATCHES: list[int] = []
 
 

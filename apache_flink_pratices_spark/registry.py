@@ -72,27 +72,17 @@ CRITICAL = (
 #: plain-session recipe at sf0.01 this round (tools/
 #: driver_replica_check.py); they rotate into the r8 window naturally as
 #: the then-stalest cohort.
-#: One-round application of the RE-ANCHOR ON CODE CHANGE rule (round 11).
-#: The round-10 pins (the mapInArrow-kernel cohort: ``dedup_simhash``,
-#: ``dup_ngram_coverage``, ``dedup_clusters``, ``pagerank_neardup``,
-#: ``triangle_count_neardup``, ``dedup_incremental``) landed their fresh
-#: green rows in CORRECTNESS_r10 and are cleared per the rule's docstring.
-#: This round's pin:
-#:
-#: - ``corpus_pipeline_e2e`` gains two stages (VERDICT r10 #5): bloom
-#:   decontamination and the quality-temperature gate now sit between the
-#:   Gopher gate and the token-budget stage, with the oracle extended
-#:   stage-for-stage. A semantic change to the query itself → one-round
-#:   re-anchor for a fresh independent driver row.
-#:
-#: One slot spent; the r11 window drains the 29-query r7-stale cohort
-#: (14 CRITICAL + 1 here + 3 never-checked newcomers — stream_decon_golden,
-#: dup_span_extract, dup_span_removal — leaves 32 rotation slots ≥ 29 + 3
-#: r8-stale), so after r11 the invariant is: no latest row older than r8.
-#: CLEAR THIS TUPLE next round once the fresh row lands.
-RE_ANCHORED = (
-    "corpus_pipeline_e2e",
-)
+#: One-round applications of the RE-ANCHOR ON CODE CHANGE rule. Round 11
+#: pinned ``corpus_pipeline_e2e`` (two new stages); its fresh green row
+#: landed in CORRECTNESS_r11, so the tuple is cleared per its own
+#: docstring. Round 12 pins nothing: the round's new operators
+#: (``bpe_encode``, ``quality_lm_perplexity``) enter as never-checked and
+#: sort into the window ahead of the stale backlog on their own, and no
+#: already-green query changed semantics. Window math for r12: 14 CRITICAL
+#: + 2 never-checked newcomers + the 31-query r8-stale cohort = 47 ≤ ~50
+#: slots, so the whole cohort drains this round (VERDICT r11 #1) and the
+#: invariant afterwards is: no latest row older than r9.
+RE_ANCHORED: tuple[str, ...] = ()
 
 DEMOTED_ANCHORS = (
     "w7_signal_ids",

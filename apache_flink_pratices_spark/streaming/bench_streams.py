@@ -738,15 +738,26 @@ def mapgrow_touch_rate(
                         for p in (q.recentProgress or [])]
         finally:
             q.stop()
+    # A touch batch is identified by its row count AND by coming after
+    # the seed batch: at n_entries=1 the seed batch ALSO has n_keys rows,
+    # and counting its (expensive, state-creating) duration into the
+    # median would poison the metric (ADVICE r11). The seed is the
+    # earliest data-carrying batch by batchId.
+    data_batches = [p for p in progress if p.get("numInputRows", 0) > 0]
+    seed_batch_id = min(p["batchId"] for p in data_batches)
     touch_ms = [
         p["durationMs"]["triggerExecution"]
-        for p in progress
-        if p.get("numInputRows") == n_keys
+        for p in data_batches
+        if p["numInputRows"] == n_keys and p["batchId"] > seed_batch_id
     ]
-    if len(touch_ms) < touch_batches:
+    # exact-count check, both directions: fewer means progress events
+    # were dropped (numRecentProgressUpdates too small), MORE means a
+    # batch was misclassified as a touch batch — both invalidate the
+    # median, so both fail loudly (ADVICE r11).
+    if len(touch_ms) != touch_batches:
         raise RuntimeError(
-            f"expected >= {touch_batches} touch-batch progress events, "
-            f"got {len(touch_ms)} (numRecentProgressUpdates too small?)"
+            f"expected exactly {touch_batches} touch-batch progress "
+            f"events, got {len(touch_ms)}"
         )
     agg = spark.sql(
         f"SELECT COUNT(*) AS n, COALESCE(SUM(total), 0) AS s FROM {name}"

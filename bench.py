@@ -82,6 +82,13 @@ def main() -> None:
             "SPARK_GRAFT_BENCH_DETAIL, SPARK_GRAFT_ROUND, "
             "SPARK_GRAFT_STREAM_BENCH). See the module docstring."
         )
+    # fail fast on a malformed round override — BEFORE the ~15-minute
+    # measurement, not in the artifact write after it (ADVICE r11)
+    rnd_env = os.environ.get("SPARK_GRAFT_ROUND")
+    if rnd_env and not rnd_env.isdigit():
+        raise SystemExit(
+            f"SPARK_GRAFT_ROUND must be a plain integer, got {rnd_env!r}"
+        )
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "4"))
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -232,7 +239,19 @@ def _box_context() -> dict:
 def _detail_round() -> int:
     env = os.environ.get("SPARK_GRAFT_ROUND")
     if env:
-        return int(env)
+        # a malformed override (e.g. 'r12') must not crash the bench
+        # AFTER the ~15-minute measurement already ran and lose the
+        # detail artifact — fall back to the glob derivation with a
+        # warning instead (ADVICE r11). Validated again up front in
+        # main() so interactive misuse still fails before the timed run.
+        try:
+            return int(env)
+        except ValueError:
+            print(
+                f"WARNING: ignoring non-numeric SPARK_GRAFT_ROUND={env!r}; "
+                "deriving the round from committed BENCH_r*.json instead",
+                file=sys.stderr,
+            )
     import glob
     import re
 

@@ -51,6 +51,16 @@ def test_new_and_removed_queries_reported():
     assert status["fresh"] == "new" and status["gone"] == "removed"
 
 
+def test_corrupt_old_timing_is_surfaced_not_dropped():
+    # a zeroed old entry must emit a row (ADVICE r11), never vanish
+    old = _summary({"a": 0.0, "b": 1.0}, [5, 5])
+    new = _summary({"a": 1.0, "b": 1.0}, [5, 5])
+    out = bench_compare.compare(old, new, floor_pct=25.0)
+    status = {r["query"]: r["status"] for r in out["rows"]}
+    assert status["a"] == "unmeasurable-old"
+    assert status["b"] == "within-noise"
+
+
 def test_load_summary_accepts_both_artifact_shapes(tmp_path):
     s = _summary({"a": 1.0}, [5])
     driver = tmp_path / "BENCH_r10.json"

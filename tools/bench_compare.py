@@ -70,6 +70,17 @@ def compare(old: dict, new: dict, floor_pct: float) -> dict:
             continue
         a, b = float(old_q[name]), float(new_q[name])
         if a <= 0:
+            # a zero/negative old timing means the old artifact entry is
+            # corrupt (the harness never emits one) — surface it instead
+            # of silently dropping the query from the report (ADVICE r11)
+            rows.append(
+                {
+                    "query": name,
+                    "status": "unmeasurable-old",
+                    "old": a,
+                    "new": b,
+                }
+            )
             continue
         delta_pct = 100.0 * (b - a) / a
         noise = max(old_sp.get(name, 0.0), new_sp.get(name, 0.0), floor_pct)
@@ -128,7 +139,7 @@ def main(argv: list[str] | None = None) -> int:
             f"{row['delta_pct']:+6.1f}% (noise {row['noise_pct']:.0f}%)"
         )
     for row in out["rows"]:
-        if row["status"] in ("new", "removed"):
+        if row["status"] in ("new", "removed", "unmeasurable-old"):
             print(f"{row['status']:>13}  {row['query']}")
     if out["old_total"] and out["new_total"]:
         print(
