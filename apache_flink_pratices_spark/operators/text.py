@@ -1082,6 +1082,136 @@ def bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- bigram-LM perplexity quality scorer (VERDICT r11 #4) -------------------
+
+#: fixed-point resolution for LM log-probs: micro-nats. The ONLY
+#: transcendental in the whole query runs once per DISTINCT vocabulary
+#: entry / bigram (bounded tables), is floored to an int64 at this
+#: resolution there, and every corpus-sized accumulation after that is
+#: exact integer arithmetic — so the cross-engine check cannot drift on
+#: summed last-ulp log differences.
+LM_MICRO = 1_000_000
+
+
+@register(
+    "quality_lm_perplexity",
+    oracle=f"""
+    WITH docs AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents
+    ),
+    toks AS (
+      SELECT doc_id, i, ws[i] AS w, ws[i + 1] AS w2, len(ws) AS n
+      FROM docs, LATERAL (SELECT unnest(generate_series(1, len(ws))) AS i) g
+    ),
+    uni AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM toks GROUP BY w),
+    tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n_tot FROM uni),
+    bi AS (
+      SELECT w AS w1, w2, CAST(COUNT(*) AS BIGINT) AS c2
+      FROM toks WHERE i < n GROUP BY w, w2
+    ),
+    ctx AS (SELECT w1, CAST(SUM(c2) AS BIGINT) AS cx FROM bi GROUP BY w1),
+    lm_bi AS (
+      SELECT b.w1, b.w2,
+             CAST(FLOOR({LM_MICRO}.0 * ln(CAST(x.cx AS DOUBLE)
+                                          / CAST(b.c2 AS DOUBLE)))
+                  AS BIGINT) AS nll
+      FROM bi b JOIN ctx x USING (w1)
+    ),
+    lm_uni AS (
+      SELECT u.w,
+             CAST(FLOOR({LM_MICRO}.0 * ln(CAST(t.n_tot AS DOUBLE)
+                                          / CAST(u.c AS DOUBLE)))
+                  AS BIGINT) AS nll
+      FROM uni u CROSS JOIN tot t
+    ),
+    scored AS (
+      SELECT t.doc_id, lu.nll
+      FROM toks t JOIN lm_uni lu ON lu.w = t.w WHERE t.i = 1
+      UNION ALL
+      SELECT t.doc_id, lb.nll
+      FROM toks t JOIN lm_bi lb ON lb.w1 = t.w AND lb.w2 = t.w2
+      WHERE t.i < t.n
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_scored_tokens,
+           CAST(SUM(nll) AS BIGINT) AS total_nll_micro_nats,
+           CAST(SUM(nll) AS DOUBLE) / COUNT(*) AS avg_nll_micro_nats
+    FROM scored GROUP BY doc_id
+    """,
+    doc="CCNet-style LM perplexity quality score (VERDICT r11 #4): each "
+    "document's average negative log-likelihood under a bigram LM with "
+    "unigram start term, in fixed-point MICRO-NATS (perplexity = "
+    "exp(avg/1e6), monotone-equivalent — the exp is deliberately NOT "
+    "emitted: avg is an exact int/int->double division, identical in "
+    "both engines, while 60k per-doc exp() calls would each risk a "
+    "last-ulp cross-engine divergence). The LM is the corpus's own "
+    "bigram/unigram count tables (the same construction bigram_pmi "
+    "mines); ln() runs once per DISTINCT bigram/vocab entry, floored to "
+    "int64 micro-nats THERE, so all corpus-sized accumulation is exact "
+    "integer arithmetic. Plan: one tokenize pass persisted, "
+    "vocabulary-bounded LM tables joined back (no forced broadcast — "
+    "AQE broadcasts while the LM fits, shuffle-joins when a 100 TB "
+    "vocabulary does not), one per-doc aggregate; zero corpus-sized "
+    "shuffles beyond the count-table build.",
+    bench=True,
+    tags=("text", "quality", "lm", "llm-pipeline"),
+)
+def quality_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    t = d.select("doc_id", tokens().alias("ws"))
+    toks = (
+        t.select("doc_id", F.posexplode("ws").alias("i0", "w"), "ws")
+        .select(
+            "doc_id",
+            (F.col("i0") + 1).alias("i"),
+            "w",
+            F.try_element_at("ws", F.col("i0") + 2).alias("w2"),  # doc-final: null
+            F.size("ws").alias("n"),
+        )
+        .persist()
+    )
+    uni = toks.groupBy("w").agg(F.count("*").cast("long").alias("c"))
+    tot = uni.agg(F.sum("c").alias("n_tot"))
+    bi = (
+        toks.filter(F.col("i") < F.col("n"))
+        .groupBy(F.col("w").alias("w1"), "w2")
+        .agg(F.count("*").cast("long").alias("c2"))
+    )
+    ctx = bi.groupBy("w1").agg(F.sum("c2").alias("cx"))
+
+    def nll(num: F.Column, den: F.Column) -> F.Column:
+        return F.floor(
+            F.lit(float(LM_MICRO)) * F.log(num.cast("double") / den.cast("double"))
+        ).cast("long")
+
+    lm_bi = bi.join(ctx, "w1").select(
+        "w1", "w2", nll(F.col("cx"), F.col("c2")).alias("nll")
+    )
+    lm_uni = uni.crossJoin(F.broadcast(tot)).select(
+        "w", nll(F.col("n_tot"), F.col("c")).alias("nll")
+    )
+    first = toks.filter(F.col("i") == 1).join(lm_uni, "w").select("doc_id", "nll")
+    rest = (
+        toks.filter(F.col("i") < F.col("n"))
+        .join(
+            lm_bi,
+            (F.col("w") == F.col("w1")) & (toks["w2"] == lm_bi["w2"]),
+        )
+        .select("doc_id", "nll")
+    )
+    return (
+        first.unionByName(rest)
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_scored_tokens"),
+            F.sum("nll").cast("long").alias("total_nll_micro_nats"),
+            (F.sum("nll").cast("double") / F.count("*")).alias(
+                "avg_nll_micro_nats"
+            ),
+        )
+    )
+
+
 # --- per-source quality dashboard -------------------------------------------
 @register(
     "source_quality_report",
