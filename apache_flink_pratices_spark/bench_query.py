@@ -34,7 +34,11 @@ Entry points (each prints ONE JSON line on stdout):
   ``{"name", "min", "median", "spread_pct", "runs", "rows"}``;
 - ``python -m apache_flink_pratices_spark.bench_query --extras`` —
   the untimed scale-evidence extras (clustered-ANN candidate fraction,
-  hot-bucket guard) in their own fresh session.
+  hot-bucket guard) in their own fresh session;
+- ``python -m apache_flink_pratices_spark.bench_query --calibrate`` —
+  the frozen box-state calibration micro-job (VERDICT r11 #2), measured
+  first in every bench run so cross-round deltas can be conditioned on
+  machine state.
 """
 
 from __future__ import annotations
@@ -121,6 +125,76 @@ def _run_query(name: str) -> dict:
     }
 
 
+def _calibration_frame(spark):
+    """The FROZEN box-state calibration micro-job (VERDICT r11 #2).
+
+    Round 11 proved cross-boot bench numbers are not comparable: four
+    same-code full-bench runs spread 30.1-34.1 s across a reboot with the
+    flagged query rotating run to run, and the judge reproduced the r11
+    plateau (not the r10 lows) on an idle box. This job is the
+    conditioning variable: a deterministic CPU+shuffle micro-benchmark
+    whose CODE NEVER CHANGES, measured first in every bench run — its
+    round-over-round ratio estimates the box-state factor, and
+    ``tools/bench_compare.py`` reports query deltas both raw and
+    calibration-normalized.
+
+    Construction (frozen contract — do not edit; editing invalidates
+    every cross-round calibration ratio): 48M synthetic rows across 32
+    partitions, an 8-deep xxhash64 chain per row (pure whole-stage-
+    codegen CPU, no Python, no I/O), one 4096-key hash aggregate (a real
+    but small shuffle exchange). ~1-2 s on an idle 32-thread box."""
+    from pyspark.sql import functions as F
+
+    c = F.col("id")
+    for i in range(8):
+        c = F.xxhash64(c, F.lit(i))
+    return (
+        spark.range(0, 48_000_000, 1, 32)
+        .select(c.alias("h"))
+        .groupBy(F.pmod(F.col("h"), F.lit(4096)).alias("k"))
+        # summand bounded to <1e9 so 48M-row sums stay far inside int64
+        # under ANSI arithmetic
+        .agg(
+            F.count("*").alias("c"),
+            F.sum(F.pmod(F.col("h"), F.lit(1_000_000_007))).alias("s"),
+        )
+    )
+
+
+def _run_calibration() -> dict:
+    """Fresh-session measurement of the frozen calibration job, same
+    min/median/spread recipe as a query (3 warm-ups, 4 timed runs)."""
+    from apache_flink_pratices_spark.session import get_spark
+
+    n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "4"))
+    n_warm = int(os.environ.get("SPARK_GRAFT_BENCH_WARMUPS", "3"))
+    spark = get_spark("afp-bench-calibration")
+    spark.sparkContext.setLogLevel("WARN")
+
+    def one() -> float:
+        t0 = time.perf_counter()
+        _calibration_frame(spark).write.format("noop").mode("overwrite").save()
+        dt = time.perf_counter() - t0
+        spark._jvm.System.gc()
+        return dt
+
+    for _ in range(n_warm):
+        one()
+    per = [one() for _ in range(max(n_runs, 2))]
+    rows = _calibration_frame(spark).count()
+    spark.stop()
+    if rows != 4096:
+        raise RuntimeError(f"calibration job produced {rows} groups, not 4096")
+    mn = min(per)
+    return {
+        "name": "_calibration",
+        "min": round(mn, 3),
+        "median": round(statistics.median(per), 3),
+        "spread_pct": int(round(100.0 * (max(per) - mn) / mn)) if mn else 0,
+        "runs": len(per),
+    }
+
+
 def _run_extras() -> dict:
     from apache_flink_pratices_spark.operators.curation import (
         decontaminate_bloom_stats,
@@ -163,7 +237,12 @@ def main() -> None:
             "(<query_name> | --extras)"
         )
     arg = sys.argv[1]
-    out = _run_extras() if arg == "--extras" else _run_query(arg)
+    if arg == "--extras":
+        out = _run_extras()
+    elif arg == "--calibrate":
+        out = _run_calibration()
+    else:
+        out = _run_query(arg)
     print(json.dumps(out, separators=(",", ":")))
 
 

@@ -109,6 +109,17 @@ def main() -> None:
             raise SystemExit(f"SPARK_GRAFT_BENCH_QUERIES unknown: {unknown}")
         names = picked
 
+    # --- box-state calibration probe (VERDICT r11 #2), FIRST -------------
+    # the frozen CPU+shuffle micro-job whose code never changes: its
+    # round-over-round ratio is the box-state factor bench_compare.py
+    # conditions query deltas on (cross-boot numbers proved incomparable
+    # in r10<->r11; docs/scale_notes.md round 12 carries the worked
+    # example). Measured before any query so it also leads the artifact.
+    calibration = _subprocess_json(
+        ["-m", "apache_flink_pratices_spark.bench_query", "--calibrate"],
+        "bench calibration",
+    )
+
     timings: dict[str, float] = {}
     medians: dict[str, float] = {}
     spreads: dict[str, float] = {}
@@ -158,6 +169,9 @@ def main() -> None:
         # between the r10 and r11 measurements — cross-round deltas need
         # the machine state on record to be conditioned on it
         "box": _box_context(),
+        # the frozen micro-job's full measurement (min is the summary
+        # `cal` scalar; median/spread gauge the probe's own noise)
+        "calibration": calibration,
         "queries_median": medians,
         "queries_spread_pct": spreads,
         # actual timed samples behind each min (v2.1 varies it: doubled
@@ -197,6 +211,10 @@ def main() -> None:
         # cannot be told from a regression)
         "med": [medians[n] for n in names],
         "spread_pct": [spreads[n] for n in names],
+        # box-state calibration scalar (VERDICT r11 #2): min seconds of
+        # the frozen micro-job on this box — bench_compare.py divides
+        # query deltas by the two rounds' cal ratio
+        "cal": calibration["min"],
         # streaming ev/s repeated on the summary line: the driver may only
         # capture the LAST line, and the metric must land in BENCH_r{N}
         "streaming": streaming,

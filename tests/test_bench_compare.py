@@ -61,6 +61,44 @@ def test_corrupt_old_timing_is_surfaced_not_dropped():
     assert status["b"] == "within-noise"
 
 
+def test_calibration_ratio_normalizes_box_state():
+    # the r10<->r11 lesson: +50% raw on a box whose calibration also ran
+    # 1.5x slower is box state -> within-noise on the normalized column;
+    # a query that moved BEYOND the box factor still flags
+    old = _summary({"boxy": 1.0, "realreg": 1.0}, [5, 5])
+    new = _summary({"boxy": 1.5, "realreg": 2.4}, [5, 5])
+    out = bench_compare.compare(old, new, floor_pct=25.0, cal_ratio=1.5)
+    rows = {r["query"]: r for r in out["rows"]}
+    assert rows["boxy"]["status"] == "within-noise"
+    assert rows["boxy"]["delta_cal_pct"] == 0.0
+    assert rows["boxy"]["delta_pct"] == 50.0  # raw stays on the row
+    assert rows["realreg"]["status"] == "REGRESSION"
+    assert rows["realreg"]["delta_cal_pct"] == 60.0
+    # without a ratio the same raw move flags (pre-r12 behavior)
+    out_raw = bench_compare.compare(old, new, floor_pct=25.0)
+    assert {r["query"]: r["status"] for r in out_raw["rows"]}["boxy"] == "REGRESSION"
+
+
+def test_load_calibration_from_both_artifact_shapes(tmp_path):
+    s = dict(_summary({"a": 1.0}, [5]), cal=1.234)
+    driver = tmp_path / "BENCH_r12.json"
+    driver.write_text(json.dumps({"parsed": s}))
+    assert bench_compare.load_calibration(str(driver)) == 1.234
+    detail = tmp_path / "BENCH_DETAIL_r12.json"
+    detail.write_text(
+        json.dumps(
+            {
+                "summary": _summary({"a": 1.0}, [5]),
+                "detail": {"calibration": {"min": 2.5}},
+            }
+        )
+    )
+    assert bench_compare.load_calibration(str(detail)) == 2.5
+    old = tmp_path / "BENCH_r11.json"
+    old.write_text(json.dumps({"parsed": _summary({"a": 1.0}, [5])}))
+    assert bench_compare.load_calibration(str(old)) is None
+
+
 def test_load_summary_accepts_both_artifact_shapes(tmp_path):
     s = _summary({"a": 1.0}, [5])
     driver = tmp_path / "BENCH_r10.json"

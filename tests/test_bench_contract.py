@@ -62,6 +62,12 @@ def test_bench_cli_contract(tmp_path):
         assert med >= doc["queries"][n] - 0.0055
     for n, sp in zip(doc["queries"], doc["spread_pct"]):
         assert sp == detail["queries_spread_pct"][n] and sp >= 0
+    # round-12 box-state calibration probe (VERDICT r11 #2): the frozen
+    # micro-job's scalar leads both the summary line and the detail
+    assert doc["cal"] > 0
+    assert detail["calibration"]["min"] == doc["cal"]
+    assert detail["calibration"]["runs"] >= 2
+    assert detail["calibration"]["spread_pct"] >= 0
     # round-7 scale-evidence extras: measured LSH pruning on the planted
     # clusters, and streaming ev/s through the two stateful flagship paths
     assert 0 < detail["ann_lsh_clustered_candidate_fraction"] < 0.2

@@ -51,6 +51,27 @@ def load_box(path: str) -> dict | None:
     return None
 
 
+def load_calibration(path: str) -> float | None:
+    """The box-state calibration scalar (min seconds of the frozen
+    micro-job): summary ``cal`` (r12+), else detail.calibration.min.
+    None for pre-r12 artifacts — the comparator then reports raw deltas
+    only."""
+    with open(path) as f:
+        doc = json.load(f)
+    summary = doc.get("summary") if isinstance(doc.get("summary"), dict) else None
+    summary = summary or (doc.get("parsed") if isinstance(doc.get("parsed"), dict) else None)
+    summary = summary or doc
+    cal = summary.get("cal")
+    if isinstance(cal, (int, float)) and cal > 0:
+        return float(cal)
+    detail = doc.get("detail")
+    if isinstance(detail, dict):
+        c = (detail.get("calibration") or {}).get("min")
+        if isinstance(c, (int, float)) and c > 0:
+            return float(c)
+    return None
+
+
 def spread_map(summary: dict) -> dict[str, float]:
     """query -> measured spread_pct (aligned arrays on the summary line);
     missing spread data degrades to 0 (flag on the floor alone)."""
@@ -59,8 +80,17 @@ def spread_map(summary: dict) -> dict[str, float]:
     return {n: float(s) for n, s in zip(names, spreads)}
 
 
-def compare(old: dict, new: dict, floor_pct: float) -> dict:
-    """{"rows": [...], "regressions": [...], "improvements": [...]}"""
+def compare(
+    old: dict, new: dict, floor_pct: float, cal_ratio: float | None = None
+) -> dict:
+    """{"rows": [...], "regressions": [...], "improvements": [...]}
+
+    With ``cal_ratio`` (new_cal / old_cal — the box-state factor from the
+    frozen calibration micro-job, VERDICT r11 #2), each row ALSO carries
+    ``delta_cal_pct`` — the delta after dividing the new timing by the
+    ratio — and flagging conditions on the NORMALIZED delta: a +30% move
+    on a box whose calibration also ran +30% slower is box state, not
+    code. Raw ``delta_pct`` stays on every row for the honest record."""
     old_q, new_q = old.get("queries", {}), new.get("queries", {})
     old_sp, new_sp = spread_map(old), spread_map(new)
     rows, regressions, improvements = [], [], []
@@ -84,9 +114,16 @@ def compare(old: dict, new: dict, floor_pct: float) -> dict:
             continue
         delta_pct = 100.0 * (b - a) / a
         noise = max(old_sp.get(name, 0.0), new_sp.get(name, 0.0), floor_pct)
+        # flag on the calibration-normalized delta when the box-state
+        # factor is known; otherwise on the raw delta
+        eff_delta = delta_pct
+        cal_delta = None
+        if cal_ratio and cal_ratio > 0:
+            cal_delta = 100.0 * (b / cal_ratio - a) / a
+            eff_delta = cal_delta
         status = "within-noise"
-        if abs(delta_pct) > noise:
-            status = "REGRESSION" if delta_pct > 0 else "improvement"
+        if abs(eff_delta) > noise:
+            status = "REGRESSION" if eff_delta > 0 else "improvement"
         row = {
             "query": name,
             "old": a,
@@ -95,6 +132,8 @@ def compare(old: dict, new: dict, floor_pct: float) -> dict:
             "noise_pct": round(noise, 1),
             "status": status,
         }
+        if cal_delta is not None:
+            row["delta_cal_pct"] = round(cal_delta, 1)
         rows.append(row)
         if status == "REGRESSION":
             regressions.append(row)
@@ -124,19 +163,39 @@ def main(argv: list[str] | None = None) -> int:
         "code for ramp-heavy queries; docs/scale_notes.md round 11)",
     )
     args = ap.parse_args(argv)
+    old_cal = load_calibration(args.old_artifact)
+    new_cal = load_calibration(args.new_artifact)
+    cal_ratio = (new_cal / old_cal) if (old_cal and new_cal) else None
     out = compare(
         load_summary(args.old_artifact),
         load_summary(args.new_artifact),
         args.floor_pct,
+        cal_ratio=cal_ratio,
     )
+    if cal_ratio:
+        print(
+            f"calibration: old {old_cal:.3f}s -> new {new_cal:.3f}s "
+            f"(box-state ratio {cal_ratio:.3f}; deltas flagged on the "
+            "normalized column)"
+        )
+    else:
+        print(
+            "calibration: absent on at least one side (pre-r12 artifact) "
+            "— raw deltas only"
+        )
     for row in sorted(
         (r for r in out["rows"] if "delta_pct" in r),
-        key=lambda r: -abs(r["delta_pct"]),
+        key=lambda r: -abs(r.get("delta_cal_pct", r["delta_pct"])),
     ):
+        cal_s = (
+            f" [cal {row['delta_cal_pct']:+6.1f}%]"
+            if "delta_cal_pct" in row
+            else ""
+        )
         print(
             f"{row['status']:>13}  {row['query']:<32} "
             f"{row['old']:>8.3f} -> {row['new']:>8.3f}  "
-            f"{row['delta_pct']:+6.1f}% (noise {row['noise_pct']:.0f}%)"
+            f"{row['delta_pct']:+6.1f}%{cal_s} (noise {row['noise_pct']:.0f}%)"
         )
     for row in out["rows"]:
         if row["status"] in ("new", "removed", "unmeasurable-old"):
