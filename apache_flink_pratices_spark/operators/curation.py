@@ -1743,7 +1743,14 @@ def _pipeline_oracle() -> str:
     "so ONE corpus scan feeds dedup, gating, decon, sampling, budgeting "
     "and packing — asserted against the physical plan in "
     "tests/test_plan_audit.py. The near-dup edges ride the maintained "
-    "pair artifact; the budget join is a broadcast (sources-sized).",
+    "pair artifact; the budget join is a broadcast (sources-sized). "
+    "In the headline bench since round 12 (VERDICT r11 #6): the "
+    "flagship composed query was invisible to the round-over-round "
+    "bench, so a regression in composed-stage interplay (cache reuse, "
+    "broadcast thresholds) surfaced nowhere; steady-state ~13-14 s at "
+    "sf0.1 after the warm-ups absorb the one-time pair-artifact/bloom "
+    "builds.",
+    bench=True,
     tags=("curation", "dedup", "tokens", "packing", "llm-pipeline", "composition"),
 )
 def corpus_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:

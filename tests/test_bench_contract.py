@@ -162,6 +162,7 @@ def test_bench_summary_line_budget():
         "queries": {n: 9999.999 for n in names},
         "med": [9999.99 for _ in names],
         "spread_pct": [999 for _ in names],
+        "cal": 9999.999,
         "streaming": {
             "fraud_ev_s": 99999999,
             "cep_ev_s": 99999999,
@@ -170,12 +171,15 @@ def test_bench_summary_line_budget():
     }
     line = json.dumps(worst, separators=(",", ":"))
     # Budget rationale: the driver captures 2000 chars and parses the LAST
-    # line; 1600 worst-case (every min 9999.999 — real lines run ~300
-    # chars shorter) leaves 400 chars of hard slack. Since round 11 the
-    # full detail rides its own committed BENCH_DETAIL_r{N}.json, so the
-    # stdout tail carries ONLY this summary — the earlier 1500 figure was
-    # also protecting detail-line leftovers in the capture window.
-    assert len(line) <= 1600, (len(line), "compact summary over budget")
+    # line; 1700 worst-case (every min 9999.999 — real lines run ~300
+    # chars shorter: r11 measured 1261 for 32 queries, r12 ~1390 for 35)
+    # leaves 300 chars of hard slack. Since round 11 the full detail
+    # rides its own committed BENCH_DETAIL_r{N}.json, so the stdout tail
+    # carries ONLY this summary. Raised 1600 -> 1700 in round 12 for the
+    # three new headline rows + the calibration scalar; the next raise
+    # should instead restructure (the slack is the driver's parse
+    # margin, not growth headroom).
+    assert len(line) <= 1700, (len(line), "compact summary over budget")
 
 
 def test_bench_order_is_registration_order_not_rotation(tmp_path, monkeypatch):
