@@ -197,6 +197,7 @@ def _run_calibration() -> dict:
 
 def _run_extras() -> dict:
     from apache_flink_pratices_spark.operators.curation import (
+        decontaminate_bloom_lowoverlap_stats,
         decontaminate_bloom_stats,
     )
     from apache_flink_pratices_spark.operators.dedup import (
@@ -221,12 +222,18 @@ def _run_extras() -> dict:
     spark.catalog.clearCache()
     # measured bloom prefilter effectiveness at bench scale (round 10)
     bloom_stats = decontaminate_bloom_stats(spark, sf_dir)
+    spark.catalog.clearCache()
+    # ... and on the planted ~1%-overlap corpus (VERDICT r11 #5): the
+    # realistic eval-decon shape, where candidate_fraction ~ overlap+FPR
+    # and the prefilter spares ~99% of the exact verify join
+    bloom_low = decontaminate_bloom_lowoverlap_stats(spark)
     spark.stop()
     return {
         "ann_lsh_clustered_candidate_fraction": cand_fraction,
         "hot_bucket_guard": hot_guard,
         "hot_bucket_recall": hot_recall,
         "decontaminate_bloom": bloom_stats,
+        "decontaminate_bloom_lowoverlap": bloom_low,
     }
 
 

@@ -396,6 +396,91 @@ def decontaminate_bloom_stats(spark: SparkSession, sf_dir: str) -> dict:
     }
 
 
+def synthetic_decon_corpus(
+    spark: SparkSession,
+    n_train: int = 2_000_000,
+    n_eval: int = 200_000,
+    overlap_bp: int = 100,
+):
+    """(eval_h, train, n_planted): a PLANTED low-overlap decontamination
+    corpus (VERDICT r11 #5). The sf0.1 documents corpus is 61.5%
+    contaminated at the shingle level, so the bloom prefilter's measured
+    win there is only ~1.6x — the realistic eval-decon shape is the
+    OPPOSITE: a huge train stream sharing ~overlap_bp/10000 of its
+    shingles with a frozen eval set, where the prefilter spares almost
+    the whole exact-verify join. Hashes are synthetic 56-bit values
+    (xxhash64 of a range, salted per role); the planted rows reuse the
+    eval salt on eval ids, so overlap is exact by construction and the
+    truth join stays purely mechanical."""
+    two56 = F.lit(1 << 56)
+    eval_h = spark.range(n_eval).select(
+        F.pmod(F.xxhash64(F.col("id"), F.lit("planted-eval")), two56).alias("h")
+    )
+    n_planted = n_train * overlap_bp // 10_000
+    if not 0 < n_planted <= n_eval:
+        raise ValueError("overlap sizing: need 0 < planted <= n_eval")
+    clean = spark.range(n_train - n_planted).select(
+        F.col("id").alias("rid"),
+        F.pmod(F.xxhash64(F.col("id"), F.lit("train-clean")), two56).alias("h"),
+    )
+    planted = spark.range(n_planted).select(
+        (F.col("id") + (n_train - n_planted)).alias("rid"),
+        F.pmod(F.xxhash64(F.col("id"), F.lit("planted-eval")), two56).alias("h"),
+    )
+    train = clean.unionByName(planted).select(
+        F.pmod(F.col("rid"), F.lit(10_000)).alias("doc_id"), "h"
+    )
+    return eval_h, train, n_planted
+
+
+def decontaminate_bloom_lowoverlap_stats(
+    spark: SparkSession,
+    n_train: int = 2_000_000,
+    n_eval: int = 200_000,
+    overlap_bp: int = 100,
+) -> dict:
+    """Measured bloom-prefilter effectiveness on the planted ~1%-overlap
+    corpus (bench extras since round 12, VERDICT r11 #5) — the shape
+    where the bloom actually pays: candidate_fraction should sit at
+    ~overlap + FPR, i.e. the exact verify join touches ~1% of the train
+    stream instead of 100% (the 10^9-eval-ngram argument is made from
+    THIS row, not the saturated sf0.1 one). Same production kernels as
+    the registered operator: distributed `_build_bloom`, broadcast
+    bitmap, vectorized `_bloom_probe_fn`; `false_negatives` is recounted
+    mechanically (bloom-negative rows truly in eval must be zero — the
+    no-false-negative contract) rather than assumed."""
+    eval_h, train, n_planted = synthetic_decon_corpus(
+        spark, n_train, n_eval, overlap_bp
+    )
+    words = _build_bloom(eval_h)
+    bc = spark.sparkContext.broadcast(words.tobytes())
+    probed = train.mapInArrow(
+        _bloom_probe_fn(bc), "doc_id long, h long, hit int"
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        total = probed.count()
+        pos = probed.filter(F.col("hit") == 1).count()
+        ev = F.broadcast(eval_h.distinct())
+        true_rows = probed.filter(F.col("hit") == 1).join(ev, "h").count()
+        false_negatives = (
+            probed.filter(F.col("hit") == 0).join(ev, "h").count()
+        )
+        neg_truth = total - true_rows
+        return {
+            "train_shingle_rows": total,
+            "planted_rows": n_planted,
+            "bloom_positive_rows": pos,
+            "candidate_fraction": round(pos / max(1, total), 5),
+            "false_positive_rate": round(
+                (pos - true_rows) / max(1, neg_truth), 6
+            ),
+            "false_negatives": false_negatives,
+            "n_eval": n_eval,
+        }
+    finally:
+        probed.unpersist()
+
+
 @register(
     "decontaminate_bloom",
     oracle=f"""

@@ -97,6 +97,12 @@ def test_bench_cli_contract(tmp_path):
     assert set(bk["fraud_ev_s"]) == {"native", "pandas_state"} == set(
         bk["cep_ev_s"]
     )
+    # VERDICT r11 #5: bloom decon measured on the planted low-overlap
+    # corpus — candidate_fraction ~ overlap + FPR, no false negatives
+    lo = detail["decontaminate_bloom_lowoverlap"]
+    assert lo["false_negatives"] == 0
+    assert lo["planted_rows"] <= lo["bloom_positive_rows"]
+    assert lo["candidate_fraction"] < 0.05
     # VERDICT r7 #4: measured above-cap hot-bucket guard evidence
     hg = detail["hot_bucket_guard"]
     assert hg["pairs"] > 0 and hg["wall_s"] > 0
