@@ -203,6 +203,7 @@ def _run_extras() -> dict:
     from apache_flink_pratices_spark.operators.dedup import (
         hot_bucket_guard_bench,
         hot_bucket_recall_bench,
+        neardup_method_compare_bench,
     )
     from apache_flink_pratices_spark.operators.similarity import (
         ann_lsh_clustered_candidate_fraction,
@@ -227,6 +228,10 @@ def _run_extras() -> dict:
     # realistic eval-decon shape, where candidate_fraction ~ overlap+FPR
     # and the prefilter spares ~99% of the exact verify join
     bloom_low = decontaminate_bloom_lowoverlap_stats(spark)
+    spark.catalog.clearCache()
+    # minhash-vs-simhash recall/precision on the planted-pair corpus
+    # (VERDICT r11 #7): the dedup method choice, measured
+    method_cmp = neardup_method_compare_bench(spark)
     spark.stop()
     return {
         "ann_lsh_clustered_candidate_fraction": cand_fraction,
@@ -234,6 +239,7 @@ def _run_extras() -> dict:
         "hot_bucket_recall": hot_recall,
         "decontaminate_bloom": bloom_stats,
         "decontaminate_bloom_lowoverlap": bloom_low,
+        "neardup_method_compare": method_cmp,
     }
 
 
