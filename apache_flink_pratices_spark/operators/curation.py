@@ -879,6 +879,64 @@ def _register_token_budget_plan() -> None:
 _register_token_budget_plan()
 
 
+def _register_token_budget_plan_exact() -> None:
+    from apache_flink_pratices_spark.operators.text import SQL_BPE_WORD_CTES
+
+    ep = f"(({TOKEN_BUDGET} * share_bp // 10000) * 10000 // available_tokens)"
+
+    @register(
+        "token_budget_plan_exact",
+        oracle=f"""
+        WITH RECURSIVE {SQL_BPE_WORD_CTES},
+        doc_counts AS (
+          SELECT t.doc_id, CAST(SUM(e.n_pieces) AS BIGINT) AS n_bpe
+          FROM words t JOIN wenc e USING (w) GROUP BY t.doc_id
+        ),
+        counts AS (
+          SELECT d.source, {_SQL_MIX_BP} AS share_bp,
+                 CAST(SUM(c.n_bpe) AS BIGINT) AS available_tokens
+          FROM documents d JOIN doc_counts c ON c.doc_id = d.doc_id
+          GROUP BY d.source
+        )
+        SELECT source, share_bp, available_tokens,
+               CAST({TOKEN_BUDGET} * share_bp // 10000 AS BIGINT) AS target_tokens,
+               CAST({ep} AS BIGINT) AS epochs_bp,
+               CAST(least({ep}, {MAX_EPOCHS_BP}) AS BIGINT) AS epochs_capped_bp,
+               CAST(available_tokens * least({ep}, {MAX_EPOCHS_BP}) // 10000
+                    AS BIGINT) AS planned_tokens
+        FROM counts
+        WHERE available_tokens > 0
+        """,
+        doc="token_budget_plan on EXACT tokenizer counts (round 12): the "
+        "budget/epoch arithmetic is byte-identical to token_budget_plan "
+        "(shared budget_plan_from_counts), but available_tokens comes "
+        "from the real bpe_encode apply (distinct-word Arrow kernel, "
+        "frozen piece table) instead of the regex token ESTIMATE — the "
+        "provisioning table a run would actually train against, closing "
+        "the chain bpe_encode opened (VERDICT r11 #3: budget should "
+        "follow what the tokenizer will really produce). Plan shape "
+        "unchanged: the per-doc count is one distinct-word encode + a "
+        "join-back, the plan itself stays sources-sized metadata.",
+        tags=("curation", "tokens", "tokenizer", "llm-pipeline"),
+    )
+    def token_budget_plan_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from apache_flink_pratices_spark.operators.text import (
+            bpe_doc_token_counts_of,
+        )
+
+        d = load(spark, sf_dir, "documents")
+        counts = (
+            d.select("doc_id", "source")
+            .join(bpe_doc_token_counts_of(d.select("doc_id", "text")), "doc_id")
+            .groupBy("source")
+            .agg(F.sum("n_bpe_tokens").cast("long").alias("available_tokens"))
+        )
+        return budget_plan_from_counts(counts)
+
+
+_register_token_budget_plan_exact()
+
+
 def token_budget_plan_frame(d: DataFrame) -> DataFrame:
     """The token-budget mixture plan for any ``(source, text)`` frame —
     split out so composed pipelines (corpus_pipeline_e2e) budget the
@@ -886,20 +944,27 @@ def token_budget_plan_frame(d: DataFrame) -> DataFrame:
     from apache_flink_pratices_spark.operators.text import _BPEISH
 
     bpeish = F.expr(f"size(regexp_extract_all(lower(text), '{_BPEISH}', 0))")
+    counts = d.groupBy("source").agg(
+        F.sum(bpeish.cast("long")).alias("available_tokens")
+    )
+    return budget_plan_from_counts(counts)
+
+
+def budget_plan_from_counts(counts: DataFrame) -> DataFrame:
+    """The budget/epoch arithmetic over a ``(source, available_tokens)``
+    frame — the one plan definition shared by the BPE-ish estimate
+    (token_budget_plan) and the exact tokenizer counts
+    (token_budget_plan_exact), so the two plans differ ONLY in their
+    token counting."""
     tier = F.substring("source", 4, 16).cast("int") % 4
     share_bp = F.when(F.lit(False), F.lit(0))
     for i, bp in enumerate(MIX_TIER_BP):
         share_bp = share_bp.when(tier == i, F.lit(bp))
-    counts = (
-        d.groupBy("source")
-        .agg(F.sum(bpeish.cast("long")).alias("available_tokens"))
-        .select(
-            "source",
-            share_bp.otherwise(None).alias("share_bp"),
-            "available_tokens",
-        )
-        .filter(F.col("available_tokens") > 0)
-    )
+    counts = counts.select(
+        "source",
+        share_bp.otherwise(None).alias("share_bp"),
+        "available_tokens",
+    ).filter(F.col("available_tokens") > 0)
     target = F.expr(f"CAST({TOKEN_BUDGET} * share_bp AS BIGINT) DIV 10000")
     epochs = F.expr(
         f"(CAST({TOKEN_BUDGET} * share_bp AS BIGINT) DIV 10000) * 10000 "

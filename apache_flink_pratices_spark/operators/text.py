@@ -704,10 +704,14 @@ def _sql_bpe_pieces() -> str:
     )
 
 
-@register(
-    "bpe_encode",
-    oracle=f"""
-    WITH RECURSIVE
+#: The DuckDB rendering of the whole word-level BPE encode, from the
+#: piece VALUES table through ``wenc`` (one row per distinct word with
+#: its piece count / sequence fingerprint / UNK count) plus the
+#: position-carrying ``words`` stream it joins back to. Shared by the
+#: bpe_encode oracle and the exact token-budget plan's oracle
+#: (curation.py), so the two can never disagree on the encoding.
+#: Callers prepend ``WITH RECURSIVE``.
+SQL_BPE_WORD_CTES = f"""
     pieces(piece, id) AS (VALUES {_sql_bpe_pieces()}),
     docs AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
     words AS (
@@ -751,6 +755,33 @@ def _sql_bpe_pieces() -> str:
       SELECT w, j AS n_pieces, CAST(fp % {MOD} AS BIGINT) AS word_fp, n_unk
       FROM enc WHERE pos > len(w)
     )
+"""
+
+
+def bpe_doc_token_counts_of(d: DataFrame) -> DataFrame:
+    """(doc_id, n_bpe_tokens): exact per-document BPE token counts for
+    ANY ``(doc_id, text)`` frame — the chain-closing count source shared
+    by downstream budget planning (token_budget_plan_exact). Same
+    distinct-word Arrow kernel as bpe_encode, minus the position
+    bookkeeping the fingerprint needs."""
+    words = (
+        d.select("doc_id", F.explode(tokens()).alias("w"))
+        .filter(F.col("w") != "")
+    )
+    enc = words.select("w").distinct().mapInPandas(
+        _bpe_encode_batches, "w string, word_fp long, n_pieces long, n_unk long"
+    )
+    return (
+        words.join(enc.select("w", "n_pieces"), "w")
+        .groupBy("doc_id")
+        .agg(F.sum("n_pieces").cast("long").alias("n_bpe_tokens"))
+    )
+
+
+@register(
+    "bpe_encode",
+    oracle=f"""
+    WITH RECURSIVE {SQL_BPE_WORD_CTES}
     SELECT t.doc_id,
            CAST(COUNT(*) AS BIGINT) AS n_words,
            CAST(SUM(e.n_pieces) AS BIGINT) AS n_bpe_tokens,

@@ -93,6 +93,29 @@ def test_single_chars_encode_to_positional_ids():
         assert ids == [i]
 
 
+def test_exact_budget_counts_agree_with_bpe_encode(spark):
+    """bpe_doc_token_counts_of (the token_budget_plan_exact count source)
+    and bpe_encode must agree on every document's token count — two
+    plans, one encoding."""
+    from apache_flink_pratices_spark.io import load
+    from apache_flink_pratices_spark.operators.text import (
+        bpe_doc_token_counts_of,
+        bpe_encode,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    via_encode = {
+        r["doc_id"]: r["n_bpe_tokens"] for r in bpe_encode(spark, sf).collect()
+    }
+    via_counts = {
+        r["doc_id"]: r["n_bpe_tokens"]
+        for r in bpe_doc_token_counts_of(
+            load(spark, sf, "documents").select("doc_id", "text")
+        ).collect()
+    }
+    assert via_counts == via_encode and via_counts
+
+
 @pytest.mark.usefixtures("spark")
 def test_spark_end_to_end_with_unk(spark):
     """The full operator shape on a synthetic frame with an OOV char:
