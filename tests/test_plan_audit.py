@@ -3,6 +3,8 @@ asserted against the actual physical plans."""
 
 from __future__ import annotations
 
+import re
+
 import pytest
 
 from apache_flink_pratices_spark.operators.dedup import dedup_exact
@@ -527,3 +529,53 @@ def test_quality_topk_first_sort_is_salted(spark):
     plan = formatted_plan(quality_topk_per_source(spark, SF))
     assert "salt" in plan, plan
     assert exchange_count(plan) == 2, plan
+
+
+def test_bpe_encode_python_only_on_distinct_words(spark):
+    """The BPE apply's Python stage must sit on the DISTINCT-word build
+    side of a broadcast join — exactly one MapInPandas, never on the
+    token stream — and the per-doc aggregate must be the only
+    corpus-sized exchange after it."""
+    from apache_flink_pratices_spark.operators.text import bpe_encode
+
+    plan = formatted_plan(bpe_encode(spark, SF))
+    # one MapInPandas NODE (formatted plans list each node twice: tree
+    # line + detail header)
+    assert len(re.findall(r"\(\d+\) MapInPandas", plan)) == 1, plan
+    kinds = join_kinds(plan)
+    assert "BroadcastHashJoin" in kinds, kinds
+    assert "SortMergeJoin" not in kinds and "CartesianProduct" not in kinds
+    # the MapInPandas must be fed by the distinct-word aggregate, i.e.
+    # appear AFTER a HashAggregate in the operator tree (build side),
+    # not directly over the scan
+    mp = plan.index("MapInPandas")
+    assert "HashAggregate" in plan[mp:], plan[mp : mp + 500]
+
+
+def test_lm_perplexity_lm_tables_broadcast_back(spark):
+    """The bounded bigram/unigram LM tables must broadcast onto the
+    token stream (no fact-side shuffle for the scoring joins) and no
+    Python stage may exist anywhere in the plan."""
+    from apache_flink_pratices_spark.operators.text import quality_lm_perplexity
+
+    df = quality_lm_perplexity(spark, SF)
+    plan = formatted_plan(df)
+    assert "MapInPandas" not in plan and "ArrowEvalPython" not in plan, plan
+    kinds = join_kinds(plan)
+    assert "BroadcastHashJoin" in kinds, kinds
+    # BroadcastNestedLoopJoin is allowed ONLY as the sanctioned 1-row
+    # scalar attach (the corpus-total cross join — same stance as
+    # bigram_pmi/quality_token_rarity); real products are not
+    assert "CartesianProduct" not in kinds and "SortMergeJoin" not in kinds
+
+
+def test_budget_plan_exact_stays_sources_sized(spark):
+    """token_budget_plan_exact: one distinct-word Python encode (same
+    contract as bpe_encode), and the final plan is a sources-sized
+    aggregate — no cartesian, no corpus-sized Python."""
+    from apache_flink_pratices_spark.registry import all_specs
+
+    fn = all_specs()["token_budget_plan_exact"].fn
+    plan = formatted_plan(fn(spark, SF))
+    assert len(re.findall(r"\(\d+\) MapInPandas", plan)) == 1, plan
+    assert "CartesianProduct" not in plan, plan
