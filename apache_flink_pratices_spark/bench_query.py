@@ -247,7 +247,7 @@ def main() -> None:
     if len(sys.argv) != 2:
         raise SystemExit(
             "usage: python -m apache_flink_pratices_spark.bench_query "
-            "(<query_name> | --extras)"
+            "(<query_name> | --extras | --calibrate)"
         )
     arg = sys.argv[1]
     if arg == "--extras":

@@ -1248,13 +1248,11 @@ def neardup_method_compare_bench(
         .select("doc_a", "doc_b", jac_col.alias("jaccard"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    truth = {
-        (r["doc_a"], r["doc_b"])
-        for r in jac_all.filter(F.col("jaccard") >= JACCARD_THRESHOLD).collect()
-    }
+    # one collect serves both: truth is the >= threshold subset
     jac_by_pair = {
         (r["doc_a"], r["doc_b"]): r["jaccard"] for r in jac_all.collect()
     }
+    truth = {p for p, j in jac_by_pair.items() if j >= JACCARD_THRESHOLD}
 
     def measure(build) -> tuple[dict, set]:
         t0 = time.perf_counter()
@@ -1269,8 +1267,15 @@ def neardup_method_compare_bench(
             "precision": round(len(hit) / max(1, len(emitted)), 3),
         }, emitted
 
+    # upstream frames each method persists, unpersisted in the closing
+    # cleanup (round-12 self-review: they leaked past the bench in
+    # long-lived sessions — the module-scoped test fixture, a service
+    # loop — and only the extras path escaped via spark.stop())
+    method_persists: list[DataFrame] = []
+
     def minhash_pairs() -> DataFrame:
         sigs = minhash_signatures_of(sh).persist(StorageLevel.MEMORY_AND_DISK)
+        method_persists.append(sigs)
         cand = banded_candidate_pairs(minhash_bands_of(sigs)).select(
             F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b")
         )
@@ -1289,6 +1294,7 @@ def neardup_method_compare_bench(
 
     def simhash_pairs() -> DataFrame:
         fp = _simhash_fingerprints_of(d).persist(StorageLevel.MEMORY_AND_DISK)
+        method_persists.append(fp)
         cand = _simhash_candidates(fp)
         fa = fp.select(F.col("doc_id").alias("doc_a"), F.col("fp").alias("fp_a"))
         fb = fp.select(F.col("doc_id").alias("doc_b"), F.col("fp").alias("fp_b"))
@@ -1320,7 +1326,7 @@ def neardup_method_compare_bench(
             },
         }
     out["tiers"] = tiers_out
-    for f in (jac_all, sh, d):
+    for f in (*method_persists, jac_all, sh, d):
         f.unpersist()
     return out
 

@@ -1121,6 +1121,19 @@ def bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: resolution there, and every corpus-sized accumulation after that is
 #: exact integer arithmetic — so the cross-engine check cannot drift on
 #: summed last-ulp log differences.
+#:
+#: Residual floor-boundary risk, quantified (round-12 self-review): both
+#: engines evaluate ln() on the IDENTICAL double (the count division is
+#: correctly rounded), but JVM Math.log and libm each guarantee only
+#: ≤1 ulp — they can disagree when the true value sits within ~1 ulp of
+#: their rounding boundary, and the floor then flips an nll entry by 1
+#: iff 1e6·ln(r) also lies within that ~4e-9 absolute window of an
+#: integer. Flip probability ≈ 4e-9 PER DISTINCT LM ENTRY per round:
+#: ~4e-6 on this corpus (31-word vocabulary, <10^3 entries), and still
+#: only ~4e-2 for a 10^7-bigram production vocabulary. A corpus where
+#: that matters should build the nll table with a correctly-rounded ln
+#: (e.g. decimal-module logs on the driver for a broadcastable LM);
+#: the corpus-sized arithmetic stays exact either way.
 LM_MICRO = 1_000_000
 
 

@@ -744,6 +744,11 @@ def mapgrow_touch_rate(
     # median would poison the metric (ADVICE r11). The seed is the
     # earliest data-carrying batch by batchId.
     data_batches = [p for p in progress if p.get("numInputRows", 0) > 0]
+    if not data_batches:
+        raise RuntimeError(
+            "no data-carrying progress events retained "
+            "(numRecentProgressUpdates too small?)"
+        )
     seed_batch_id = min(p["batchId"] for p in data_batches)
     touch_ms = [
         p["durationMs"]["triggerExecution"]

@@ -61,6 +61,16 @@ def test_corrupt_old_timing_is_surfaced_not_dropped():
     assert status["b"] == "within-noise"
 
 
+def test_corrupt_new_timing_is_not_an_improvement():
+    # symmetric guard (round-12 self-review): a zeroed NEW entry must
+    # not be celebrated as a -100% improvement
+    old = _summary({"a": 1.0}, [5])
+    new = _summary({"a": 0.0}, [5])
+    out = bench_compare.compare(old, new, floor_pct=25.0)
+    assert out["rows"][0]["status"] == "unmeasurable-new"
+    assert out["improvements"] == []
+
+
 def test_calibration_ratio_normalizes_box_state():
     # the r10<->r11 lesson: +50% raw on a box whose calibration also ran
     # 1.5x slower is box state -> within-noise on the normalized column;

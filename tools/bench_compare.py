@@ -99,14 +99,16 @@ def compare(
             rows.append({"query": name, "status": "new", "new": new_q[name]})
             continue
         a, b = float(old_q[name]), float(new_q[name])
-        if a <= 0:
-            # a zero/negative old timing means the old artifact entry is
-            # corrupt (the harness never emits one) — surface it instead
-            # of silently dropping the query from the report (ADVICE r11)
+        if a <= 0 or b <= 0:
+            # a zero/negative timing on EITHER side means that artifact
+            # entry is corrupt (the harness never emits one) — surface it
+            # instead of silently dropping the query (old side) or
+            # celebrating a broken measurement as a -100% improvement
+            # (new side); symmetric guard per the round-12 self-review
             rows.append(
                 {
                     "query": name,
-                    "status": "unmeasurable-old",
+                    "status": "unmeasurable-old" if a <= 0 else "unmeasurable-new",
                     "old": a,
                     "new": b,
                 }
@@ -198,7 +200,7 @@ def main(argv: list[str] | None = None) -> int:
             f"{row['delta_pct']:+6.1f}%{cal_s} (noise {row['noise_pct']:.0f}%)"
         )
     for row in out["rows"]:
-        if row["status"] in ("new", "removed", "unmeasurable-old"):
+        if row["status"] in ("new", "removed", "unmeasurable-old", "unmeasurable-new"):
             print(f"{row['status']:>13}  {row['query']}")
     if out["old_total"] and out["new_total"]:
         print(
