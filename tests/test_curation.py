@@ -75,6 +75,50 @@ def test_dedup_clusters_covers_every_doc_once(spark):
         assert all(m["cluster_size"] == len(members) for m in members)
 
 
+def test_cluster_label_artifact_matches_live_cc(spark, tmp_path, monkeypatch):
+    """The write-once label artifact (round 12) must be bit-equal to a
+    live connected_components run over the verified pair artifact, and a
+    second call must SERVE the artifact, not rebuild it."""
+    from pyspark.sql import functions as F
+
+    from apache_flink_pratices_spark.io import load
+    from apache_flink_pratices_spark.operators import curation
+    from apache_flink_pratices_spark.operators.dedup import (
+        simhash_verified_pairs,
+    )
+
+    # isolated artifact base so this test always exercises a FRESH build
+    monkeypatch.setenv("SPARK_GRAFT_ARTIFACT_DIR", str(tmp_path))
+    art = {
+        r["doc_id"]: r["cluster_id"]
+        for r in curation.neardup_cluster_labels(spark, SF_SMOKE).collect()
+    }
+    pairs = simhash_verified_pairs(spark, SF_SMOKE)
+    edges = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    nodes = load(spark, SF_SMOKE, "documents").select(F.col("doc_id").alias("id"))
+    live = {
+        r["id"]: r["label"]
+        for r in curation.connected_components(nodes, edges).collect()
+    }
+    assert art == live and art
+
+    # second call must read the artifact: a rebuild would call
+    # connected_components again
+    calls = []
+    real_cc = curation.connected_components
+    monkeypatch.setattr(
+        curation,
+        "connected_components",
+        lambda *a, **k: calls.append(1) or real_cc(*a, **k),
+    )
+    again = {
+        r["doc_id"]: r["cluster_id"]
+        for r in curation.neardup_cluster_labels(spark, SF_SMOKE).collect()
+    }
+    assert again == art
+    assert calls == []
+
+
 def test_contamination_excludes_eval_docs(spark):
     out = contamination_ngrams(spark, SF_SMOKE).collect()
     assert all(r["doc_id"] % EVAL_MOD != 0 for r in out)
