@@ -81,7 +81,12 @@ CRITICAL = (
 #: backlog on their own, and no already-green query changed semantics
 #: (the token_budget_plan / dedup_minhash_lsh refactors are pure
 #: extractions — same expressions, replica-checked green at sf0.01 this
-#: round). Window math for r12: 14 CRITICAL + 3 never-checked newcomers
+#: round; dedup_clusters' round-12 label-artifact change is
+#: materialization-only — bit-equal twin pin vs a live
+#: connected_components run in tests/test_curation.py plus fresh
+#: replica rows for it and corpus_pipeline_e2e, the round-7 precedent
+#: for not re-anchoring output-identical implementation swaps).
+#: Window math for r12: 14 CRITICAL + 3 never-checked newcomers
 #: + the 31-query r8-stale cohort = 48 ≤ ~50 slots, so the whole cohort
 #: drains this round (VERDICT r11 #1) and the invariant afterwards is:
 #: no latest row older than r9.
