@@ -109,6 +109,13 @@ def main() -> None:
             raise SystemExit(f"SPARK_GRAFT_BENCH_QUERIES unknown: {unknown}")
         names = picked
 
+    # box context captured BEFORE any measurement: until round 12 it was
+    # evaluated when the detail dict was built — after every query — so
+    # `loadavg_start` actually recorded END-of-run load (the bench's own
+    # residue), which is why all three r12 runs show ~8 regardless of
+    # the idle/loaded state they started in
+    box = _box_context()
+
     # --- box-state calibration probe (VERDICT r11 #2), FIRST -------------
     # the frozen CPU+shuffle micro-job whose code never changes: its
     # round-over-round ratio is the box-state factor bench_compare.py
@@ -167,8 +174,10 @@ def main() -> None:
         # box context (round 11): four same-code full-bench runs this
         # session spread 30.1-34.1 s total, and the box had REBOOTED
         # between the r10 and r11 measurements — cross-round deltas need
-        # the machine state on record to be conditioned on it
-        "box": _box_context(),
+        # the machine state on record to be conditioned on it. Captured
+        # at bench START since round 12 (see note in main()); the
+        # end-of-run load lands alongside for the drift signal.
+        "box": {**box, "loadavg_end": _box_context().get("loadavg_start")},
         # the frozen micro-job's full measurement (min is the summary
         # `cal` scalar; median/spread gauge the probe's own noise)
         "calibration": calibration,
