@@ -1137,6 +1137,30 @@ def bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
 LM_MICRO = 1_000_000
 
 
+def _lm_nll_col(num: F.Column, den: F.Column) -> F.Column:
+    """floor(1e6·ln(num/den)) as int64 — the ONE micro-nat quantization
+    both LM scorers use (num ≥ den ≥ 1, so the value is non-negative)."""
+    return F.floor(
+        F.lit(float(LM_MICRO)) * F.log(num.cast("double") / den.cast("double"))
+    ).cast("long")
+
+
+def _lm_toks(d: DataFrame) -> DataFrame:
+    """(doc_id, i, w, w2, n): the positional token/next-token stream both
+    LM scorers run on (1-based i; w2 null at doc end)."""
+    return (
+        d.select("doc_id", tokens().alias("ws"))
+        .select("doc_id", F.posexplode("ws").alias("i0", "w"), "ws")
+        .select(
+            "doc_id",
+            (F.col("i0") + 1).alias("i"),
+            "w",
+            F.try_element_at("ws", F.col("i0") + 2).alias("w2"),
+            F.size("ws").alias("n"),
+        )
+    )
+
+
 @register(
     "quality_lm_perplexity",
     oracle=f"""
@@ -1202,18 +1226,7 @@ LM_MICRO = 1_000_000
 )
 def quality_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
-    t = d.select("doc_id", tokens().alias("ws"))
-    toks = (
-        t.select("doc_id", F.posexplode("ws").alias("i0", "w"), "ws")
-        .select(
-            "doc_id",
-            (F.col("i0") + 1).alias("i"),
-            "w",
-            F.try_element_at("ws", F.col("i0") + 2).alias("w2"),  # doc-final: null
-            F.size("ws").alias("n"),
-        )
-        .persist()
-    )
+    toks = _lm_toks(d).persist()
     uni = toks.groupBy("w").agg(F.count("*").cast("long").alias("c"))
     tot = uni.agg(F.sum("c").alias("n_tot"))
     bi = (
@@ -1223,11 +1236,7 @@ def quality_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ctx = bi.groupBy("w1").agg(F.sum("c2").alias("cx"))
 
-    def nll(num: F.Column, den: F.Column) -> F.Column:
-        return F.floor(
-            F.lit(float(LM_MICRO)) * F.log(num.cast("double") / den.cast("double"))
-        ).cast("long")
-
+    nll = _lm_nll_col
     lm_bi = bi.join(ctx, "w1").select(
         "w1", "w2", nll(F.col("cx"), F.col("c2")).alias("nll")
     )
@@ -1254,6 +1263,151 @@ def quality_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+def _register_lm_perplexity_ref() -> None:
+    from apache_flink_pratices_spark.registry import get_spec
+
+    gopher = get_spec("quality_gopher_rules").oracle
+
+    @register(
+        "quality_lm_perplexity_ref",
+        oracle=f"""
+        WITH gop AS ({gopher}),
+        clean AS (SELECT doc_id FROM gop WHERE passes_gopher = 1),
+        docs AS (
+          SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents
+        ),
+        toks AS (
+          SELECT doc_id, i, ws[i] AS w, ws[i + 1] AS w2, len(ws) AS n
+          FROM docs, LATERAL (SELECT unnest(generate_series(1, len(ws))) AS i) g
+        ),
+        tr AS (SELECT t.* FROM toks t JOIN clean c ON c.doc_id = t.doc_id),
+        uni AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM tr GROUP BY w),
+        tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n_tot FROM uni),
+        bi AS (
+          SELECT w AS w1, w2, CAST(COUNT(*) AS BIGINT) AS c2
+          FROM tr WHERE i < n GROUP BY w, w2
+        ),
+        ctx AS (SELECT w1, CAST(SUM(c2) AS BIGINT) AS cx FROM bi GROUP BY w1),
+        lm_bi AS (
+          SELECT b.w1, b.w2,
+                 CAST(FLOOR({LM_MICRO}.0 * ln(CAST(x.cx AS DOUBLE)
+                                              / CAST(b.c2 AS DOUBLE)))
+                      AS BIGINT) AS nll
+          FROM bi b JOIN ctx x USING (w1)
+        ),
+        lm_uni AS (
+          SELECT u.w,
+                 CAST(FLOOR({LM_MICRO}.0 * ln(CAST(t.n_tot AS DOUBLE)
+                                              / CAST(u.c AS DOUBLE)))
+                      AS BIGINT) AS nll
+          FROM uni u CROSS JOIN tot t
+        ),
+        oov AS (
+          SELECT CAST(FLOOR({LM_MICRO}.0 * ln(CAST(n_tot AS DOUBLE)))
+                      AS BIGINT) AS oov_nll
+          FROM tot
+        ),
+        scored AS (
+          SELECT t.doc_id, COALESCE(lu.nll, o.oov_nll) AS nll,
+                 CASE WHEN lu.nll IS NULL THEN 1 ELSE 0 END AS is_oov
+          FROM toks t LEFT JOIN lm_uni lu ON lu.w = t.w CROSS JOIN oov o
+          WHERE t.i = 1
+          UNION ALL
+          SELECT t.doc_id, COALESCE(lb.nll, o.oov_nll) AS nll,
+                 CASE WHEN lb.nll IS NULL THEN 1 ELSE 0 END AS is_oov
+          FROM toks t
+            LEFT JOIN lm_bi lb ON lb.w1 = t.w AND lb.w2 = t.w2
+            CROSS JOIN oov o
+          WHERE t.i < t.n
+        )
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_scored_tokens,
+               CAST(SUM(nll) AS BIGINT) AS total_nll_micro_nats,
+               CAST(SUM(nll) AS DOUBLE) / COUNT(*) AS avg_nll_micro_nats,
+               CAST(SUM(is_oov) AS BIGINT) AS n_oov_tokens
+        FROM scored GROUP BY doc_id
+        """,
+        doc="The TRUE CCNet construction (round 12): the bigram LM is "
+        "trained on the CLEAN REFERENCE SUBSET only (documents passing "
+        "the Gopher gate — CCNet trains on Wikipedia and scores the "
+        "crawl) and then scores EVERY document; quality_lm_perplexity "
+        "above is the self-trained variant. Tokens whose bigram/unigram "
+        "never occurs in the clean subset take a deterministic max-"
+        "surprise OOV penalty (nll = ln(n_train_tokens) — probability "
+        "1/N) and are counted in n_oov_tokens, so reference-unlike "
+        "documents score high both through rare transitions AND through "
+        "outright OOV mass. Same fixed-point micro-nat contract as the "
+        "self-trained scorer (one ln per distinct LM entry, exact "
+        "integer accumulation); the Gopher gate is the registered "
+        "operator's exact expressions by shared frame/oracle, so the "
+        "two queries can never disagree on what 'clean' means. Plan: "
+        "one tokenize pass persisted, the train subset is a semi-join "
+        "of it, LM tables vocabulary-bounded, left joins back with a "
+        "broadcast 1-row OOV scalar — zero corpus-sized shuffles beyond "
+        "the count-table build.",
+        tags=("text", "quality", "lm", "llm-pipeline", "composition"),
+    )
+    def quality_lm_perplexity_ref(spark: SparkSession, sf_dir: str) -> DataFrame:
+        d = load(spark, sf_dir, "documents")
+        clean = (
+            gopher_rules_frame(d)
+            .filter(F.col("passes_gopher") == 1)
+            .select("doc_id")
+        )
+        toks = _lm_toks(d).persist()
+        tr = toks.join(clean, "doc_id")
+        uni = tr.groupBy("w").agg(F.count("*").cast("long").alias("c"))
+        tot = uni.agg(F.sum("c").alias("n_tot"))
+        bi = (
+            tr.filter(F.col("i") < F.col("n"))
+            .groupBy(F.col("w").alias("w1"), "w2")
+            .agg(F.count("*").cast("long").alias("c2"))
+        )
+        ctx = bi.groupBy("w1").agg(F.sum("c2").alias("cx"))
+        lm_bi = bi.join(ctx, "w1").select(
+            "w1", "w2", _lm_nll_col(F.col("cx"), F.col("c2")).alias("nll")
+        )
+        lm_uni = uni.crossJoin(F.broadcast(tot)).select(
+            "w", _lm_nll_col(F.col("n_tot"), F.col("c")).alias("nll")
+        )
+        oov = tot.select(
+            _lm_nll_col(F.col("n_tot"), F.lit(1)).alias("oov_nll")
+        )
+        is_oov = F.when(F.col("nll").isNull(), 1).otherwise(0)
+        scored_nll = F.coalesce(F.col("nll"), F.col("oov_nll"))
+        first = (
+            toks.filter(F.col("i") == 1)
+            .join(lm_uni, "w", "left")
+            .crossJoin(F.broadcast(oov))
+            .select("doc_id", scored_nll.alias("nll"), is_oov.alias("is_oov"))
+        )
+        rest = (
+            toks.filter(F.col("i") < F.col("n"))
+            .join(
+                lm_bi,
+                (F.col("w") == F.col("w1")) & (toks["w2"] == lm_bi["w2"]),
+                "left",
+            )
+            .crossJoin(F.broadcast(oov))
+            .select("doc_id", scored_nll.alias("nll"), is_oov.alias("is_oov"))
+        )
+        return (
+            first.unionByName(rest)
+            .groupBy("doc_id")
+            .agg(
+                F.count("*").cast("long").alias("n_scored_tokens"),
+                F.sum("nll").cast("long").alias("total_nll_micro_nats"),
+                (F.sum("nll").cast("double") / F.count("*")).alias(
+                    "avg_nll_micro_nats"
+                ),
+                F.sum("is_oov").cast("long").alias("n_oov_tokens"),
+            )
+        )
+
+
+_register_lm_perplexity_ref()
 
 
 # --- per-source quality dashboard -------------------------------------------

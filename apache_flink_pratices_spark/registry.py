@@ -76,9 +76,9 @@ CRITICAL = (
 #: pinned ``corpus_pipeline_e2e`` (two new stages); its fresh green row
 #: landed in CORRECTNESS_r11, so the tuple is cleared per its own
 #: docstring. Round 12 pins nothing: the round's new operators
-#: (``bpe_encode``, ``quality_lm_perplexity``, ``token_budget_plan_exact``)
-#: enter as never-checked and sort into the window ahead of the stale
-#: backlog on their own, and no already-green query changed semantics
+#: (``bpe_encode``, ``quality_lm_perplexity``, ``token_budget_plan_exact``,
+#: ``quality_lm_perplexity_ref``) enter as never-checked and sort into
+#: the window ahead of the stale backlog on their own, and no already-green query changed semantics
 #: (the token_budget_plan / dedup_minhash_lsh refactors are pure
 #: extractions — same expressions, replica-checked green at sf0.01 this
 #: round; dedup_clusters' round-12 label-artifact change is
@@ -86,10 +86,11 @@ CRITICAL = (
 #: connected_components run in tests/test_curation.py plus fresh
 #: replica rows for it and corpus_pipeline_e2e, the round-7 precedent
 #: for not re-anchoring output-identical implementation swaps).
-#: Window math for r12: 14 CRITICAL + 3 never-checked newcomers
-#: + the 31-query r8-stale cohort = 48 ≤ ~50 slots, so the whole cohort
-#: drains this round (VERDICT r11 #1) and the invariant afterwards is:
-#: no latest row older than r9.
+#: Window math for r12: 14 CRITICAL + 4 never-checked newcomers
+#: + the 31-query r8-stale cohort = 49 ≤ ~50 slots (verified
+#: mechanically at closing HEAD: all 31 + all 4 inside the first 50),
+#: so the whole cohort drains this round (VERDICT r11 #1) and the
+#: invariant afterwards is: no latest row older than r9.
 RE_ANCHORED: tuple[str, ...] = ()
 
 DEMOTED_ANCHORS = (
