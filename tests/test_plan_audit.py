@@ -569,6 +569,24 @@ def test_lm_perplexity_lm_tables_broadcast_back(spark):
     assert "CartesianProduct" not in kinds and "SortMergeJoin" not in kinds
 
 
+def test_lm_perplexity_ref_no_python_no_products(spark):
+    """The clean-reference LM scorer: still zero Python stages, LM and
+    OOV scalars broadcast back, no real products (the 1-row OOV attach
+    is the sanctioned BroadcastNestedLoopJoin scalar pattern). Unlike
+    the self-trained scorer, a shuffle join IS legitimate here: the
+    train-subset restriction (toks x clean doc_ids) joins two
+    corpus-derived sides, which at 100 TB is a hash-shuffle join unless
+    the clean set happens to broadcast."""
+    from apache_flink_pratices_spark.registry import all_specs
+
+    fn = all_specs()["quality_lm_perplexity_ref"].fn
+    plan = formatted_plan(fn(spark, SF))
+    assert "MapInPandas" not in plan and "ArrowEvalPython" not in plan, plan
+    kinds = join_kinds(plan)
+    assert "BroadcastHashJoin" in kinds, kinds
+    assert "CartesianProduct" not in kinds, kinds
+
+
 def test_budget_plan_exact_stays_sources_sized(spark):
     """token_budget_plan_exact: one distinct-word Python encode (same
     contract as bpe_encode), and the final plan is a sources-sized
