@@ -191,6 +191,8 @@ def neardup_cluster_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     path = os.path.join(_neardup_artifact_base(), key)
     if not os.path.isdir(path):
+        import uuid
+
         pairs = simhash_verified_pairs(spark, sf_dir)
         edges = pairs.select(
             F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
@@ -199,14 +201,22 @@ def neardup_cluster_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
         comp = connected_components(nodes, edges).select(
             F.col("id").alias("doc_id"), F.col("label").alias("cluster_id")
         )
-        tmp = f"{path}.tmp.{os.getpid()}"
-        comp.write.mode("overwrite").parquet(tmp)
+        # uuid suffix, not just pid: two THREADS of one driver process
+        # racing past the isdir check share a pid and would overwrite
+        # each other's tmp part files (round-12 self-review); the write
+        # is also cleanup-guarded so a mid-build executor failure cannot
+        # strand the tmp dir in the 0o700 artifact base forever
+        tmp = f"{path}.tmp.{os.getpid()}.{uuid.uuid4().hex[:8]}"
         try:
+            comp.write.mode("overwrite").parquet(tmp)
             os.rename(tmp, path)
         except OSError:
             # a concurrent builder won the rename; identical deterministic
             # content, drop ours (same race contract as the pair artifact)
             shutil.rmtree(tmp, ignore_errors=True)
+        except Exception:
+            shutil.rmtree(tmp, ignore_errors=True)
+            raise
     return spark.read.parquet(path)
 
 

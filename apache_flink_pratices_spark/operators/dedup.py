@@ -1611,9 +1611,18 @@ def simhash_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     path = _neardup_artifact_path(sf_dir)
     if not os.path.isdir(path):
-        tmp = f"{path}.tmp.{os.getpid()}"
+        import uuid
+
+        # uuid suffix + cleanup guard, same contract as the label
+        # artifact (round-12 self-review): same-pid threads must not
+        # share a tmp dir, and a failed write must not strand it
+        tmp = f"{path}.tmp.{os.getpid()}.{uuid.uuid4().hex[:8]}"
         pairs, _fp = _build_candidate_pairs(spark, sf_dir)
-        pairs.write.mode("overwrite").parquet(tmp)
+        try:
+            pairs.write.mode("overwrite").parquet(tmp)
+        except Exception:
+            shutil.rmtree(tmp, ignore_errors=True)
+            raise
         # Deliberately NOT unpersisted: Spark's CacheManager dedupes cache
         # entries by canonicalized-plan equality, so this fingerprint cache
         # is the SAME entry a live dedup_simhash run (bench=True, same

@@ -1161,6 +1161,29 @@ def _lm_toks(d: DataFrame) -> DataFrame:
     )
 
 
+def _lm_tables(train_toks: DataFrame):
+    """(lm_bi, lm_uni, tot): the vocabulary-bounded bigram/unigram nll
+    tables built from a training token stream — the ONE LM construction
+    both scorers use (self-trained: the whole corpus; clean-reference:
+    the Gopher-passing subset), so a count/quantization fix can never
+    silently diverge them (round-12 self-review)."""
+    uni = train_toks.groupBy("w").agg(F.count("*").cast("long").alias("c"))
+    tot = uni.agg(F.sum("c").alias("n_tot"))
+    bi = (
+        train_toks.filter(F.col("i") < F.col("n"))
+        .groupBy(F.col("w").alias("w1"), "w2")
+        .agg(F.count("*").cast("long").alias("c2"))
+    )
+    ctx = bi.groupBy("w1").agg(F.sum("c2").alias("cx"))
+    lm_bi = bi.join(ctx, "w1").select(
+        "w1", "w2", _lm_nll_col(F.col("cx"), F.col("c2")).alias("nll")
+    )
+    lm_uni = uni.crossJoin(F.broadcast(tot)).select(
+        "w", _lm_nll_col(F.col("n_tot"), F.col("c")).alias("nll")
+    )
+    return lm_bi, lm_uni, tot
+
+
 @register(
     "quality_lm_perplexity",
     oracle=f"""
@@ -1227,22 +1250,7 @@ def _lm_toks(d: DataFrame) -> DataFrame:
 def quality_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     toks = _lm_toks(d).persist()
-    uni = toks.groupBy("w").agg(F.count("*").cast("long").alias("c"))
-    tot = uni.agg(F.sum("c").alias("n_tot"))
-    bi = (
-        toks.filter(F.col("i") < F.col("n"))
-        .groupBy(F.col("w").alias("w1"), "w2")
-        .agg(F.count("*").cast("long").alias("c2"))
-    )
-    ctx = bi.groupBy("w1").agg(F.sum("c2").alias("cx"))
-
-    nll = _lm_nll_col
-    lm_bi = bi.join(ctx, "w1").select(
-        "w1", "w2", nll(F.col("cx"), F.col("c2")).alias("nll")
-    )
-    lm_uni = uni.crossJoin(F.broadcast(tot)).select(
-        "w", nll(F.col("n_tot"), F.col("c")).alias("nll")
-    )
+    lm_bi, lm_uni, _tot = _lm_tables(toks)
     first = toks.filter(F.col("i") == 1).join(lm_uni, "w").select("doc_id", "nll")
     rest = (
         toks.filter(F.col("i") < F.col("n"))
@@ -1358,20 +1366,19 @@ def _register_lm_perplexity_ref() -> None:
         )
         toks = _lm_toks(d).persist()
         tr = toks.join(clean, "doc_id")
-        uni = tr.groupBy("w").agg(F.count("*").cast("long").alias("c"))
-        tot = uni.agg(F.sum("c").alias("n_tot"))
-        bi = (
-            tr.filter(F.col("i") < F.col("n"))
-            .groupBy(F.col("w").alias("w1"), "w2")
-            .agg(F.count("*").cast("long").alias("c2"))
-        )
-        ctx = bi.groupBy("w1").agg(F.sum("c2").alias("cx"))
-        lm_bi = bi.join(ctx, "w1").select(
-            "w1", "w2", _lm_nll_col(F.col("cx"), F.col("c2")).alias("nll")
-        )
-        lm_uni = uni.crossJoin(F.broadcast(tot)).select(
-            "w", _lm_nll_col(F.col("n_tot"), F.col("c")).alias("nll")
-        )
+        lm_bi, lm_uni, tot = _lm_tables(tr)
+        # fail LOUDLY on an empty clean subset (round-12 self-review):
+        # with zero Gopher-passing docs n_tot is NULL, oov_nll would be
+        # NULL, and every score would silently degrade to NULL while
+        # the oracle degrades identically — an all-NULL quality ranking
+        # with a green replica row. A reference-less scorer is a
+        # configuration error, not a result. One tiny aggregate job at
+        # construction (the same eager-probe stance as corpus_probe).
+        if tot.first()["n_tot"] is None:
+            raise RuntimeError(
+                "quality_lm_perplexity_ref: no documents pass the Gopher "
+                "gate on this corpus — the clean-reference LM is empty"
+            )
         oov = tot.select(
             _lm_nll_col(F.col("n_tot"), F.lit(1)).alias("oov_nll")
         )

@@ -177,7 +177,17 @@ def main() -> None:
         # the machine state on record to be conditioned on it. Captured
         # at bench START since round 12 (see note in main()); the
         # end-of-run load lands alongside for the drift signal.
-        "box": {**box, "loadavg_end": _box_context().get("loadavg_start")},
+        # loadavg_end only when the platform measures load at all — a
+        # null would read as a recorded zero-information value where the
+        # field is simply unavailable (round-12 self-review)
+        "box": {
+            **box,
+            **(
+                {"loadavg_end": end_load}
+                if (end_load := _box_context().get("loadavg_start")) is not None
+                else {}
+            ),
+        },
         # the frozen micro-job's full measurement (min is the summary
         # `cal` scalar; median/spread gauge the probe's own noise)
         "calibration": calibration,

@@ -218,3 +218,16 @@ def test_operator_index_doc_is_current():
 
     with open(os.path.join(repo, "docs", "operator_index.md")) as f:
         assert f.read() == gen_operator_index.render()
+
+
+def test_registered_fn_is_the_named_function():
+    """Every spec's callable must BE the function named after the query.
+    Guards the decorator-placement trap (round 12: a helper inserted
+    between `@register(...)` and its intended `def` silently registered
+    the HELPER under the query's name — pytest imported the real
+    function directly and stayed green while the driver contract broke;
+    only the replica check caught it)."""
+    from apache_flink_pratices_spark.registry import all_specs
+
+    for name, spec in all_specs().items():
+        assert spec.fn.__name__ == name, (name, spec.fn.__name__)
