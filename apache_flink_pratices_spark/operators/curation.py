@@ -141,12 +141,28 @@ def connected_components(nodes: DataFrame, edges: DataFrame) -> DataFrame:
     raise RuntimeError(f"connected_components did not converge in {CC_MAX_ROUNDS} rounds")
 
 
-#: BUMP on any semantic change to :func:`connected_components` or the
-#: label derivation in :func:`neardup_cluster_labels` — the artifact is
-#: trusted by existence alone (same contract as
-#: ``dedup._NEARDUP_IMPL_VERSION``, which also rides in this key so a
-#: pair-pipeline change invalidates the labels derived from it).
-_CC_LABELS_IMPL_VERSION = "cc-v1"
+def _source_fingerprint(*objs) -> str:
+    """md5 of the given callables' source text — the mechanical impl-version
+    component for write-once artifacts (ADVICE r12): any edit to the code
+    that derives an artifact (even a comment) changes the key and misses
+    the cache, so a semantic change can never silently serve stale data
+    because someone forgot a manual version bump. The cost of the safe
+    direction — a cosmetic edit also rebuilds — is one artifact build."""
+    import hashlib
+    import inspect
+
+    src = "\n".join(inspect.getsource(o) for o in objs)
+    return hashlib.md5(src.encode()).hexdigest()[:10]
+
+
+#: Artifact-key version for the CC label artifact. The ``cc-v2`` prefix is
+#: the human-readable epoch; the suffix is derived FROM THE SOURCE of
+#: :func:`connected_components` and :func:`neardup_cluster_labels` (set
+#: right after the latter's definition below), so a semantic edit
+#: mechanically misses the artifact key instead of trusting a manual bump
+#: (ADVICE r12; ``dedup._NEARDUP_IMPL_VERSION`` still rides in the key so
+#: a pair-pipeline change also invalidates labels derived from it).
+_CC_LABELS_IMPL_VERSION = "cc-v2-unset"  # finalized below neardup_cluster_labels
 
 
 def neardup_cluster_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -209,15 +225,28 @@ def neardup_cluster_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
         tmp = f"{path}.tmp.{os.getpid()}.{uuid.uuid4().hex[:8]}"
         try:
             comp.write.mode("overwrite").parquet(tmp)
-            os.rename(tmp, path)
-        except OSError:
-            # a concurrent builder won the rename; identical deterministic
-            # content, drop ours (same race contract as the pair artifact)
-            shutil.rmtree(tmp, ignore_errors=True)
         except Exception:
             shutil.rmtree(tmp, ignore_errors=True)
             raise
+        try:
+            os.rename(tmp, path)
+        except OSError:
+            # Swallow ONLY the lost-concurrent-builder shape: the
+            # destination must actually exist after the failed rename
+            # (identical deterministic content, drop ours). A genuine
+            # rename failure — permissions, a cross-device artifact base —
+            # re-raises here instead of surfacing later as a misleading
+            # path-not-found from spark.read.parquet (ADVICE r12).
+            if not os.path.isdir(path):
+                shutil.rmtree(tmp, ignore_errors=True)
+                raise
+            shutil.rmtree(tmp, ignore_errors=True)
     return spark.read.parquet(path)
+
+
+_CC_LABELS_IMPL_VERSION = "cc-v2-" + _source_fingerprint(
+    connected_components, neardup_cluster_labels
+)
 
 
 @register(

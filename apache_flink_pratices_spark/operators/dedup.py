@@ -1633,8 +1633,13 @@ def simhash_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         try:
             os.rename(tmp, path)
         except OSError:
-            # a concurrent builder won the rename; both wrote identical
-            # deterministic content, so just drop ours
+            # swallow ONLY the lost-concurrent-builder shape (destination
+            # exists — both wrote identical deterministic content, drop
+            # ours); a genuine rename failure re-raises instead of
+            # resurfacing as path-not-found downstream (ADVICE r12)
+            if not os.path.isdir(path):
+                shutil.rmtree(tmp, ignore_errors=True)
+                raise
             shutil.rmtree(tmp, ignore_errors=True)
     return spark.read.parquet(path)
 

@@ -1166,7 +1166,13 @@ def _lm_tables(train_toks: DataFrame):
     tables built from a training token stream — the ONE LM construction
     both scorers use (self-trained: the whole corpus; clean-reference:
     the Gopher-passing subset), so a count/quantization fix can never
-    silently diverge them (round-12 self-review)."""
+    silently diverge them (round-12 self-review).
+
+    lm_bi's next-token key is emitted as ``bw2`` (structurally distinct
+    from the token stream's ``w2``): the scorers join lm_bi back against
+    the very frame it derives from, and a same-named grouping key can
+    share the parent's expression id — the classic AMBIGUOUS_SELF_JOIN
+    fragility Spark 4.1's heuristics happen to resolve (ADVICE r12)."""
     uni = train_toks.groupBy("w").agg(F.count("*").cast("long").alias("c"))
     tot = uni.agg(F.sum("c").alias("n_tot"))
     bi = (
@@ -1176,7 +1182,9 @@ def _lm_tables(train_toks: DataFrame):
     )
     ctx = bi.groupBy("w1").agg(F.sum("c2").alias("cx"))
     lm_bi = bi.join(ctx, "w1").select(
-        "w1", "w2", _lm_nll_col(F.col("cx"), F.col("c2")).alias("nll")
+        "w1",
+        F.col("w2").alias("bw2"),
+        _lm_nll_col(F.col("cx"), F.col("c2")).alias("nll"),
     )
     lm_uni = uni.crossJoin(F.broadcast(tot)).select(
         "w", _lm_nll_col(F.col("n_tot"), F.col("c")).alias("nll")
@@ -1256,7 +1264,7 @@ def quality_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         toks.filter(F.col("i") < F.col("n"))
         .join(
             lm_bi,
-            (F.col("w") == F.col("w1")) & (toks["w2"] == lm_bi["w2"]),
+            (F.col("w") == F.col("w1")) & (F.col("w2") == F.col("bw2")),
         )
         .select("doc_id", "nll")
     )
@@ -1394,7 +1402,7 @@ def _register_lm_perplexity_ref() -> None:
             toks.filter(F.col("i") < F.col("n"))
             .join(
                 lm_bi,
-                (F.col("w") == F.col("w1")) & (toks["w2"] == lm_bi["w2"]),
+                (F.col("w") == F.col("w1")) & (F.col("w2") == F.col("bw2")),
                 "left",
             )
             .crossJoin(F.broadcast(oov))

@@ -23,9 +23,12 @@ compact): two JSON lines are printed —
    note naming the harness version;
 2. the COMPACT summary line, LAST: {"metric", "value" (sum of mins),
    "unit", "sf", "runs", "queries" (per-query MIN, 3-decimal floats,
-   no spaces), "med" + "spread_pct" (per-query median and
-   100*(max-min)/min, ARRAYS aligned with the "queries" key order —
-   the noise-floor indicator, VERDICT r9 #2)}.
+   no spaces), "spread_pct" (per-query 100*(max-min)/min, an ARRAY
+   aligned with the "queries" key order — the noise-floor indicator,
+   VERDICT r9 #2; the comparator conditions flags on it)}. The per-query
+   MEDIAN array moved to the detail artifact in round 13 (ADVICE r12:
+   each headline row cost ~8 summary chars it never used — the
+   comparator flags on min+spread, medians are a detail-level signal).
    tests/test_bench_contract.py pins its length budget.
 
 Since round 11 (VERDICT r10 #3: the driver's 2000-char stdout tail
@@ -207,10 +210,12 @@ def main() -> None:
             "per-query sample counts — doubled for sub-second queries, "
             "one extra batch on >25% spread — are detail.queries_runs) "
             "after 3 untimed "
-            "warm-up runs (cache cleared + GC between runs); summary "
-            "`med`/`spread_pct` arrays align with the `queries` key order "
+            "warm-up runs (cache cleared + GC between runs); the summary "
+            "`spread_pct` array aligns with the `queries` key order "
             "(spread_pct = 100*(max-min)/min — deltas under a query's "
-            "spread are box noise, not code; VERDICT r9 #2). r9 used one "
+            "spread are box noise, not code; VERDICT r9 #2); per-query "
+            "medians are detail.queries_median only since r13 (ADVICE "
+            "r12 summary-budget restructure). r9 used one "
             "warm-up; r8 and earlier one shared session for all queries "
             "(docs/scale_notes.md re-baseline tables). streaming.backends: "
             "rates per stateful backend, primary = `auto`"
@@ -223,12 +228,12 @@ def main() -> None:
         "sf": sf,
         "runs": n_runs,
         "queries": timings,
-        # per-query medians + run-to-run spread (%), aligned with the
-        # `queries` key order — arrays, not dicts, to stay inside the
-        # driver's 2000-char tail capture (VERDICT r9 #2: without a
-        # noise indicator on the PARSED line, a ±40% sub-second delta
-        # cannot be told from a regression)
-        "med": [medians[n] for n in names],
+        # per-query run-to-run spread (%), aligned with the `queries`
+        # key order — an array, not a dict, to stay inside the driver's
+        # 2000-char tail capture (VERDICT r9 #2: without a noise
+        # indicator on the PARSED line, a ±40% sub-second delta cannot
+        # be told from a regression). Medians ride detail.queries_median
+        # only since round 13 (ADVICE r12 summary-budget restructure).
         "spread_pct": [spreads[n] for n in names],
         # box-state calibration scalar (VERDICT r11 #2): min seconds of
         # the frozen micro-job on this box — bench_compare.py divides

@@ -49,12 +49,15 @@ def test_bench_cli_contract(tmp_path):
     assert set(detail["rows"]) == set(doc["queries"])
     assert set(detail["queries_median"]) == set(doc["queries"])
     assert set(detail["queries_spread_pct"]) == set(doc["queries"])
-    # noise-floor indicator on the PARSED line (VERDICT r9 #2): med and
-    # spread_pct arrays align with the queries key order
-    assert len(doc["med"]) == len(doc["queries"])
+    # noise-floor indicator on the PARSED line (VERDICT r9 #2): the
+    # spread_pct array aligns with the queries key order. The median
+    # array is DETAIL-ONLY since round 13 (ADVICE r12 budget
+    # restructure): it must ride detail.queries_median and must NOT be
+    # back on the summary line silently re-burning ~8 chars per row.
+    assert "med" not in doc
     assert len(doc["spread_pct"]) == len(doc["queries"])
-    for n, med in zip(doc["queries"], doc["med"]):
-        assert med == detail["queries_median"][n]
+    for n in doc["queries"]:
+        med = detail["queries_median"][n]
         # 2-decimal median never lands below the 3-decimal min by more
         # than the two rounding steps combined: min can round UP <=0.0005
         # and median DOWN <=0.005, so the legitimate worst-case gap is
@@ -166,7 +169,6 @@ def test_bench_summary_line_budget():
         "sf": "0.001",
         "runs": 99,
         "queries": {n: 9999.999 for n in names},
-        "med": [9999.99 for _ in names],
         "spread_pct": [999 for _ in names],
         "cal": 9999.999,
         "streaming": {
@@ -177,15 +179,17 @@ def test_bench_summary_line_budget():
     }
     line = json.dumps(worst, separators=(",", ":"))
     # Budget rationale: the driver captures 2000 chars and parses the LAST
-    # line; 1700 worst-case (every min 9999.999 — real lines run ~300
-    # chars shorter: r11 measured 1261 for 32 queries, r12 ~1390 for 35)
-    # leaves 300 chars of hard slack. Since round 11 the full detail
+    # line; 1600 worst-case (every min 9999.999 — real lines run shorter)
+    # leaves 400 chars of hard slack. Since round 11 the full detail
     # rides its own committed BENCH_DETAIL_r{N}.json, so the stdout tail
-    # carries ONLY this summary. Raised 1600 -> 1700 in round 12 for the
-    # three new headline rows + the calibration scalar; the next raise
-    # should instead restructure (the slack is the driver's parse
-    # margin, not growth headroom).
-    assert len(line) <= 1700, (len(line), "compact summary over budget")
+    # carries ONLY this summary. Round 13 restructured per ADVICE r12
+    # instead of raising again: the per-query `med` array moved to the
+    # detail artifact (detail.queries_median — the comparator flags on
+    # min+spread only), buying ~8 chars per headline row back and
+    # funding this round's new rows inside a LOWERED 1700 -> 1600
+    # budget. The next growth pressure should restructure again (e.g.
+    # spread_pct as one worst-query scalar), never raise past 1700.
+    assert len(line) <= 1600, (len(line), "compact summary over budget")
 
 
 def test_bench_order_is_registration_order_not_rotation(tmp_path, monkeypatch):

@@ -165,3 +165,16 @@ def test_totals_are_exact_integers(spark, pinned_sf_dir):
         assert r["n_scored_tokens"] >= 1
         # avg is the exact int/int division of the emitted columns
         assert r["avg_nll_micro_nats"] == r["total_nll_micro_nats"] / r["n_scored_tokens"]
+
+
+def test_lm_tables_bigram_key_is_structurally_distinct(spark):
+    """ADVICE r12: lm_bi's next-token key must be emitted as ``bw2`` so
+    the scorers' join condition references a structurally distinct
+    column name instead of leaning on Spark's self-join disambiguation
+    heuristics (the frame joins back against its own ancestor)."""
+    from apache_flink_pratices_spark.operators.text import _lm_tables, _lm_toks
+
+    d = spark.createDataFrame(PINNED, "doc_id long, text string")
+    lm_bi, lm_uni, tot = _lm_tables(_lm_toks(d))
+    assert lm_bi.columns == ["w1", "bw2", "nll"]
+    assert lm_uni.columns == ["w", "nll"]
