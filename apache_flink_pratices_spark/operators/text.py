@@ -639,16 +639,17 @@ BPE_MAX_PIECE_LEN = max(len(p) for p in BPE_MULTI)
 BPE_UNK_MOD = 100_003
 
 
-def bpe_encode_word(w: str) -> tuple[list[str], list[int], int]:
-    """Greedy longest-match-first subword encode of ONE word against the
-    fixed piece table: at each position take the longest piece that
-    matches (unique per length — two distinct equal-length strings cannot
-    both prefix the same position); characters outside the table consume
-    one char as an UNK piece with an md5-derived id. Returns
-    ``(pieces, ids, n_unk)``. This is the SentencePiece/WordPiece-style
-    apply of a frozen BPE piece inventory — the deterministic contract
-    both engines and the pure-Python pin in tests/test_bpe_encode.py
-    implement independently."""
+def bpe_encode_word_with(
+    w: str, piece_ids: dict[str, int], max_piece_len: int
+) -> tuple[list[str], list[int], int]:
+    """Greedy longest-match-first subword encode of ONE word against an
+    ARBITRARY piece table (round 13: parametrized so the trained table
+    from :func:`bpe_train` drives the same kernel as the frozen
+    inventory): at each position take the longest piece that matches
+    (unique per length — two distinct equal-length strings cannot both
+    prefix the same position); characters outside the table consume one
+    char as an UNK piece with an md5-derived id. Returns
+    ``(pieces, ids, n_unk)``."""
     import hashlib
 
     pieces: list[str] = []
@@ -656,9 +657,9 @@ def bpe_encode_word(w: str) -> tuple[list[str], list[int], int]:
     n_unk = 0
     pos, n = 0, len(w)
     while pos < n:
-        for ln in range(min(BPE_MAX_PIECE_LEN, n - pos), 0, -1):
+        for ln in range(min(max_piece_len, n - pos), 0, -1):
             cand = w[pos : pos + ln]
-            pid = BPE_PIECE_IDS.get(cand)
+            pid = piece_ids.get(cand)
             if pid is not None:
                 pieces.append(cand)
                 ids.append(pid)
@@ -673,6 +674,14 @@ def bpe_encode_word(w: str) -> tuple[list[str], list[int], int]:
             n_unk += 1
             pos += 1
     return pieces, ids, n_unk
+
+
+def bpe_encode_word(w: str) -> tuple[list[str], list[int], int]:
+    """Greedy encode against the FIXED frozen piece table — the
+    deterministic contract both engines and the pure-Python pin in
+    tests/test_bpe_encode.py implement independently (see
+    :func:`bpe_encode_word_with` for the parametrized kernel)."""
+    return bpe_encode_word_with(w, BPE_PIECE_IDS, BPE_MAX_PIECE_LEN)
 
 
 def bpe_word_fingerprint(ids: list[int]) -> int:
@@ -829,6 +838,259 @@ def bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_pieces").cast("long").alias("n_bpe_tokens"),
         F.sum("n_unk").cast("long").alias("n_unk_pieces"),
         (F.sum(term) % MOD).cast("long").alias("ids_fingerprint"),
+    )
+
+
+# --- BPE tokenizer TRAINING (iterative top-pair merge loop) ------------------
+#: merge rounds the registered trainer runs (the oracle unrolls exactly
+#: this many stages, so keep it small enough for a generated-SQL oracle)
+BPE_TRAIN_MERGES = 10
+#: a pair below this corpus count never merges (stops the loop early on
+#: tiny corpora instead of learning noise merges both engines must agree
+#: on anyway — count >= 2 is the smallest non-degenerate threshold)
+BPE_TRAIN_MIN_COUNT = 2
+
+
+def _merge_pair_col(syms: F.Column, left: str, right: str) -> F.Column:
+    """Greedy left-to-right non-overlapping merge of the adjacent pair
+    (left, right) inside one symbol array — pure column expressions (an
+    ``aggregate`` fold with an (out, skip) accumulator), so the per-round
+    re-segmentation stays JVM-side. HOF lambdas evaluate interpreted per
+    element, which is fine here: the frame is the DISTINCT-WORD table
+    (vocabulary-bounded at any corpus scale) and words are short."""
+    merged = F.lit(left + right)
+    n = F.size(syms)
+
+    def step(acc: F.Column, i: F.Column) -> F.Column:
+        s_i = F.element_at(syms, i)
+        # try_element_at: i+1 runs past the array on the last position and
+        # ANSI element_at would throw; NULL == 'x' is NULL -> no match
+        is_match = (
+            (i < n)
+            & (s_i == F.lit(left))
+            & (F.try_element_at(syms, i + 1) == F.lit(right))
+        )
+        return (
+            F.when(
+                acc["skip"],
+                F.struct(acc["out"].alias("out"), F.lit(False).alias("skip")),
+            )
+            .when(
+                is_match,
+                F.struct(
+                    F.concat(acc["out"], F.array(merged)).alias("out"),
+                    F.lit(True).alias("skip"),
+                ),
+            )
+            .otherwise(
+                F.struct(
+                    F.concat(acc["out"], F.array(s_i)).alias("out"),
+                    F.lit(False).alias("skip"),
+                )
+            )
+        )
+
+    init = F.struct(
+        F.array().cast("array<string>").alias("out"), F.lit(False).alias("skip")
+    )
+    # words are non-empty, so sequence(1, n) never hits the descending
+    # sequence(1, 0) == [1, 0] surprise
+    return F.aggregate(
+        F.sequence(F.lit(1), n), init, step, lambda acc: acc["out"]
+    )
+
+
+def bpe_train_merges(
+    d: DataFrame,
+    n_merges: int = BPE_TRAIN_MERGES,
+    min_count: int = BPE_TRAIN_MIN_COUNT,
+) -> list[tuple[str, str, int]]:
+    """LEARN a BPE merge table over a ``(doc_id, text)`` corpus: the
+    classic iterative loop (Sennrich et al. 2016) — count ALL adjacent
+    symbol pairs weighted by word frequency, merge the most frequent pair
+    everywhere (greedy left-to-right non-overlapping), repeat. Returns
+    the merge sequence ``[(left, right, pair_count), ...]`` in learned
+    order. Ties break deterministically: highest count, then
+    lexicographically smallest (left, right) — reproducible across
+    engines, partitionings and runs.
+
+    Scale shape (the ``kmeans_fit`` bounded-iteration precedent): the
+    corpus is scanned ONCE to build the distinct-word count table
+    (vocabulary-bounded at any corpus size — Heaps' law); every merge
+    round then runs entirely on that vocabulary-sized frame — a pair
+    count with map-side combine whose shuffle carries distinct-pair
+    rows, a 1-row TakeOrdered argmax (never a full sort), and a map-only
+    re-segmentation — so 100 TB costs one tokenize pass plus N
+    vocabulary-sized rounds. Per-round ``localCheckpoint`` truncates the
+    growing lineage exactly like ``connected_components``."""
+    words = d.select(F.explode(tokens()).alias("w")).filter(F.col("w") != "")
+    seg = (
+        words.groupBy("w")
+        .agg(F.count("*").cast("long").alias("cnt"))
+        .select("w", "cnt", F.split("w", "").alias("syms"))
+        .localCheckpoint()
+    )
+    pair_struct = F.expr(
+        "transform(sequence(1, size(syms) - 1), i -> struct("
+        "element_at(syms, i) AS ls, element_at(syms, i + 1) AS rs))"
+    )
+    merges: list[tuple[str, str, int]] = []
+    for _ in range(n_merges):
+        top = (
+            seg.filter(F.size("syms") >= 2)
+            .select("cnt", F.explode(pair_struct).alias("p"))
+            .groupBy("p.ls", "p.rs")
+            .agg(F.sum("cnt").cast("long").alias("pc"))
+            .orderBy(F.desc("pc"), F.asc("ls"), F.asc("rs"))
+            .limit(1)
+            .collect()
+        )
+        if not top or top[0]["pc"] < min_count:
+            break
+        ls, rs, pc = top[0]["ls"], top[0]["rs"], int(top[0]["pc"])
+        merges.append((ls, rs, pc))
+        new_seg = seg.select(
+            "w", "cnt", _merge_pair_col(F.col("syms"), ls, rs).alias("syms")
+        ).localCheckpoint()
+        seg.unpersist()
+        seg = new_seg
+    seg.unpersist()
+    return merges
+
+
+def learned_piece_ids(
+    merges: list[tuple[str, str, int]], singles: tuple[str, ...] | str
+) -> dict[str, int]:
+    """Positional piece table from a learned merge sequence: singles
+    first, then each merge's concatenation in learned order (duplicates
+    keep their FIRST id — two different merge paths can produce the same
+    string, e.g. a+bc and ab+c both yielding 'abc')."""
+    out: dict[str, int] = {}
+    for p in list(singles) + [ls + rs for ls, rs, _ in merges]:
+        out.setdefault(p, len(out))
+    return out
+
+
+def _sql_bpe_train(
+    n_merges: int = BPE_TRAIN_MERGES, min_count: int = BPE_TRAIN_MIN_COUNT
+) -> str:
+    """DuckDB twin of the whole training loop, UNROLLED: one generated
+    CTE chain per merge round (pair count -> deterministic argmax ->
+    greedy non-overlapping re-segmentation). The greedy left-to-right
+    rule is windowed instead of folded: consecutive match positions only
+    occur for self-pairs (left == right, a run of 3+), and within each
+    run of consecutive matches exactly the odd-indexed ones merge — so
+    match runs group by ``i - ROW_NUMBER()`` and select on parity, then a
+    LAG drops the consumed right-hand symbols. An empty best table (no
+    pair reaches min_count) left-joins as NULL and the round becomes an
+    identity re-segmentation — exactly the Spark loop's early break.
+
+    seg{r} and best{r} are each referenced TWICE (the next round's pair
+    count + re-segmentation; the final union) and DuckDB inlines plain
+    CTEs, so without ``AS MATERIALIZED`` the chain re-evaluates
+    exponentially (2^rounds scans of seg0 — measured: a 10-round oracle
+    ran past 10 minutes inlined, sub-second materialized)."""
+    parts = [
+        """
+    wc AS (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM (SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents)
+      WHERE w <> '' GROUP BY w
+    ),
+    seg0 AS MATERIALIZED (
+      SELECT w, cnt,
+             list_transform(generate_series(1, length(w)), i -> w[i]) AS syms
+      FROM wc
+    )"""
+    ]
+    for r in range(1, n_merges + 1):
+        p = r - 1
+        parts.append(f"""
+    pc{r} AS (
+      SELECT u.ls, u.rs, CAST(SUM(s.cnt) AS BIGINT) AS pc
+      FROM seg{p} s,
+           LATERAL (SELECT s.syms[g.i] AS ls, s.syms[g.i + 1] AS rs
+                    FROM (SELECT unnest(generate_series(1, len(s.syms) - 1))
+                          AS i) g) u
+      WHERE len(s.syms) >= 2
+      GROUP BY u.ls, u.rs
+    ),
+    best{r} AS MATERIALIZED (
+      SELECT ls, rs, pc
+      FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY pc DESC, ls, rs) AS rn
+            FROM pc{r} WHERE pc >= {min_count})
+      WHERE rn = 1
+    ),
+    exp{r} AS (
+      SELECT s.w, s.cnt, u.i, s.syms[u.i] AS sym, b.ls AS mls, b.rs AS mrs,
+             (b.ls IS NOT NULL AND u.i < len(s.syms)
+              AND s.syms[u.i] = b.ls AND s.syms[u.i + 1] = b.rs) AS m
+      FROM seg{p} s LEFT JOIN best{r} b ON TRUE,
+           LATERAL (SELECT unnest(generate_series(1, len(s.syms))) AS i) u
+    ),
+    mrk{r} AS (
+      SELECT *, CASE WHEN m THEN i - ROW_NUMBER() OVER
+                     (PARTITION BY w, m ORDER BY i) END AS rgrp
+      FROM exp{r}
+    ),
+    sel{r} AS (
+      SELECT w, cnt, i, sym, mls, mrs,
+             m AND (ROW_NUMBER() OVER (PARTITION BY w, rgrp ORDER BY i)
+                    % 2 = 1) AS sel
+      FROM mrk{r}
+    ),
+    emt{r} AS (
+      SELECT w, cnt, i,
+             CASE WHEN sel THEN mls || mrs ELSE sym END AS out_sym,
+             COALESCE(LAG(sel) OVER (PARTITION BY w ORDER BY i), FALSE)
+               AS prev_sel
+      FROM sel{r}
+    ),
+    seg{r} AS MATERIALIZED (
+      SELECT w, ANY_VALUE(cnt) AS cnt,
+             list(out_sym ORDER BY i) FILTER (WHERE NOT prev_sel) AS syms
+      FROM emt{r} GROUP BY w
+    )""")
+    finals = "\n      UNION ALL ".join(
+        f"SELECT CAST({r} AS BIGINT) AS merge_rank, ls AS left_sym, "
+        f"rs AS right_sym, pc AS pair_count, ls || rs AS new_piece "
+        f"FROM best{r}"
+        for r in range(1, n_merges + 1)
+    )
+    return "WITH" + ",".join(parts) + f"\n    {finals}"
+
+
+@register(
+    "bpe_train",
+    oracle=_sql_bpe_train(),
+    doc=f"BPE tokenizer TRAINING (VERDICT r12 #2 — the last stand-in in "
+    "the tokenizer chain): the iterative top-pair merge loop that LEARNS "
+    "a merge table (Sennrich et al. 2016), closing the mine -> train -> "
+    "apply -> count -> budget chain (bpe_merge_candidates mines one "
+    f"round's statistic; this runs {BPE_TRAIN_MERGES} rounds and commits "
+    "a merge each). Emits the learned merge sequence with per-merge "
+    "corpus pair counts; ties break (count DESC, left, right) so the "
+    "sequence is bit-reproducible across engines. Spark shape: ONE "
+    "corpus tokenize pass builds the distinct-word count table; each "
+    "round is vocabulary-bounded — map-side-combined pair counts, a "
+    "1-row TakeOrdered argmax, and a JVM-side fold re-segmentation "
+    "(zero Python stages anywhere). The oracle unrolls the identical "
+    "loop as generated per-round CTE stages. tests/test_bpe_train.py "
+    "pins the loop to an independent pure-Python trainer, pins "
+    "greedy-encode-with-learned-table against a reference encode, and "
+    "hypothesis-checks merge-order determinism + the non-increasing "
+    "pair-count invariant.",
+    bench=True,
+    tags=("text", "tokenizer", "llm-pipeline", "training"),
+)
+def bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    merges = bpe_train_merges(d)
+    rows = [(i + 1, ls, rs, pc, ls + rs) for i, (ls, rs, pc) in enumerate(merges)]
+    return spark.createDataFrame(
+        rows,
+        "merge_rank long, left_sym string, right_sym string, "
+        "pair_count long, new_piece string",
     )
 
 
