@@ -1766,63 +1766,253 @@ def source_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --- linear quality classifier (fasttext-shaped scoring plumbing) -----------
-CLF_MOD = 2001  #: weight range: md5-derived ints in [-1000, 1000]
+# --- linear quality classifier: TRAINED weights (batch perceptron) ----------
+#: batch-perceptron epochs the fit runs (the oracle unrolls exactly this
+#: many stages); convergence inside the budget makes later epochs no-ops
+#: in BOTH engines, so the unroll is always safe
+CLF_EPOCHS = 4
 
 
-@register(
-    "quality_linear_classifier",
-    oracle=f"""
-    WITH f AS (
+def _clf_feats_col() -> F.Column:
+    """Binary bag-of-words features: distinct non-empty tokens. NULL text
+    must mean an EMPTY feature set (score = bias), never a NULL score
+    (review pass r6)."""
+    return F.coalesce(
+        F.array_distinct(F.filter(tokens(), lambda w: w != "")),
+        F.array().cast("array<string>"),
+    )
+
+
+def classifier_fit_tables(
+    d: DataFrame, epochs: int = CLF_EPOCHS
+) -> tuple[DataFrame, int]:
+    """TRAIN the linear quality classifier (VERDICT r12 #3 — the weights
+    were an md5 stand-in): batch-perceptron epochs over the
+    Gopher-pass bit as the label (the same clean/dirty split
+    quality_lm_perplexity_ref trains its LM on) and binary bag-of-words
+    features. Per epoch: score every labeled document with the current
+    integer weights, find the misclassified set (y·score <= 0 — zero
+    counts as wrong, so epoch 1 updates on every document), and add
+    ``sum(y over misclassified docs containing w)`` to each feature's
+    weight and ``sum(y)`` to the bias. Labels ±1 and binary features
+    keep every quantity int64-exact and order-independent — the
+    fixed-point discipline the LM scorers use, applied to a gradient
+    loop. Returns ``(weights DataFrame (w, wt) — nonzero rows only,
+    bias int)``.
+
+    Scale shape (kmeans_fit precedent): the exploded feature stream is
+    built once and persisted; each epoch is one vocabulary-bounded
+    left join back (AQE broadcasts while the weight table fits), a
+    per-doc aggregate, and a vocabulary-bounded update aggregate — the
+    only driver-side fetch is the 1-row (n_mis, sum_y) scalar. Training
+    docs are those with >= 1 feature (an empty document carries no
+    gradient signal on bag-of-words).
+    """
+    spark = d.sparkSession
+    y = F.when(F.col("passes_gopher") == 1, F.lit(1)).otherwise(F.lit(-1))
+    labels = gopher_rules_frame(d).select("doc_id", y.cast("long").alias("y"))
+    fx = (
+        d.select("doc_id", F.explode(_clf_feats_col()).alias("w"))
+        .join(labels, "doc_id")
+        .persist()
+    )
+    weights = spark.createDataFrame([], "w string, wt long").localCheckpoint()
+    bias = 0
+    for _ in range(epochs):
+        scored = (
+            fx.join(weights, "w", "left")
+            .groupBy("doc_id", "y")
+            .agg(F.coalesce(F.sum("wt"), F.lit(0)).cast("long").alias("s"))
+        )
+        mis = (
+            scored.filter(F.col("y") * (F.col("s") + F.lit(bias)) <= 0)
+            .select("doc_id", F.col("y").alias("my"))
+            .localCheckpoint()
+        )
+        stats = mis.agg(
+            F.count("*").alias("n"),
+            F.coalesce(F.sum("my"), F.lit(0)).cast("long").alias("sy"),
+        ).collect()[0]
+        if stats["n"] == 0:  # converged: every further epoch is a no-op
+            mis.unpersist()
+            break
+        upd = (
+            fx.join(mis, "doc_id")
+            .groupBy("w")
+            .agg(F.sum("my").cast("long").alias("d"))
+        )
+        new_weights = (
+            weights.join(upd, "w", "full")
+            .select(
+                "w",
+                (
+                    F.coalesce("wt", F.lit(0)) + F.coalesce("d", F.lit(0))
+                ).cast("long").alias("wt"),
+            )
+            .filter(F.col("wt") != 0)
+            .localCheckpoint()
+        )
+        bias += int(stats["sy"])
+        weights.unpersist()
+        mis.unpersist()
+        weights = new_weights
+    fx.unpersist()
+    return weights, bias
+
+
+def _sql_classifier_fit_ctes(gopher_oracle: str, epochs: int = CLF_EPOCHS) -> str:
+    """DuckDB twin of the training loop, UNROLLED one CTE chain per
+    epoch (score -> misclassified -> per-feature update -> new weights/
+    bias). Multiply-referenced stages are MATERIALIZED — DuckDB inlines
+    plain CTEs, and each epoch references the previous weights twice
+    (same exponential-blowup trap as the bpe_train oracle). The final
+    weight table is w{epochs} (zero rows kept — they sum identically)
+    and bias b{epochs}."""
+    parts = [
+        f"""
+    gop AS ({gopher_oracle}),
+    lab AS (
+      SELECT doc_id, CAST(CASE WHEN passes_gopher = 1 THEN 1 ELSE -1 END
+                          AS BIGINT) AS y
+      FROM gop
+    ),
+    f AS (
       SELECT doc_id,
              COALESCE(list_distinct(list_filter(string_split(lower(text), ' '),
                                                 w -> w <> '')), []) AS feats
       FROM documents
     ),
-    scored AS (
-      SELECT doc_id,
-             CAST(len(feats) AS BIGINT) AS n_feats,
-             CAST(COALESCE(list_sum(list_transform(feats,
-                    w -> {sql_md5_long('w')} % {CLF_MOD} - 1000)), 0) AS BIGINT)
-               AS score
-      FROM f
-    )
-    SELECT doc_id, n_feats, score, score >= 0 AS passes FROM scored
-    """,
-    doc="Model-based quality filtering, fasttext/DCLM-shaped: each document "
-    "is scored by a linear model over binary bag-of-words features (distinct "
-    "tokens) and thresholded. The weight table is a deterministic md5-derived "
-    "stand-in for trained weights (no model ships in this sandbox) — the "
-    "Spark-side shape is the real thing: scoring is a ZERO-exchange map-only "
-    "plan (array_distinct + aggregate inside the row, weights as a pure "
-    "function of the token ≙ a broadcast weight vector), so classifier "
-    "filtering at 100 TB is embarrassingly parallel with no shuffle at all. "
-    "Integer weights keep the score exact and order-independent.",
-    tags=("text", "quality", "llm-pipeline", "classifier"),
-)
-def quality_linear_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load(spark, sf_dir, "documents")
-    # NULL text must mean an EMPTY feature set (score 0, passes), not a
-    # NULL score: F.aggregate propagates a NULL array where the oracle's
-    # COALESCE(list_sum(...), 0) yields 0 (review pass r6)
-    feats = F.coalesce(
-        F.array_distinct(F.filter(tokens(), lambda w: w != "")),
-        F.array().cast("array<string>"),
-    )
+    fx AS MATERIALIZED (
+      SELECT t.doc_id, u.w, l.y
+      FROM f t JOIN lab l USING (doc_id),
+           LATERAL (SELECT unnest(t.feats) AS w) u
+    ),
+    w0 AS (SELECT CAST(NULL AS VARCHAR) AS feature, CAST(0 AS BIGINT) AS wt
+           WHERE false),
+    b0 AS (SELECT CAST(0 AS BIGINT) AS b)"""
+    ]
+    for e in range(1, epochs + 1):
+        p = e - 1
+        parts.append(f"""
+    sc{e} AS (
+      SELECT fx.doc_id, ANY_VALUE(fx.y) AS y,
+             COALESCE(SUM(w.wt), 0) + ANY_VALUE(b.b) AS s
+      FROM fx LEFT JOIN w{p} w ON w.feature = fx.w CROSS JOIN b{p} b
+      GROUP BY fx.doc_id
+    ),
+    mis{e} AS MATERIALIZED (
+      SELECT doc_id, y AS my FROM sc{e} WHERE y * s <= 0
+    ),
+    upd{e} AS (
+      SELECT fx.w AS feature, CAST(SUM(m.my) AS BIGINT) AS d
+      FROM fx JOIN mis{e} m USING (doc_id) GROUP BY fx.w
+    ),
+    w{e} AS MATERIALIZED (
+      SELECT COALESCE(a.feature, u.feature) AS feature,
+             CAST(COALESCE(a.wt, 0) + COALESCE(u.d, 0) AS BIGINT) AS wt
+      FROM w{p} a FULL OUTER JOIN upd{e} u ON u.feature = a.feature
+    ),
+    b{e} AS MATERIALIZED (
+      SELECT CAST(b.b + COALESCE((SELECT SUM(my) FROM mis{e}), 0) AS BIGINT)
+               AS b
+      FROM b{p} b
+    )""")
+    return "WITH" + ",".join(parts)
 
-    def weight(w: F.Column) -> F.Column:
-        return md5_long(w) % CLF_MOD - F.lit(1000)
 
-    t = d.select("doc_id", feats.alias("feats"))
-    score = F.aggregate(
-        F.col("feats"), F.lit(0).cast("long"), lambda acc, w: acc + weight(w)
+def _register_classifier() -> None:
+    from apache_flink_pratices_spark.registry import get_spec
+
+    gopher = get_spec("quality_gopher_rules").oracle
+    ctes = _sql_classifier_fit_ctes(gopher)
+
+    @register(
+        "quality_classifier_fit",
+        oracle=f"""
+        {ctes}
+        SELECT feature, wt AS weight FROM w{CLF_EPOCHS} WHERE wt <> 0
+        UNION ALL
+        SELECT '' AS feature, b AS weight FROM b{CLF_EPOCHS}
+        """,
+        doc=f"TRAIN the linear quality classifier (VERDICT r12 #3): "
+        f"{CLF_EPOCHS} exact-integer batch-perceptron epochs over binary "
+        "bag-of-words features with the Gopher-pass bit as the label "
+        "(the gate's exact expressions by shared frame/oracle, so the "
+        "labeler and the trainer can never disagree on 'clean'). Emits "
+        "the learned nonzero weights plus the bias row (feature = '' — "
+        "the tokenizer filters empty tokens, so no real feature can "
+        "collide). The oracle unrolls the identical epochs as generated "
+        "CTE stages; tests/test_classifier_fit.py pins the loop to an "
+        "independent pure-Python perceptron. Spark shape: one persisted "
+        "exploded-feature pass; per epoch a vocabulary-bounded weight "
+        "join back (AQE-broadcastable), a per-doc aggregate and a "
+        "vocabulary-bounded update — no corpus-sized driver fetch "
+        "anywhere.",
+        bench=True,
+        tags=("text", "quality", "llm-pipeline", "classifier", "training"),
     )
-    return t.select(
-        "doc_id",
-        F.size("feats").cast("long").alias("n_feats"),
-        score.alias("score"),
-        (score >= 0).alias("passes"),
+    def quality_classifier_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+        d = load(spark, sf_dir, "documents")
+        weights, bias = classifier_fit_tables(d)
+        wrows = weights.select(
+            F.col("w").alias("feature"), F.col("wt").alias("weight")
+        )
+        brow = spark.createDataFrame(
+            [("", bias)], "feature string, weight long"
+        )
+        return wrows.unionByName(brow)
+
+    @register(
+        "quality_linear_classifier",
+        oracle=f"""
+        {ctes},
+        sfx AS (
+          SELECT t.doc_id, u.w
+          FROM f t, LATERAL (SELECT unnest(t.feats) AS w) u
+        ),
+        fs AS (
+          SELECT s.doc_id, CAST(SUM(w.wt) AS BIGINT) AS fs
+          FROM sfx s JOIN w{CLF_EPOCHS} w ON w.feature = s.w
+          GROUP BY s.doc_id
+        )
+        SELECT t.doc_id, CAST(len(t.feats) AS BIGINT) AS n_feats,
+               CAST(COALESCE(fs.fs, 0) + b.b AS BIGINT) AS score,
+               COALESCE(fs.fs, 0) + b.b >= 0 AS passes
+        FROM f t LEFT JOIN fs USING (doc_id) CROSS JOIN b{CLF_EPOCHS} b
+        """,
+        doc="Model-based quality filtering, fasttext/DCLM-shaped — scored "
+        "with the TRAINED weights since round 13 (VERDICT r12 #3; the "
+        "md5 stand-in is gone, the same gap-closure shape as "
+        "quality_lm_perplexity_ref): each document scores bias + sum of "
+        "learned weights over its distinct tokens and thresholds at 0. "
+        "Fit and scorer share classifier_fit_tables, so they can never "
+        "diverge on what was learned. Scoring is one vocabulary-bounded "
+        "broadcast-shaped join over the feature stream + a per-doc "
+        "aggregate — at 100 TB the weight table ships as the broadcast "
+        "side exactly like a loaded fasttext model, and the integer "
+        "score is exact and order-independent.",
+        tags=("text", "quality", "llm-pipeline", "classifier"),
     )
+    def quality_linear_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+        d = load(spark, sf_dir, "documents")
+        weights, bias = classifier_fit_tables(d)
+        t = d.select("doc_id", _clf_feats_col().alias("feats"))
+        fsum = (
+            t.select("doc_id", F.explode("feats").alias("w"))
+            .join(weights, "w")
+            .groupBy("doc_id")
+            .agg(F.sum("wt").cast("long").alias("fs"))
+        )
+        score = (F.coalesce("fs", F.lit(0)) + F.lit(bias)).cast("long")
+        return t.join(fsum, "doc_id", "left").select(
+            "doc_id",
+            F.size("feats").cast("long").alias("n_feats"),
+            score.alias("score"),
+            (score >= 0).alias("passes"),
+        )
+
+
+_register_classifier()
 
 
 # --- tokenizer vocabulary coverage ------------------------------------------

@@ -73,25 +73,22 @@ CRITICAL = (
 #: driver_replica_check.py); they rotate into the r8 window naturally as
 #: the then-stalest cohort.
 #: One-round applications of the RE-ANCHOR ON CODE CHANGE rule. Round 11
-#: pinned ``corpus_pipeline_e2e`` (two new stages); its fresh green row
-#: landed in CORRECTNESS_r11, so the tuple is cleared per its own
-#: docstring. Round 12 pins nothing: the round's new operators
-#: (``bpe_encode``, ``quality_lm_perplexity``, ``token_budget_plan_exact``,
-#: ``quality_lm_perplexity_ref``) enter as never-checked and sort into
-#: the window ahead of the stale backlog on their own, and no already-green query changed semantics
-#: (the token_budget_plan / dedup_minhash_lsh refactors are pure
-#: extractions — same expressions, replica-checked green at sf0.01 this
-#: round; dedup_clusters' round-12 label-artifact change is
-#: materialization-only — bit-equal twin pin vs a live
-#: connected_components run in tests/test_curation.py plus fresh
-#: replica rows for it and corpus_pipeline_e2e, the round-7 precedent
-#: for not re-anchoring output-identical implementation swaps).
-#: Window math for r12: 14 CRITICAL + 4 never-checked newcomers
-#: + the 31-query r8-stale cohort = 49 ≤ ~50 slots (verified
-#: mechanically at closing HEAD: all 31 + all 4 inside the first 50),
-#: so the whole cohort drains this round (VERDICT r11 #1) and the
-#: invariant afterwards is: no latest row older than r9.
-RE_ANCHORED: tuple[str, ...] = ()
+#: pinned ``corpus_pipeline_e2e``; round 12 pinned nothing (newcomers
+#: sort in as never-checked; every carried change was output-identical
+#: with twin pins + fresh replica rows — see git history for the full
+#: rationale). Round 13 pins ``quality_linear_classifier``: its scorer
+#: was re-registered on TRAINED batch-perceptron weights (VERDICT r12
+#: #3 — the md5 stand-in is gone), a genuine semantic change that must
+#: carry a fresh hard driver row. It is ALSO in the r9-stale cohort, so
+#: anchoring costs no extra window slot — the pin just makes the rule's
+#: application explicit and unconditional.
+#: Window math for r13: 14 CRITICAL + 4 never-checked newcomers
+#: (bpe_train, quality_classifier_fit, ann_ivf_trained_topk,
+#: mm_video_phash_pairs) + the 29-query r9-stale cohort (incl. the
+#: re-anchored scorer) = 47 ≤ ~50 slots, so the whole cohort drains
+#: this round (VERDICT r12 #1) and the invariant afterwards is: no
+#: latest row older than r10.
+RE_ANCHORED: tuple[str, ...] = ("quality_linear_classifier",)
 
 DEMOTED_ANCHORS = (
     "w7_signal_ids",

@@ -11,10 +11,6 @@ from pyspark.sql import functions as F
 
 from apache_flink_pratices_spark.operators.dedup import SEG_N, dedup_segment_exact
 from apache_flink_pratices_spark.operators.olap import mv_incremental_refresh
-from apache_flink_pratices_spark.operators.text import (
-    CLF_MOD,
-    quality_linear_classifier,
-)
 
 SF = "/root/testdata/sf0.001"
 
@@ -55,27 +51,10 @@ def test_segment_dedup_first_occurrence_wins(spark, tmp_path):
     assert rows[1].dup_frac == 1.0
 
 
-def test_linear_classifier_matches_python_model(spark):
-    """Spark's in-row aggregate equals a row-at-a-time Python scorer with
-    the same md5-derived weights, on the real sf0.001 corpus."""
-    got = {
-        r.doc_id: (r.n_feats, r.score, r.passes)
-        for r in quality_linear_classifier(spark, SF).collect()
-    }
-    from apache_flink_pratices_spark.io import load
-
-    for row in load(spark, SF, "documents").select("doc_id", "text").collect():
-        feats = sorted({w for w in row.text.lower().split(" ") if w})
-        score = sum(
-            int(hashlib.md5(w.encode()).hexdigest()[:14], 16) % CLF_MOD - 1000
-            for w in feats
-        )
-        assert got[row.doc_id] == (len(feats), score, score >= 0)
-
-
-def test_linear_classifier_zero_exchange(spark):
-    plan = quality_linear_classifier(spark, SF)._jdf.queryExecution().executedPlan()
-    assert "Exchange" not in plan.toString()
+# The round-6 md5-stand-in classifier tests moved to
+# tests/test_classifier_fit.py in round 13 when the scorer was
+# re-registered on TRAINED batch-perceptron weights (VERDICT r12 #3) —
+# the pure-Python pin now covers the whole train+score pipeline.
 
 
 def test_mv_refresh_plan_is_partial_merge(spark):
@@ -146,35 +125,6 @@ def test_segment_dedup_matches_python_model(spark, tmp_path_factory, texts):
         if segs:
             expect[doc_id] = (len(segs), dup)
     assert got == expect
-
-
-@settings(max_examples=8, deadline=None)
-@given(
-    texts=st.lists(
-        st.lists(
-            st.sampled_from(["alpha", "beta", "gamma", "delta"]),
-            min_size=0,
-            max_size=12,
-        ).map(" ".join),
-        min_size=1,
-        max_size=5,
-    )
-)
-def test_linear_classifier_matches_model_on_arbitrary_corpora(
-    spark, tmp_path_factory, texts
-):
-    sf = _seg_frame(spark, tmp_path_factory.mktemp("clf"), texts)
-    got = {
-        r.doc_id: (r.n_feats, r.score, r.passes)
-        for r in quality_linear_classifier(spark, sf).collect()
-    }
-    for doc_id, text in enumerate(texts):
-        feats = {w for w in text.lower().split(" ") if w}
-        score = sum(
-            int(hashlib.md5(w.encode()).hexdigest()[:14], 16) % CLF_MOD - 1000
-            for w in feats
-        )
-        assert got[doc_id] == (len(feats), score, score >= 0)
 
 
 def test_segment_dedup_plan_single_digest_shuffle(spark):
