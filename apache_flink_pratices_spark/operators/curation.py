@@ -49,7 +49,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
-from apache_flink_pratices_spark.functions.hashing import md5_long, sql_md5_long
+from apache_flink_pratices_spark.functions.hashing import (
+    md5_long,
+    source_fingerprint as _source_fingerprint,
+    sql_md5_long,
+)
 from apache_flink_pratices_spark.io import load
 from apache_flink_pratices_spark.operators import text as _text  # registers
 from apache_flink_pratices_spark.operators.dedup import (
@@ -139,20 +143,6 @@ def connected_components(nodes: DataFrame, edges: DataFrame) -> DataFrame:
             return labels
         prev_sum = new_sum
     raise RuntimeError(f"connected_components did not converge in {CC_MAX_ROUNDS} rounds")
-
-
-def _source_fingerprint(*objs) -> str:
-    """md5 of the given callables' source text — the mechanical impl-version
-    component for write-once artifacts (ADVICE r12): any edit to the code
-    that derives an artifact (even a comment) changes the key and misses
-    the cache, so a semantic change can never silently serve stale data
-    because someone forgot a manual version bump. The cost of the safe
-    direction — a cosmetic edit also rebuilds — is one artifact build."""
-    import hashlib
-    import inspect
-
-    src = "\n".join(inspect.getsource(o) for o in objs)
-    return hashlib.md5(src.encode()).hexdigest()[:10]
 
 
 #: Artifact-key version for the CC label artifact. The ``cc-v2`` prefix is

@@ -618,16 +618,19 @@ def _max_bucket_size(bands: DataFrame) -> int:
     return int(v or 0)
 
 
-def _corpus_key(sf_dir: str, *parts) -> str:
+def _corpus_key(sf_dir: str, *parts, table: str = "documents") -> str:
     """Cache key covering corpus file identity plus arbitrary config
     parts — the ONE derivation shared by the pair artifact and every
     corpus_probe (review r7: the probe key previously hardcoded the
     simhash constants for all probe families, so a minhash/phash config
-    change would silently serve a stale hint)."""
+    change would silently serve a stale hint). ``table`` names the
+    identity-bearing parquet: artifacts derived from ``embeddings``
+    (the trained IVF centroids, round 13) must key on THAT file's
+    identity, not the documents table's."""
     import hashlib
     import os
 
-    src = os.path.join(sf_dir, "documents.parquet")
+    src = os.path.join(sf_dir, f"{table}.parquet")
     st = os.stat(src)
     tail = "|".join(str(p) for p in parts)
     return hashlib.sha256(
