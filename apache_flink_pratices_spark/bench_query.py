@@ -197,6 +197,7 @@ def _run_calibration() -> dict:
 
 def _run_extras() -> dict:
     from apache_flink_pratices_spark.operators.curation import (
+        corpus_pipeline_planted_stats,
         decontaminate_bloom_lowoverlap_stats,
         decontaminate_bloom_stats,
     )
@@ -238,6 +239,13 @@ def _run_extras() -> dict:
     # minhash-vs-simhash recall/precision on the planted-pair corpus
     # (VERDICT r11 #7): the dedup method choice, measured
     method_cmp = neardup_method_compare_bench(spark)
+    spark.catalog.clearCache()
+    # the flagship pipeline on a planted WIDE-vocab corpus where every
+    # stage keeps and removes rows (VERDICT r12 #6): the headline
+    # corpus_pipeline_e2e row's decon stage legitimately empties the
+    # driver's 31-word-vocabulary corpus at sf0.1, so packing/budget
+    # are measured on real rows HERE
+    pipeline_planted = corpus_pipeline_planted_stats(spark)
     spark.stop()
     return {
         "ann_lsh_clustered_candidate_fraction": cand_fraction,
@@ -247,6 +255,7 @@ def _run_extras() -> dict:
         "decontaminate_bloom": bloom_stats,
         "decontaminate_bloom_lowoverlap": bloom_low,
         "neardup_method_compare": method_cmp,
+        "corpus_pipeline_planted": pipeline_planted,
     }
 
 

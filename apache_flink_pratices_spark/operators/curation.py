@@ -2002,11 +2002,23 @@ def _pipeline_oracle() -> str:
     "saturates 3-gram overlap at that scale), so the benched wall "
     "covers the full stage graph but the packing/budget tail runs on "
     "zero survivors; stage VALUES are verified at sf0.01 (101 "
-    "survivors) by the driver gate.",
+    "survivors) by the driver gate, and since round 13 the bench "
+    "extras ALSO measure the pipeline on a planted wide-vocabulary "
+    "corpus where every stage keeps and removes rows "
+    "(corpus_pipeline_planted_stats, VERDICT r12 #6).",
     bench=True,
     tags=("curation", "dedup", "tokens", "packing", "llm-pipeline", "composition"),
 )
 def corpus_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _pipeline_frames(spark, sf_dir)["final"]
+
+
+def _pipeline_frames(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Every stage of the composed pipeline as a named frame (round 13,
+    extracted verbatim from corpus_pipeline_e2e so the planted-corpus
+    measurement harness counts THE stages the registered query runs,
+    not a reimplementation): canon, gate, dirty, keep, surv, budget,
+    packed, final."""
     from apache_flink_pratices_spark.operators.text import gopher_rules_frame
 
     docs = load(spark, sf_dir, "documents").persist(StorageLevel.MEMORY_AND_DISK)
@@ -2067,7 +2079,7 @@ def corpus_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source", "share_bp", "epochs_capped_bp", "planned_tokens"
     )
     packed = doc_packing_frame(surv.filter(F.length("text") > 0))
-    return (
+    final = (
         packed.join(surv.select("doc_id", "source"), "doc_id")
         .join(F.broadcast(budget), "source")
         .select(
@@ -2082,3 +2094,107 @@ def corpus_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
             "planned_tokens",
         )
     )
+    return {
+        "docs": docs,
+        "canon": canon,
+        "gate": gate,
+        "dirty": dirty,
+        "keep": keep,
+        "surv": surv,
+        "budget": budget,
+        "packed": packed,
+        "final": final,
+    }
+
+
+def _planted_pipeline_words(i: int, vocab_size: int, n: int = 48) -> list[str]:
+    """Deterministic md5-drawn words for planted doc ``i`` — structure-
+    free draws so unrelated docs share essentially no aligned 3-gram
+    (an arithmetic index schedule here created accidental full-overlap
+    pairs at a fixed doc distance)."""
+    import hashlib
+
+    return [
+        f"w{int(hashlib.md5(f'{i}-{j}'.encode()).hexdigest()[:8], 16) % vocab_size:04d}"
+        for j in range(n)
+    ]
+
+
+def corpus_pipeline_planted_stats(
+    spark: SparkSession, n_docs: int = 2500, vocab_size: int = 6000
+) -> dict:
+    """Measured NON-degenerate pipeline row (VERDICT r12 #6): at sf0.1 the
+    driver corpus's 31-word vocabulary saturates 3-gram overlap and the
+    decon stage legitimately empties the corpus, so the flagship bench
+    row's packing/budget tail ran on zero rows. This plants a
+    WIDE-vocabulary corpus where every stage keeps AND removes documents
+    — exact near-dup copies (every 17th train doc copies its
+    predecessor), short Gopher-failing docs (every 11th), eval-plagiarist
+    docs (every 13th train doc reuses its eval anchor's words — >10%
+    shingle overlap, decon-dirty), and a hash-gated ~56% quality-
+    temperature survival — then runs the REGISTERED pipeline end-to-end
+    and records per-stage survivor counts plus two walls (first run
+    includes the one-time pair/label-artifact builds; the second is the
+    steady state the headline row measures). Emitted in bench extras."""
+    import os
+    import shutil
+    import tempfile
+    import time
+
+    sf = tempfile.mkdtemp(prefix="afp_pipe_planted_")
+    try:
+        rows = []
+        for i in range(n_docs):
+            is_eval = i % 10 == 0
+            if i % 11 == 3:
+                # too short for the Gopher word-count rule
+                words = _planted_pipeline_words(i, vocab_size, n=10)
+            elif not is_eval and i % 13 == 2:
+                # plagiarizes its eval anchor wholesale -> decon-dirty
+                words = _planted_pipeline_words((i // 10) * 10, vocab_size)
+            elif not is_eval and i % 17 == 1:
+                # exact near-dup of its predecessor -> dedup removes one
+                words = _planted_pipeline_words(i - 1, vocab_size)
+            else:
+                words = _planted_pipeline_words(i, vocab_size)
+            text = "the a " + " ".join(words)
+            rows.append((i, text, "en", f"src{i % 6}", len(text)))
+        spark.createDataFrame(
+            rows,
+            "doc_id long, text string, lang string, source string, n_chars long",
+        ).coalesce(4).write.mode("overwrite").parquet(
+            os.path.join(sf, "documents.parquet")
+        )
+
+        t0 = time.time()
+        first_rows = corpus_pipeline_e2e(spark, sf).count()
+        first_wall = time.time() - t0
+        t0 = time.time()
+        frames = _pipeline_frames(spark, sf)
+        packed_rows = frames["final"].count()
+        wall = time.time() - t0
+        assert packed_rows == first_rows
+
+        stats = {
+            "n_docs": n_docs,
+            "n_canonical": frames["canon"].count(),
+            "n_gopher_pass": frames["gate"].count(),
+            "n_decon_dirty": frames["dirty"].count(),
+            "n_survivors": frames["surv"].count(),
+            "n_packed_rows": packed_rows,
+            "n_budget_sources": frames["budget"].count(),
+            "planned_tokens_total": int(
+                frames["budget"].agg(F.sum("planned_tokens")).collect()[0][0]
+            ),
+            "first_wall_s": round(first_wall, 2),
+            "wall_s": round(wall, 2),
+        }
+        # the point of the row: every stage both keeps and removes rows
+        assert 0 < stats["n_survivors"] < n_docs
+        assert 0 < stats["n_decon_dirty"]
+        assert stats["n_canonical"] < stats["n_docs"]  # dedup removed copies
+        assert 0 < stats["n_packed_rows"]
+        assert stats["planned_tokens_total"] > 0
+        return stats
+    finally:
+        shutil.rmtree(sf, ignore_errors=True)

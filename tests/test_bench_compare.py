@@ -155,3 +155,57 @@ def test_load_box_from_detail_artifact(tmp_path):
     without.write_text(json.dumps({"parsed": s}))
     assert bench_compare.load_box(str(with_box)) == {"cpus": 32, "uptime_s": 9.1}
     assert bench_compare.load_box(str(without)) is None
+
+
+def _stream_summary(fraud, cep, replay):
+    return {"streaming": {"fraud_ev_s": fraud, "cep_ev_s": cep,
+                          "replay_day_s": replay}}
+
+
+def test_streaming_orientation_rates_fall_times_rise():
+    """A rate REGRESSES when it falls; a time when it rises (VERDICT
+    r12 #5) — both beyond the floor here, no calibration."""
+    old = _stream_summary(50000, 45000, 170.0)
+    new = _stream_summary(30000, 60000, 250.0)  # fraud -40%, cep +33%, replay +47%
+    out = bench_compare.compare_streaming(old, new, floor_pct=25.0)
+    status = {r["metric"]: r["status"] for r in out["rows"]}
+    assert status == {
+        "fraud_ev_s": "REGRESSION",
+        "cep_ev_s": "improvement",
+        "replay_day_s": "REGRESSION",
+    }
+    assert len(out["regressions"]) == 2
+
+
+def test_streaming_cal_normalization_absorbs_box_state():
+    """The r12 worked example: replay_day_s 166.0 idle -> 190.7 under a
+    1.153 cal ratio on identical code must read within-noise on the
+    normalized column (190.7/1.153 = 165.4, -0.4%); a rate deflated by
+    the same box factor multiplies back up."""
+    old = _stream_summary(53000, 46000, 166.0)
+    new = _stream_summary(53000 / 1.153, 46000 / 1.153, 190.7)
+    out = bench_compare.compare_streaming(
+        old, new, floor_pct=10.0, cal_ratio=1.153
+    )
+    for row in out["rows"]:
+        assert row["status"] == "within-noise", row
+        assert abs(row["delta_cal_pct"]) < 1.0, row
+    # ... while the RAW deltas would all have breached the 10% floor
+    raw = bench_compare.compare_streaming(old, new, floor_pct=10.0)
+    assert all(r["status"] != "within-noise" for r in raw["rows"])
+
+
+def test_streaming_missing_or_zero_sides_never_flag():
+    out = bench_compare.compare_streaming(
+        {"streaming": {"fraud_ev_s": 0, "cep_ev_s": 1000}},
+        {"streaming": {"fraud_ev_s": 50000, "cep_ev_s": 0,
+                       "replay_day_s": 100.0}},
+        floor_pct=25.0,
+    )
+    status = {r["metric"]: r["status"] for r in out["rows"]}
+    assert status == {
+        "fraud_ev_s": "new",  # old side unmeasurable -> treated as new
+        "cep_ev_s": "unmeasurable-new",
+        "replay_day_s": "new",
+    }
+    assert out["regressions"] == []

@@ -112,6 +112,13 @@ def test_bench_cli_contract(tmp_path):
     assert lo["false_negatives"] == 0
     assert lo["planted_rows"] <= lo["bloom_positive_rows"]
     assert lo["candidate_fraction"] < 0.05
+    # VERDICT r12 #6: the planted wide-vocab pipeline row — every stage
+    # must keep AND remove rows (the helper itself asserts the full
+    # non-degeneracy contract; re-check the load-bearing facts here)
+    pp = detail["corpus_pipeline_planted"]
+    assert 0 < pp["n_survivors"] < pp["n_docs"]
+    assert pp["n_decon_dirty"] > 0 and pp["n_packed_rows"] > 0
+    assert pp["planned_tokens_total"] > 0 and pp["wall_s"] > 0
     # VERDICT r7 #4: measured above-cap hot-bucket guard evidence
     hg = detail["hot_bucket_guard"]
     assert hg["pairs"] > 0 and hg["wall_s"] > 0

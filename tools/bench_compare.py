@@ -80,6 +80,71 @@ def spread_map(summary: dict) -> dict[str, float]:
     return {n: float(s) for n, s in zip(names, spreads)}
 
 
+#: streaming summary metrics: name -> orientation. Rates (ev/s) DEFLATE
+#: on a slow box, so calibration-normalizing MULTIPLIES the new rate by
+#: the cal ratio; times (replay seconds) inflate, so they DIVIDE like
+#: the batch timings (VERDICT r12 #5: replay_day_s read 166.0 idle vs
+#: 190.7 under cal 1.153 on identical code — batch-shaped inflation).
+STREAM_METRICS = (
+    ("fraud_ev_s", "rate"),
+    ("cep_ev_s", "rate"),
+    ("replay_day_s", "time"),
+)
+
+
+def compare_streaming(
+    old: dict, new: dict, floor_pct: float, cal_ratio: float | None = None
+) -> dict:
+    """{"rows": [...], "regressions": [...]} over the summary streaming
+    section. No per-metric spread is measured on the summary line (the
+    streaming window's inter-subprocess variance was measured up to
+    1.6x), so flagging conditions on the inter-session floor alone,
+    applied to the CAL-NORMALIZED delta when the box factor is known. A
+    rate REGRESSES when it falls; a time when it rises."""
+    so = old.get("streaming") or {}
+    sn = new.get("streaming") or {}
+    rows, regressions, improvements = [], [], []
+    for name, kind in STREAM_METRICS:
+        a, b = so.get(name), sn.get(name)
+        if not isinstance(a, (int, float)) or a <= 0:
+            if isinstance(b, (int, float)) and b > 0:
+                rows.append({"metric": name, "status": "new", "new": b})
+            continue
+        if not isinstance(b, (int, float)) or b <= 0:
+            rows.append({"metric": name, "status": "unmeasurable-new",
+                         "old": a, "new": b})
+            continue
+        delta_pct = 100.0 * (b - a) / a
+        eff = delta_pct
+        cal_delta = None
+        if cal_ratio and cal_ratio > 0:
+            b_norm = b * cal_ratio if kind == "rate" else b / cal_ratio
+            cal_delta = 100.0 * (b_norm - a) / a
+            eff = cal_delta
+        worse = eff < 0 if kind == "rate" else eff > 0
+        status = "within-noise"
+        if abs(eff) > floor_pct:
+            status = "REGRESSION" if worse else "improvement"
+        row = {
+            "metric": name,
+            "kind": kind,
+            "old": a,
+            "new": b,
+            "delta_pct": round(delta_pct, 1),
+            "noise_pct": round(floor_pct, 1),
+            "status": status,
+        }
+        if cal_delta is not None:
+            row["delta_cal_pct"] = round(cal_delta, 1)
+        rows.append(row)
+        if status == "REGRESSION":
+            regressions.append(row)
+        elif status == "improvement":
+            improvements.append(row)
+    return {"rows": rows, "regressions": regressions,
+            "improvements": improvements}
+
+
 def compare(
     old: dict, new: dict, floor_pct: float, cal_ratio: float | None = None
 ) -> dict:
@@ -207,15 +272,37 @@ def main(argv: list[str] | None = None) -> int:
             f"total wall: {out['old_total']} -> {out['new_total']} "
             f"({100.0 * (out['new_total'] - out['old_total']) / out['old_total']:+.1f}%)"
         )
+    stream = compare_streaming(
+        load_summary(args.old_artifact),
+        load_summary(args.new_artifact),
+        args.floor_pct,
+        cal_ratio=cal_ratio,
+    )
+    for row in stream["rows"]:
+        if "delta_pct" not in row:
+            print(f"{row['status']:>13}  streaming.{row['metric']}")
+            continue
+        cal_s = (
+            f" [cal {row['delta_cal_pct']:+6.1f}%]"
+            if "delta_cal_pct" in row
+            else ""
+        )
+        print(
+            f"{row['status']:>13}  streaming.{row['metric']:<22} "
+            f"{row['old']:>9.1f} -> {row['new']:>9.1f}  "
+            f"{row['delta_pct']:+6.1f}%{cal_s} (floor {row['noise_pct']:.0f}%)"
+        )
     for side, path in (("old", args.old_artifact), ("new", args.new_artifact)):
         box = load_box(path)
         if box:
             print(f"{side} box: {json.dumps(box, sort_keys=True)}")
+    n_reg = len(out["regressions"]) + len(stream["regressions"])
+    n_imp = len(out["improvements"]) + len(stream["improvements"])
     print(
-        f"{len(out['regressions'])} flagged regression(s), "
-        f"{len(out['improvements'])} attributable improvement(s)"
+        f"{n_reg} flagged regression(s), "
+        f"{n_imp} attributable improvement(s)"
     )
-    return 1 if out["regressions"] else 0
+    return 1 if n_reg else 0
 
 
 if __name__ == "__main__":
