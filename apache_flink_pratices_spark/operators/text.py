@@ -690,21 +690,32 @@ def bpe_word_fingerprint(ids: list[int]) -> int:
     return sum((j + 1) * pid for j, pid in enumerate(ids)) % MOD
 
 
-def _bpe_encode_batches(batches):
-    """Arrow-batched kernel over DISTINCT words: one pure-Python greedy
-    encode per vocabulary entry, never per token instance."""
+def _bpe_encode_batches_with(piece_ids: dict[str, int], max_piece_len: int):
+    """Arrow-batched kernel factory over DISTINCT words for an ARBITRARY
+    piece table: one pure-Python greedy encode per vocabulary entry,
+    never per token instance."""
     import pandas as pd
 
-    for pdf in batches:
-        enc = [bpe_encode_word(w) for w in pdf["w"]]
-        yield pd.DataFrame(
-            {
-                "w": pdf["w"].to_numpy(),
-                "word_fp": [bpe_word_fingerprint(ids) for _, ids, _ in enc],
-                "n_pieces": [len(ids) for _, ids, _ in enc],
-                "n_unk": [n_unk for _, _, n_unk in enc],
-            }
-        )
+    def fn(batches):
+        for pdf in batches:
+            enc = [
+                bpe_encode_word_with(w, piece_ids, max_piece_len)
+                for w in pdf["w"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "w": pdf["w"].to_numpy(),
+                    "word_fp": [bpe_word_fingerprint(ids) for _, ids, _ in enc],
+                    "n_pieces": [len(ids) for _, ids, _ in enc],
+                    "n_unk": [n_unk for _, _, n_unk in enc],
+                }
+            )
+
+    return fn
+
+
+#: the frozen-table kernel (bpe_encode / token_budget_plan_exact)
+_bpe_encode_batches = _bpe_encode_batches_with(BPE_PIECE_IDS, BPE_MAX_PIECE_LEN)
 
 
 def _sql_bpe_pieces() -> str:
@@ -713,15 +724,14 @@ def _sql_bpe_pieces() -> str:
     )
 
 
-#: The DuckDB rendering of the whole word-level BPE encode, from the
-#: piece VALUES table through ``wenc`` (one row per distinct word with
-#: its piece count / sequence fingerprint / UNK count) plus the
-#: position-carrying ``words`` stream it joins back to. Shared by the
-#: bpe_encode oracle and the exact token-budget plan's oracle
-#: (curation.py), so the two can never disagree on the encoding.
-#: Callers prepend ``WITH RECURSIVE``.
-SQL_BPE_WORD_CTES = f"""
-    pieces(piece, id) AS (VALUES {_sql_bpe_pieces()}),
+#: The PIECE-TABLE-AGNOSTIC tail of the word-level BPE encode (round 13:
+#: split out so the trained-table twin reuses the identical greedy
+#: machinery): assumes a ``pieces(piece, id)`` CTE exists; runs docs ->
+#: position-carrying ``words`` -> distinct words -> greedy
+#: longest-match-first recursive encode -> ``wenc`` (one row per
+#: distinct word with its piece count / sequence fingerprint / UNK
+#: count).
+SQL_BPE_ENCODE_TAIL = f"""
     docs AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
     words AS (
       SELECT doc_id, i AS wpos, ws[i] AS w
@@ -764,6 +774,15 @@ SQL_BPE_WORD_CTES = f"""
       SELECT w, j AS n_pieces, CAST(fp % {MOD} AS BIGINT) AS word_fp, n_unk
       FROM enc WHERE pos > len(w)
     )
+"""
+
+#: The full FROZEN-table rendering: the fixed piece VALUES + the shared
+#: tail. Used by the bpe_encode oracle and the exact token-budget plan's
+#: oracle (curation.py), so the two can never disagree on the encoding.
+#: Callers prepend ``WITH RECURSIVE``.
+SQL_BPE_WORD_CTES = f"""
+    pieces(piece, id) AS (VALUES {_sql_bpe_pieces()}),
+    {SQL_BPE_ENCODE_TAIL}
 """
 
 
@@ -971,12 +990,15 @@ def learned_piece_ids(
     return out
 
 
-def _sql_bpe_train(
+def _sql_bpe_train_parts(
     n_merges: int = BPE_TRAIN_MERGES, min_count: int = BPE_TRAIN_MIN_COUNT
-) -> str:
-    """DuckDB twin of the whole training loop, UNROLLED: one generated
-    CTE chain per merge round (pair count -> deterministic argmax ->
-    greedy non-overlapping re-segmentation). The greedy left-to-right
+) -> tuple[str, str]:
+    """(CTE body, final merge-sequence SELECT) for the DuckDB twin of the
+    whole training loop, UNROLLED: one generated CTE chain per merge
+    round (pair count -> deterministic argmax -> greedy non-overlapping
+    re-segmentation). Split so the trained-table ENCODE oracle
+    (bpe_encode_trained) can compose the training CTEs with the shared
+    greedy-encode tail. The greedy left-to-right
     rule is windowed instead of folded: consecutive match positions only
     occur for self-pairs (left == right, a run of 3+), and within each
     run of consecutive matches exactly the odd-indexed ones merge — so
@@ -1057,7 +1079,14 @@ def _sql_bpe_train(
         f"FROM best{r}"
         for r in range(1, n_merges + 1)
     )
-    return "WITH" + ",".join(parts) + f"\n    {finals}"
+    return ",".join(parts), finals
+
+
+def _sql_bpe_train(
+    n_merges: int = BPE_TRAIN_MERGES, min_count: int = BPE_TRAIN_MIN_COUNT
+) -> str:
+    ctes, finals = _sql_bpe_train_parts(n_merges, min_count)
+    return "WITH" + ctes + f"\n    {finals}"
 
 
 @register(
@@ -1091,6 +1120,98 @@ def bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows,
         "merge_rank long, left_sym string, right_sym string, "
         "pair_count long, new_piece string",
+    )
+
+
+def _sql_bpe_encode_trained() -> str:
+    """Oracle composing TRAIN with APPLY: the unrolled training CTEs
+    produce the merge sequence, the learned pieces table derives from it
+    (corpus singles in lexicographic order, then merge results in
+    learned order; duplicate strings keep their first-occurrence rank —
+    the exact learned_piece_ids construction), and the shared greedy
+    longest-match tail encodes every document against it."""
+    ctes, finals = _sql_bpe_train_parts()
+    return f"""
+    WITH RECURSIVE {ctes},
+    tsingles AS (
+      SELECT DISTINCT substr(w, g.pos, 1) AS piece
+      FROM wc, LATERAL (SELECT unnest(generate_series(1, length(w)))
+                        AS pos) g
+    ),
+    sgl AS (SELECT piece, ROW_NUMBER() OVER (ORDER BY piece) AS pos
+            FROM tsingles),
+    nsgl AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM sgl),
+    mseq AS ({finals}),
+    seqp AS (
+      SELECT piece, CAST(pos AS BIGINT) AS pos FROM sgl
+      UNION ALL
+      SELECT m.new_piece, n.n + m.merge_rank FROM mseq m CROSS JOIN nsgl n
+    ),
+    firsts AS (SELECT piece, MIN(pos) AS fpos FROM seqp GROUP BY piece),
+    pieces AS MATERIALIZED (
+      SELECT piece, ROW_NUMBER() OVER (ORDER BY fpos) - 1 AS id FROM firsts
+    ),
+    {SQL_BPE_ENCODE_TAIL}
+    SELECT t.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(e.n_pieces) AS BIGINT) AS n_bpe_tokens,
+           CAST(SUM(e.n_unk) AS BIGINT) AS n_unk_pieces,
+           CAST(SUM(CAST(t.wpos * e.word_fp AS DECIMAL(38,0))) % {MOD}
+                AS BIGINT) AS ids_fingerprint
+    FROM words t JOIN wenc e USING (w)
+    GROUP BY t.doc_id
+    """
+
+
+@register(
+    "bpe_encode_trained",
+    oracle=_sql_bpe_encode_trained(),
+    doc="The tokenizer chain composed END-TO-END: train the merge table "
+    "on the corpus (bpe_train's exact loop), build the positional piece "
+    "inventory from it (corpus alphabet first, then merge results in "
+    "learned order — learned_piece_ids), and encode every document "
+    "against the LEARNED table with the same greedy "
+    "longest-match-first distinct-word Arrow kernel as bpe_encode, "
+    "pinning the exact id sequences via the position-weighted "
+    "fingerprint. The oracle recomputes training AND application in one "
+    "composed query, so the full mine -> train -> apply chain is "
+    "value-hash-checked cross-engine with no frozen stand-in anywhere. "
+    "Scale shape: bpe_train's one corpus pass + vocabulary-bounded "
+    "rounds, a bounded alphabet collect, then bpe_encode's plan "
+    "(vocabulary-sized Python, instances join back and aggregate "
+    "JVM-side).",
+    bench=True,
+    tags=("text", "tokenizer", "llm-pipeline", "training", "composition"),
+)
+def bpe_encode_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    merges = bpe_train_merges(d)
+    words = (
+        d.select("doc_id", F.posexplode(tokens()).alias("wpos0", "w"))
+        .filter(F.col("w") != "")
+        .select("doc_id", (F.col("wpos0") + 1).alias("wpos"), "w")
+    )
+    # the corpus alphabet: a bounded collect (distinct characters), the
+    # singles tier of the learned inventory
+    chars = sorted(
+        r["ch"]
+        for r in words.select(
+            F.explode(F.split("w", "")).alias("ch")
+        ).distinct().collect()
+    )
+    table = learned_piece_ids(merges, tuple(chars))
+    max_len = max(len(p) for p in table)
+    enc = words.select("w").distinct().mapInPandas(
+        _bpe_encode_batches_with(table, max_len),
+        "w string, word_fp long, n_pieces long, n_unk long",
+    )
+    joined = words.join(enc, "w")
+    term = (F.col("wpos") * F.col("word_fp")).cast("decimal(38,0)")
+    return joined.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_words"),
+        F.sum("n_pieces").cast("long").alias("n_bpe_tokens"),
+        F.sum("n_unk").cast("long").alias("n_unk_pieces"),
+        (F.sum(term) % MOD).cast("long").alias("ids_fingerprint"),
     )
 
 

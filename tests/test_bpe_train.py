@@ -208,3 +208,60 @@ def test_self_pair_merge_is_greedy_non_overlapping(w):
                 expect.append(ch)
             k = 0
     assert out == expect
+
+
+def test_trained_encode_matches_pure_python_end_to_end(spark):
+    """bpe_encode_trained triangulated: the registered composed query
+    (train -> learned table -> greedy encode -> fingerprints) must equal
+    a FULL independent pure-Python recomputation — reference trainer,
+    reference table construction, reference greedy encode, reference
+    fingerprint arithmetic — on the real sf0.001 corpus."""
+    from apache_flink_pratices_spark.functions.hashing import MOD
+    from apache_flink_pratices_spark.io import load
+    from apache_flink_pratices_spark.registry import all_specs
+
+    d = load(spark, SF_SMOKE, "documents")
+    rows = [(r["doc_id"], r["text"]) for r in d.select("doc_id", "text").collect()]
+    wc = _word_counts(rows)
+    merges = py_bpe_train(wc, BPE_TRAIN_MERGES, BPE_TRAIN_MIN_COUNT)
+    singles = sorted({c for w in wc for c in w})
+    table = learned_piece_ids(merges, tuple(singles))
+    max_len = max(len(p) for p in table)
+
+    def ref_ids(w):
+        out, pos = [], 0
+        while pos < len(w):
+            for ln in range(min(max_len, len(w) - pos), 0, -1):
+                pid = table.get(w[pos : pos + ln])
+                if pid is not None:
+                    out.append(pid)
+                    pos += ln
+                    break
+            else:
+                raise AssertionError(f"alphabet does not cover {w!r}")
+        return out
+
+    word_fp = {
+        w: sum((j + 1) * pid for j, pid in enumerate(ref_ids(w))) % MOD
+        for w in wc
+    }
+    want = {}
+    for doc_id, text in rows:
+        ws = [w for w in text.lower().split(" ") if w]
+        if not ws:
+            continue
+        n_tok = sum(len(ref_ids(w)) for w in ws)
+        fp = sum((i + 1) * word_fp[w] for i, w in enumerate(ws)) % MOD
+        want[doc_id] = (len(ws), n_tok, 0, fp)
+
+    got = {
+        r["doc_id"]: (
+            r["n_words"], r["n_bpe_tokens"], r["n_unk_pieces"],
+            r["ids_fingerprint"],
+        )
+        for r in all_specs()["bpe_encode_trained"].fn(spark, SF_SMOKE).collect()
+    }
+    assert got == want
+    # the learned merges actually compress: fewer tokens than characters
+    total_chars = sum(len(w) for w, c in wc.items() for _ in range(c))
+    assert sum(v[1] for v in got.values()) < total_chars

@@ -552,6 +552,23 @@ def test_bpe_encode_python_only_on_distinct_words(spark):
     assert "HashAggregate" in plan[mp:], plan[mp : mp + 500]
 
 
+def test_bpe_encode_trained_apply_plan_matches_frozen(spark):
+    """bpe_encode_trained: the training loop runs as bounded driver-side
+    iterations BEFORE the returned plan is built, so the plan that runs
+    at corpus scale must be exactly the frozen-table apply shape — one
+    MapInPandas on the distinct-word build side, no sort-merge/cartesian,
+    nothing corpus-sized in Python."""
+    from apache_flink_pratices_spark.registry import all_specs
+
+    plan = formatted_plan(all_specs()["bpe_encode_trained"].fn(spark, SF))
+    assert len(re.findall(r"\(\d+\) MapInPandas", plan)) == 1, plan
+    kinds = join_kinds(plan)
+    assert "BroadcastHashJoin" in kinds, kinds
+    assert "SortMergeJoin" not in kinds and "CartesianProduct" not in kinds
+    mp = plan.index("MapInPandas")
+    assert "HashAggregate" in plan[mp:], plan[mp : mp + 500]
+
+
 def test_lm_perplexity_lm_tables_broadcast_back(spark):
     """The bounded bigram/unigram LM tables must broadcast onto the
     token stream (no fact-side shuffle for the scoring joins) and no
