@@ -2142,6 +2142,13 @@ def corpus_pipeline_planted_stats(
     import time
 
     sf = tempfile.mkdtemp(prefix="afp_pipe_planted_")
+    # Scope the write-once pair/label/probe artifacts to the planted
+    # corpus's own tempdir: the corpus key embeds this fresh mkdtemp
+    # path, so artifacts published into the SHARED base could never be
+    # cache-hit again and would accumulate unboundedly across bench runs
+    # (self-review r13). Restored before the rmtree in finally.
+    prior_base = os.environ.get("SPARK_GRAFT_ARTIFACT_DIR")
+    os.environ["SPARK_GRAFT_ARTIFACT_DIR"] = os.path.join(sf, "artifacts")
     try:
         rows = []
         for i in range(n_docs):
@@ -2175,6 +2182,10 @@ def corpus_pipeline_planted_stats(
         wall = time.time() - t0
         assert packed_rows == first_rows
 
+        # SUM over an empty budget frame is NULL; `or 0` keeps a
+        # degenerate corpus failing at the diagnostic assert below
+        # instead of as int(None) here (self-review r13)
+        tok_total = frames["budget"].agg(F.sum("planned_tokens")).collect()[0][0]
         stats = {
             "n_docs": n_docs,
             "n_canonical": frames["canon"].count(),
@@ -2183,9 +2194,7 @@ def corpus_pipeline_planted_stats(
             "n_survivors": frames["surv"].count(),
             "n_packed_rows": packed_rows,
             "n_budget_sources": frames["budget"].count(),
-            "planned_tokens_total": int(
-                frames["budget"].agg(F.sum("planned_tokens")).collect()[0][0]
-            ),
+            "planned_tokens_total": int(tok_total or 0),
             "first_wall_s": round(first_wall, 2),
             "wall_s": round(wall, 2),
         }
@@ -2197,4 +2206,8 @@ def corpus_pipeline_planted_stats(
         assert stats["planned_tokens_total"] > 0
         return stats
     finally:
+        if prior_base is None:
+            os.environ.pop("SPARK_GRAFT_ARTIFACT_DIR", None)
+        else:
+            os.environ["SPARK_GRAFT_ARTIFACT_DIR"] = prior_base
         shutil.rmtree(sf, ignore_errors=True)

@@ -698,9 +698,11 @@ def trained_ivf_centroids(spark: SparkSession, sf_dir: str) -> list[list[int]]:
         _neardup_artifact_base,
     )
 
-    version = "ivfkm-v1-" + source_fingerprint(
-        km.kmeans_fit, km.seed_farthest_point, trained_ivf_centroids
-    )
+    # fingerprint the ENTIRE kmeans module, not just the two entry
+    # points: kmeans_fit delegates all distance/quantization/tie-break
+    # arithmetic to module helpers (_quantized, _best_cluster, ...), and
+    # a semantic edit there must miss the key too (self-review r13)
+    version = "ivfkm-v1-" + source_fingerprint(km, trained_ivf_centroids)
     key = _corpus_key(
         sf_dir, IVF_CELLS, km.Q, IVF_KM_ITERS, version, "ivf_centroids",
         table="embeddings",

@@ -2041,6 +2041,58 @@ def _sql_classifier_fit_ctes(gopher_oracle: str, epochs: int = CLF_EPOCHS) -> st
     return "WITH" + ",".join(parts)
 
 
+def trained_classifier_weights(
+    spark: SparkSession, sf_dir: str
+) -> tuple[list[tuple[str, int]], int]:
+    """The trained classifier served from a write-once JSON artifact
+    (self-review r13: fit and scorer each re-ran the full perceptron
+    loop per invocation — a deterministic function of (corpus, config,
+    source), i.e. exactly the derived-data shape trained_ivf_centroids
+    caches). Keyed by documents-file identity + the epoch budget + a
+    source fingerprint over the trainer AND everything it delegates to
+    (feature builder, labeler frame, tokenizer), so any semantic edit
+    mechanically misses the key. The learned weight table is
+    vocabulary-bounded (Heaps' law), so the collect and the JSON stay
+    small at any corpus scale; rows are sorted for a deterministic
+    artifact. ``os.replace`` publishes atomically; concurrent builders
+    compute identical content so the race is benign."""
+    import json
+    import os
+    import uuid
+
+    from apache_flink_pratices_spark.functions.hashing import source_fingerprint
+    from apache_flink_pratices_spark.operators.dedup import (
+        _corpus_key,
+        _neardup_artifact_base,
+    )
+
+    version = "clf-v1-" + source_fingerprint(
+        classifier_fit_tables,
+        _clf_feats_col,
+        gopher_rules_frame,
+        tokens,
+        trained_classifier_weights,
+    )
+    key = _corpus_key(sf_dir, CLF_EPOCHS, version, "clf_weights")
+    path = os.path.join(_neardup_artifact_base(), f"clf_weights_{key}.json")
+    try:
+        with open(path) as f:
+            obj = json.load(f)
+            return (
+                [(str(w), int(wt)) for w, wt in obj["weights"]],
+                int(obj["bias"]),
+            )
+    except (OSError, ValueError, KeyError, TypeError):
+        pass  # any unreadable artifact is a cache miss, never a crash
+    wdf, bias = classifier_fit_tables(load(spark, sf_dir, "documents"))
+    rows = sorted((r["w"], int(r["wt"])) for r in wdf.collect())
+    tmp = f"{path}.tmp.{os.getpid()}.{uuid.uuid4().hex[:8]}"
+    with open(tmp, "w") as f:
+        json.dump({"weights": rows, "bias": bias}, f)
+    os.replace(tmp, path)
+    return rows, bias
+
+
 def _register_classifier() -> None:
     from apache_flink_pratices_spark.registry import get_spec
 
@@ -2064,7 +2116,9 @@ def _register_classifier() -> None:
         "the tokenizer filters empty tokens, so no real feature can "
         "collide). The oracle unrolls the identical epochs as generated "
         "CTE stages; tests/test_classifier_fit.py pins the loop to an "
-        "independent pure-Python perceptron. Spark shape: one persisted "
+        "independent pure-Python perceptron, and the emitted table is "
+        "served from a write-once artifact pinned bit-equal to a live "
+        "fit (round 13 self-review). Spark shape: one persisted "
         "exploded-feature pass; per epoch a vocabulary-bounded weight "
         "join back (AQE-broadcastable), a per-doc aggregate and a "
         "vocabulary-bounded update — no corpus-sized driver fetch "
@@ -2073,15 +2127,10 @@ def _register_classifier() -> None:
         tags=("text", "quality", "llm-pipeline", "classifier", "training"),
     )
     def quality_classifier_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
-        d = load(spark, sf_dir, "documents")
-        weights, bias = classifier_fit_tables(d)
-        wrows = weights.select(
-            F.col("w").alias("feature"), F.col("wt").alias("weight")
+        rows, bias = trained_classifier_weights(spark, sf_dir)
+        return spark.createDataFrame(
+            rows + [("", bias)], "feature string, weight long"
         )
-        brow = spark.createDataFrame(
-            [("", bias)], "feature string, weight long"
-        )
-        return wrows.unionByName(brow)
 
     @register(
         "quality_linear_classifier",
@@ -2106,8 +2155,10 @@ def _register_classifier() -> None:
         "md5 stand-in is gone, the same gap-closure shape as "
         "quality_lm_perplexity_ref): each document scores bias + sum of "
         "learned weights over its distinct tokens and thresholds at 0. "
-        "Fit and scorer share classifier_fit_tables, so they can never "
-        "diverge on what was learned. Scoring is one vocabulary-bounded "
+        "Fit and scorer share trained_classifier_weights (the write-once "
+        "artifact over classifier_fit_tables), so they can never diverge "
+        "on what was learned and neither re-runs the training loop when "
+        "the artifact exists. Scoring is one vocabulary-bounded "
         "broadcast-shaped join over the feature stream + a per-doc "
         "aggregate — at 100 TB the weight table ships as the broadcast "
         "side exactly like a loaded fasttext model, and the integer "
@@ -2116,7 +2167,8 @@ def _register_classifier() -> None:
     )
     def quality_linear_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         d = load(spark, sf_dir, "documents")
-        weights, bias = classifier_fit_tables(d)
+        rows, bias = trained_classifier_weights(spark, sf_dir)
+        weights = spark.createDataFrame(rows, "w string, wt long")
         t = d.select("doc_id", _clf_feats_col().alias("feats"))
         fsum = (
             t.select("doc_id", F.explode("feats").alias("w"))

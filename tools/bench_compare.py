@@ -233,12 +233,12 @@ def main(argv: list[str] | None = None) -> int:
     old_cal = load_calibration(args.old_artifact)
     new_cal = load_calibration(args.new_artifact)
     cal_ratio = (new_cal / old_cal) if (old_cal and new_cal) else None
-    out = compare(
-        load_summary(args.old_artifact),
-        load_summary(args.new_artifact),
-        args.floor_pct,
-        cal_ratio=cal_ratio,
-    )
+    # load each summary exactly once and feed BOTH comparisons: a second
+    # read could silently see different data if an artifact is rewritten
+    # mid-run (self-review r13)
+    old_summary = load_summary(args.old_artifact)
+    new_summary = load_summary(args.new_artifact)
+    out = compare(old_summary, new_summary, args.floor_pct, cal_ratio=cal_ratio)
     if cal_ratio:
         print(
             f"calibration: old {old_cal:.3f}s -> new {new_cal:.3f}s "
@@ -273,10 +273,7 @@ def main(argv: list[str] | None = None) -> int:
             f"({100.0 * (out['new_total'] - out['old_total']) / out['old_total']:+.1f}%)"
         )
     stream = compare_streaming(
-        load_summary(args.old_artifact),
-        load_summary(args.new_artifact),
-        args.floor_pct,
-        cal_ratio=cal_ratio,
+        old_summary, new_summary, args.floor_pct, cal_ratio=cal_ratio
     )
     for row in stream["rows"]:
         if "delta_pct" not in row:
