@@ -44,6 +44,13 @@ warm-up executions in its subprocess; the min is the best estimate of
 the plan's cost on this box. Timing is a noop-format write — count()
 lets Catalyst skip computing final projections, which made round-1
 numbers up to 10x optimistic.
+
+SPARK_GRAFT_STREAM_BENCH: "small" shrinks the streaming corpora;
+"skip" (honored ONLY together with a SPARK_GRAFT_BENCH_QUERIES subset,
+so a full round artifact always carries the extras + streaming
+sections) omits the extras and streaming subprocesses entirely — the
+fast path for a targeted batch-query probe, which otherwise pays the
+several-minute streaming tail it never reads (round 13).
 """
 
 from __future__ import annotations
@@ -146,10 +153,16 @@ def main() -> None:
         rows[name] = r["rows"]
         run_counts[name] = r["runs"]
 
+    # "skip" is honored only in subset mode: the round's real artifact
+    # (a full run) must always carry the extras + streaming sections
+    skip_tail = bool(subset) and (
+        os.environ.get("SPARK_GRAFT_STREAM_BENCH") == "skip"
+    )
+
     # --- scale-evidence extras (untimed, own fresh session) --------------
     # measured LSH pruning on the planted-cluster corpus (VERDICT r6 #5)
     # and the above-cap hot-bucket guard at sf0.1 (VERDICT r7 #4)
-    extras = _subprocess_json(
+    extras = {} if skip_tail else _subprocess_json(
         ["-m", "apache_flink_pratices_spark.bench_query", "--extras"],
         "bench extras",
     )
@@ -157,21 +170,28 @@ def main() -> None:
     # --- streaming events/sec through the flagship stateful paths --------
     # (VERDICT r6 #6) in a fresh engine; per-backend rates since round 9
     # (VERDICT r8 #6). Nothing else runs concurrently.
-    stream_detail = _subprocess_json(
-        ["-m", "apache_flink_pratices_spark.streaming.bench_streams"],
-        "streaming bench",
-    )
-    streaming = {
-        "fraud_ev_s": stream_detail["fraud_ev_s"],
-        "cep_ev_s": stream_detail["cep_ev_s"],
-        # extrapolated seconds to replay a 24h 8-market day through the
-        # real signal path (the reference's "day of data in minutes" bar)
-        "replay_day_s": stream_detail["replay_day_s"],
-    }
-    for k in ("fraud_output_alerts", "cep_output_signals",
-              "replay_output_signals"):
-        if stream_detail[k] <= 0:
-            raise RuntimeError(f"streaming bench produced no output: {k}=0")
+    if skip_tail:
+        stream_detail: dict = {}
+        streaming: dict = {}
+    else:
+        stream_detail = _subprocess_json(
+            ["-m", "apache_flink_pratices_spark.streaming.bench_streams"],
+            "streaming bench",
+        )
+        streaming = {
+            "fraud_ev_s": stream_detail["fraud_ev_s"],
+            "cep_ev_s": stream_detail["cep_ev_s"],
+            # extrapolated seconds to replay a 24h 8-market day through
+            # the real signal path (the reference's "day of data in
+            # minutes" bar)
+            "replay_day_s": stream_detail["replay_day_s"],
+        }
+        for k in ("fraud_output_alerts", "cep_output_signals",
+                  "replay_output_signals"):
+            if stream_detail[k] <= 0:
+                raise RuntimeError(
+                    f"streaming bench produced no output: {k}=0"
+                )
 
     detail = {
         # box context (round 11): four same-code full-bench runs this

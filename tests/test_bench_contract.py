@@ -140,6 +140,39 @@ def test_bench_cli_contract(tmp_path):
     assert persisted["detail"]["queries_runs"] == detail["queries_runs"]
 
 
+def test_bench_subset_skip_tail(tmp_path):
+    """SPARK_GRAFT_STREAM_BENCH=skip with a query subset (round 13): the
+    extras and streaming subprocesses are omitted — the fast path for a
+    targeted batch probe — and the summary/detail shape stays parseable
+    with an empty streaming section. A FULL run must never skip (the
+    knob is honored only alongside SPARK_GRAFT_BENCH_QUERIES), which is
+    why the guard lives on `subset` in bench.main."""
+    env = dict(os.environ)
+    env["SPARK_GRAFT_SF_DIR"] = "/root/testdata/sf0.001"
+    env["SPARK_GRAFT_CPUS"] = "4"
+    env["SPARK_GRAFT_STREAM_BENCH"] = "skip"
+    env["SPARK_GRAFT_BENCH_RUNS"] = "2"
+    env["SPARK_GRAFT_BENCH_QUERIES"] = "wordcount"
+    detail_path = str(tmp_path / "BENCH_DETAIL_skip.json")
+    env["SPARK_GRAFT_BENCH_DETAIL"] = detail_path
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "bench.py")],
+        capture_output=True,
+        text=True,
+        env=env,
+        timeout=600,
+        cwd=REPO,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    doc = json.loads(out.stdout.strip().splitlines()[-1])
+    assert doc["queries"] and doc["streaming"] == {}
+    assert doc["cal"] > 0  # the calibration probe still leads the run
+    with open(detail_path) as f:
+        detail = json.load(f)["detail"]
+    assert detail["streaming"] == {}
+    assert "ann_lsh_clustered_candidate_fraction" not in detail
+
+
 def test_bench_detail_round_derivation(monkeypatch):
     """The round-artifact name derives from the newest committed
     BENCH_r{N} (+1), overridable via SPARK_GRAFT_ROUND."""
