@@ -24,6 +24,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from apache_flink_pratices_spark.io import load
 from apache_flink_pratices_spark.registry import register
@@ -91,4 +92,153 @@ def build_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("term", "df")
         .agg(postings.alias("postings"))
         .select("term", "df", "postings", (F.col("df") > IDX_CAP).alias("truncated"))
+    )
+
+# --- BM25 ranked retrieval (round 13) ----------------------------------------
+BM25_K = 20  #: result size (top-k documents for the composed query)
+#: query-term band: document-frequency ranks [QLO, QHI] (df desc, term asc
+#: tie-break — a total order, so the band is deterministic). Skipping the
+#: top-(QLO-1) ranks drops the stopword tier the way real retrieval
+#: stacks drop high-df terms; 8 terms is a realistic keyword query.
+BM25_QLO, BM25_QHI = 21, 28
+BM25_MICRO = 1_000_000  #: idf quantization (the LM scorers' micro-nats)
+
+
+@register(
+    "bm25_topk",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, w AS term
+      FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+            FROM documents)
+      WHERE w <> ''
+    ),
+    dt AS (
+      SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM toks GROUP BY doc_id, term
+    ),
+    dl AS (
+      SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM dt GROUP BY doc_id
+    ),
+    corp AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(dl) AS BIGINT) AS sd
+      FROM dl
+    ),
+    dfreq AS (
+      SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM dt GROUP BY term
+    ),
+    ranked AS (
+      SELECT term, df, ROW_NUMBER() OVER (ORDER BY df DESC, term) AS r
+      FROM dfreq
+    ),
+    q AS (
+      SELECT term,
+             CAST(FLOOR({BM25_MICRO}.0 * ln(
+               CAST(2 * (c.n - df) + 1 AS DOUBLE)
+               / CAST(2 * df + 1 AS DOUBLE) + 1.0)) AS BIGINT) AS idf_micro
+      FROM ranked CROSS JOIN corp c
+      WHERE r BETWEEN {BM25_QLO} AND {BM25_QHI}
+    ),
+    scored AS (
+      SELECT dt.doc_id,
+             CAST((CAST(q.idf_micro AS HUGEINT) * 22 * dt.tf * c.sd)
+                  // (CAST(10 AS HUGEINT) * dt.tf * c.sd
+                      + CAST(3 AS HUGEINT) * c.sd
+                      + CAST(9 AS HUGEINT) * d.dl * c.n) AS BIGINT) AS s
+      FROM dt JOIN q USING (term)
+              JOIN dl d ON d.doc_id = dt.doc_id
+              CROSS JOIN corp c
+    )
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_hit_terms,
+           CAST(SUM(s) AS BIGINT) AS bm25_micro
+    FROM scored GROUP BY doc_id
+    ORDER BY bm25_micro DESC, doc_id
+    LIMIT {BM25_K}
+    """,
+    doc=f"BM25 ranked retrieval over the corpus — the search-side query the "
+    "inverted index exists for (contamination lookups, eval-leakage "
+    "audits, quality-by-retrieval): Okapi BM25 (k1=1.2, b=0.75, the "
+    f"Lucene +1 idf) for a deterministic {BM25_QHI - BM25_QLO + 1}-term "
+    f"query (document-frequency ranks {BM25_QLO}-{BM25_QHI}, skipping "
+    "the stopword tier), top-"
+    f"{BM25_K} documents by total score. Arithmetic is exact end-to-end: "
+    "idf is floor-quantized to int64 micro-nats ONCE per query term (8 "
+    "ln calls total — the LM scorers' discipline), and the tf/length "
+    "normalization is cleared of fractions by multiplying through by "
+    "10*sum_dl (score = idf_micro*22*tf*SD div (10*tf*SD + 3*SD + "
+    "9*dl*N), integral `div` = DuckDB `//`), so ranking and values "
+    "hash-match cross-engine with no float in any corpus-sized path. "
+    "Scale shape: ONE tokenize pass builds the persisted (doc, term, "
+    "tf) frame that feeds df, dl and the candidate postings; the 8-row "
+    "query table broadcasts onto it so only matching postings survive "
+    "the scan-side join; corpus scalars attach as 1-row broadcasts; the "
+    "query-term band comes from a TakeOrdered top-28 (no global vocab "
+    "sort); the final top-k is TakeOrderedAndProject over per-doc "
+    "sums — no corpus-sized sort, collect, or Python anywhere.",
+    tags=("text", "search", "ranking", "llm-pipeline"),
+)
+def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    # one tokenize pass -> (doc_id, term, tf), persisted: df, dl and the
+    # candidate join all read it (the session-lived cache convention;
+    # registry.run_and_release scopes it — tests/test_cache_release.py)
+    dt = (
+        d.select(
+            "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("term")
+        )
+        .filter(F.col("term") != "")
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").cast("long").alias("tf"))
+        .persist()
+    )
+    dl = dt.groupBy("doc_id").agg(F.sum("tf").cast("long").alias("dl"))
+    corp = dl.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("dl").cast("long").alias("sd"),
+    )
+    dfreq = dt.groupBy("term").agg(F.count("*").cast("long").alias("df"))
+    # deterministic query band: TakeOrdered top-QHI (distributed, no
+    # global vocab sort), then a QHI-row window assigns exact ranks
+    top = dfreq.orderBy(F.desc("df"), F.asc("term")).limit(BM25_QHI)
+    r = F.row_number().over(Window.orderBy(F.desc("df"), F.asc("term")))
+    q = (
+        top.withColumn("r", r)
+        .filter(F.col("r") >= BM25_QLO)
+        .crossJoin(F.broadcast(corp))
+        .select(
+            "term",
+            F.floor(
+                F.lit(float(BM25_MICRO))
+                * F.log(
+                    (2 * (F.col("n") - F.col("df")) + 1).cast("double")
+                    / (2 * F.col("df") + 1).cast("double")
+                    + F.lit(1.0)
+                )
+            )
+            .cast("long")
+            .alias("idf_micro"),
+        )
+    )
+    cand = (
+        dt.join(F.broadcast(q), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(corp))
+    )
+    scored = cand.selectExpr(
+        "doc_id",
+        # exact integral division, identical in DuckDB (`//`): decimals
+        # never overflow 38 digits (idf_micro<=2e7, and 22*tf*sd stays
+        # under ~1e24 even at a 10^12-doc corpus)
+        "(CAST(idf_micro AS DECIMAL(38,0)) * 22 * tf * sd) div "
+        "(CAST(10 AS DECIMAL(38,0)) * tf * sd + CAST(3 AS DECIMAL(38,0))"
+        " * sd + CAST(9 AS DECIMAL(38,0)) * dl * n) AS s",
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_hit_terms"),
+            F.sum("s").cast("long").alias("bm25_micro"),
+        )
+        .orderBy(F.desc("bm25_micro"), F.asc("doc_id"))
+        .limit(BM25_K)
     )

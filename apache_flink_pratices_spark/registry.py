@@ -82,13 +82,13 @@ CRITICAL = (
 #: carry a fresh hard driver row. It is ALSO in the r9-stale cohort, so
 #: anchoring costs no extra window slot — the pin just makes the rule's
 #: application explicit and unconditional.
-#: Window math for r13: 14 CRITICAL + 5 never-checked newcomers
+#: Window math for r13: 14 CRITICAL + 6 never-checked newcomers
 #: (bpe_train, bpe_encode_trained, quality_classifier_fit,
-#: ann_ivf_trained_topk, mm_video_phash_pairs) + the 29-query r9-stale
-#: cohort (incl. the re-anchored scorer) = 48 ≤ ~50 slots, so the whole
-#: cohort drains this round (VERDICT r12 #1) and the invariant
-#: afterwards is: no latest row older than r10 (verified mechanically
-#: at HEAD: all 48 inside the first 50 of all_specs()).
+#: ann_ivf_trained_topk, mm_video_phash_pairs, bm25_topk) + the
+#: 29-query r9-stale cohort (incl. the re-anchored scorer) = 49 ≤ ~50
+#: slots, so the whole cohort drains this round (VERDICT r12 #1) and
+#: the invariant afterwards is: no latest row older than r10 (verified
+#: mechanically at HEAD: all 49 inside the first 50 of all_specs()).
 RE_ANCHORED: tuple[str, ...] = ("quality_linear_classifier",)
 
 DEMOTED_ANCHORS = (

@@ -38,6 +38,9 @@ CACHE_BEARING = [
     # bloom decontamination persists the shingle frame and the probed
     # (bloom-tested) rows (round 10)
     "decontaminate_bloom",
+    # BM25 persists its (doc, term, tf) frame for the df/dl/candidate
+    # consumers (round 13)
+    "bm25_topk",
 ]
 
 

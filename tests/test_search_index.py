@@ -55,3 +55,77 @@ def test_bottom_k_sort_fans_out_over_salt(spark):
 
     plan = formatted_plan(build_inverted_index(spark, SF))
     assert re.search(r"hashpartitioning\(term#\d+, __salt#\d+", plan), plan
+
+
+# --- BM25 ranked retrieval ---------------------------------------------------
+
+
+def test_bm25_matches_pure_python_reference(spark):
+    """bm25_topk pinned to an independent pure-Python BM25: tokenize,
+    df/dl/N/SD, the rank-band query selection, floor-quantized idf and
+    the fraction-cleared integral score recomputed with dict/math.floor
+    arithmetic — same top-k, same exact scores."""
+    import math
+
+    from apache_flink_pratices_spark.io import load
+    from apache_flink_pratices_spark.operators.search_index import (
+        BM25_K,
+        BM25_MICRO,
+        BM25_QHI,
+        BM25_QLO,
+        bm25_topk,
+    )
+
+    docs = {
+        r["doc_id"]: [w for w in (r["text"] or "").lower().split(" ") if w]
+        for r in load(spark, SF, "documents").select("doc_id", "text").collect()
+    }
+    tf: dict[tuple[int, str], int] = {}
+    for d, ws in docs.items():
+        for w in ws:
+            tf[(d, w)] = tf.get((d, w), 0) + 1
+    dl = {d: len(ws) for d, ws in docs.items() if ws}
+    n, sd = len(dl), sum(dl.values())
+    df: dict[str, int] = {}
+    for (_, w) in tf:
+        df[w] = df.get(w, 0) + 1
+    band = sorted(df, key=lambda w: (-df[w], w))[BM25_QLO - 1 : BM25_QHI]
+    idf = {
+        w: math.floor(
+            BM25_MICRO * math.log((2 * (n - df[w]) + 1) / (2 * df[w] + 1) + 1.0)
+        )
+        for w in band
+    }
+    per_doc: dict[int, list[int]] = {}
+    for (d, w), t in tf.items():
+        if w in idf:
+            s = idf[w] * 22 * t * sd // (10 * t * sd + 3 * sd + 9 * dl[d] * n)
+            per_doc.setdefault(d, []).append(s)
+    ranked = sorted(
+        ((d, len(ss), sum(ss)) for d, ss in per_doc.items()),
+        key=lambda r: (-r[2], r[0]),
+    )[:BM25_K]
+
+    got = [
+        (r["doc_id"], r["n_hit_terms"], r["bm25_micro"])
+        for r in bm25_topk(spark, SF)
+        .orderBy(F.desc("bm25_micro"), F.asc("doc_id"))
+        .collect()
+    ]
+    assert got == ranked
+    assert len(got) == BM25_K and all(s > 0 for _, _, s in got)
+
+
+def test_bm25_plan_broadcasts_query_and_takes_ordered(spark):
+    """The scale-critical properties the docstring claims: the 8-row
+    query table and the corpus scalars reach the posting stream as
+    broadcasts (no shuffle join against the 8 rows, no real cartesian),
+    the final top-k is TakeOrdered (no global sort of the scored docs),
+    and nothing runs in Python."""
+    from apache_flink_pratices_spark.operators.search_index import bm25_topk
+
+    plan = formatted_plan(bm25_topk(spark, SF))
+    assert "MapInPandas" not in plan and "ArrowEvalPython" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
