@@ -638,6 +638,44 @@ def _corpus_key(sf_dir: str, *parts, table: str = "documents") -> str:
     ).hexdigest()[:16]
 
 
+def json_artifact(name: str, key: str, build, valid=None):
+    """The ONE write-once JSON artifact kernel (round-13 review: three
+    hand-rolled copies — corpus_probe, the trained IVF codebook, the
+    trained classifier weights — had already diverged on the tmp-name
+    collision guard). Read ``{base}/{name}_{key}.json`` if present and
+    parseable; any unreadable/ill-typed file is a cache miss, never a
+    crash (review r7: a {"value": null} probe file raised TypeError past
+    the except clause and permanently failed every banded join until the
+    file was hand-deleted). On a miss, call ``build()`` (must return a
+    JSON-serializable object), publish atomically (uuid-suffixed tmp +
+    ``os.replace`` — concurrent builders compute identical content, so
+    the race is benign), and return the JSON ROUND-TRIP of the built
+    object, so both paths hand the caller identical types. Stored in
+    the 0o700 ownership-checked base (ADVICE r6)."""
+    import json
+    import os
+    import uuid
+
+    path = os.path.join(_neardup_artifact_base(), f"{name}_{key}.json")
+    try:
+        with open(path) as f:
+            obj = json.load(f)
+        # an ill-TYPED but parseable file (e.g. {"value": null}) is a
+        # miss too when the caller supplies a shape check — it gets
+        # rebuilt AND republished, preserving corpus_probe's review-r7
+        # behavior
+        if valid is None or valid(obj):
+            return obj
+    except (OSError, ValueError, KeyError, TypeError):
+        pass
+    payload = json.dumps(build())
+    tmp = f"{path}.tmp.{os.getpid()}.{uuid.uuid4().hex[:8]}"
+    with open(tmp, "w") as f:
+        f.write(payload)
+    os.replace(tmp, path)
+    return json.loads(payload)
+
+
 def corpus_probe(sf_dir: str, name: str, compute, config: tuple = ()) -> int:
     """Write-once cached integer statistic of a (corpus, config) pair —
     the table-statistics pattern (ANALYZE): deterministic scalars like
@@ -646,28 +684,15 @@ def corpus_probe(sf_dir: str, name: str, compute, config: tuple = ()) -> int:
     dir afterwards. ``config`` must carry every constant that shapes the
     statistic for THIS probe family (band counts/widths etc. — each call
     site passes its own); the implementation version is appended so
-    algorithm changes invalidate too. Stored in the 0o700
-    ownership-checked base (ADVICE r6)."""
-    import json
-    import os
-
+    algorithm changes invalidate too."""
     key = _corpus_key(sf_dir, *config, name, _NEARDUP_IMPL_VERSION)
-    path = os.path.join(_neardup_artifact_base(), f"probe_{name}_{key}.json")
-    try:
-        with open(path) as f:
-            return int(json.load(f)["value"])
-    except (OSError, ValueError, KeyError, TypeError):
-        # ANY unreadable/ill-typed probe file is a cache miss, never a
-        # crash (review r7: a {"value": null} file raised TypeError past
-        # the except clause and permanently failed every banded join
-        # until the file was hand-deleted)
-        pass
-    value = int(compute())
-    tmp = f"{path}.tmp.{os.getpid()}"
-    with open(tmp, "w") as f:
-        json.dump({"value": value}, f)
-    os.replace(tmp, path)
-    return value
+    obj = json_artifact(
+        f"probe_{name}",
+        key,
+        lambda: {"value": int(compute())},
+        valid=lambda o: isinstance(o.get("value"), int),
+    )
+    return int(obj["value"])
 
 
 def banded_candidate_pairs(

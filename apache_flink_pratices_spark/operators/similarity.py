@@ -687,15 +687,11 @@ def trained_ivf_centroids(spark: SparkSession, sf_dir: str) -> list[list[int]]:
     bench/driver subprocess — reads K x dims integers. ``os.replace``
     publishes atomically; concurrent builders compute identical content
     so the race is benign."""
-    import json
-    import os
-    import uuid
-
     from apache_flink_pratices_spark.functions.hashing import source_fingerprint
     from apache_flink_pratices_spark.operators import kmeans as km
     from apache_flink_pratices_spark.operators.dedup import (
         _corpus_key,
-        _neardup_artifact_base,
+        json_artifact,
     )
 
     # fingerprint the ENTIRE kmeans module, not just the two entry
@@ -707,20 +703,20 @@ def trained_ivf_centroids(spark: SparkSession, sf_dir: str) -> list[list[int]]:
         sf_dir, IVF_CELLS, km.Q, IVF_KM_ITERS, version, "ivf_centroids",
         table="embeddings",
     )
-    path = os.path.join(_neardup_artifact_base(), f"ivf_centroids_{key}.json")
-    try:
-        with open(path) as f:
-            return [[int(v) for v in row] for row in json.load(f)["centroids"]]
-    except (OSError, ValueError, KeyError, TypeError):
-        pass  # any unreadable artifact is a cache miss, never a crash
-    seeds, _hist = km.kmeans_fit(
-        load(spark, sf_dir, "embeddings"), k=IVF_CELLS, max_iter=IVF_KM_ITERS
+
+    def build() -> dict:
+        seeds, _hist = km.kmeans_fit(
+            load(spark, sf_dir, "embeddings"), k=IVF_CELLS, max_iter=IVF_KM_ITERS
+        )
+        return {"centroids": seeds}
+
+    obj = json_artifact(
+        "ivf_centroids",
+        key,
+        build,
+        valid=lambda o: isinstance(o.get("centroids"), list),
     )
-    tmp = f"{path}.tmp.{os.getpid()}.{uuid.uuid4().hex[:8]}"
-    with open(tmp, "w") as f:
-        json.dump({"centroids": seeds}, f)
-    os.replace(tmp, path)
-    return seeds
+    return [[int(v) for v in row] for row in obj["centroids"]]
 
 
 def l2_cells_sorted(seeds: list[list[int]]) -> Column:

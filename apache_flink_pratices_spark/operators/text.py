@@ -2049,48 +2049,45 @@ def trained_classifier_weights(
     loop per invocation — a deterministic function of (corpus, config,
     source), i.e. exactly the derived-data shape trained_ivf_centroids
     caches). Keyed by documents-file identity + the epoch budget + a
-    source fingerprint over the trainer AND everything it delegates to
-    (feature builder, labeler frame, tokenizer), so any semantic edit
+    source fingerprint over this ENTIRE module (trainer, feature
+    builder, labeler and its _gopher_metrics delegate, tokenizer, and
+    every GOPHER_*/STOPWORDS constant live here), so any semantic edit
     mechanically misses the key. The learned weight table is
     vocabulary-bounded (Heaps' law), so the collect and the JSON stay
     small at any corpus scale; rows are sorted for a deterministic
     artifact. ``os.replace`` publishes atomically; concurrent builders
     compute identical content so the race is benign."""
-    import json
-    import os
-    import uuid
+    import sys
 
     from apache_flink_pratices_spark.functions.hashing import source_fingerprint
     from apache_flink_pratices_spark.operators.dedup import (
         _corpus_key,
-        _neardup_artifact_base,
+        json_artifact,
     )
 
-    version = "clf-v1-" + source_fingerprint(
-        classifier_fit_tables,
-        _clf_feats_col,
-        gopher_rules_frame,
-        tokens,
-        trained_classifier_weights,
-    )
+    # fingerprint the ENTIRE module (the trained-IVF stance): the trainer
+    # delegates to _clf_feats_col, gopher_rules_frame -> _gopher_metrics,
+    # tokens and the GOPHER_*/STOPWORDS constants, all defined here — a
+    # semantic edit to ANY of them (round-13 second review: the original
+    # five-function list missed _gopher_metrics and the constants, so a
+    # label-rule change would have served weights trained on old labels)
+    # must mechanically miss the key
+    version = "clf-v2-" + source_fingerprint(sys.modules[__name__])
     key = _corpus_key(sf_dir, CLF_EPOCHS, version, "clf_weights")
-    path = os.path.join(_neardup_artifact_base(), f"clf_weights_{key}.json")
-    try:
-        with open(path) as f:
-            obj = json.load(f)
-            return (
-                [(str(w), int(wt)) for w, wt in obj["weights"]],
-                int(obj["bias"]),
-            )
-    except (OSError, ValueError, KeyError, TypeError):
-        pass  # any unreadable artifact is a cache miss, never a crash
-    wdf, bias = classifier_fit_tables(load(spark, sf_dir, "documents"))
-    rows = sorted((r["w"], int(r["wt"])) for r in wdf.collect())
-    tmp = f"{path}.tmp.{os.getpid()}.{uuid.uuid4().hex[:8]}"
-    with open(tmp, "w") as f:
-        json.dump({"weights": rows, "bias": bias}, f)
-    os.replace(tmp, path)
-    return rows, bias
+
+    def build() -> dict:
+        wdf, bias = classifier_fit_tables(load(spark, sf_dir, "documents"))
+        rows = sorted((r["w"], int(r["wt"])) for r in wdf.collect())
+        return {"weights": rows, "bias": bias}
+
+    obj = json_artifact(
+        "clf_weights",
+        key,
+        build,
+        valid=lambda o: isinstance(o.get("weights"), list)
+        and isinstance(o.get("bias"), int),
+    )
+    return [(str(w), int(wt)) for w, wt in obj["weights"]], int(obj["bias"])
 
 
 def _register_classifier() -> None:

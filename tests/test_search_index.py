@@ -117,15 +117,24 @@ def test_bm25_matches_pure_python_reference(spark):
 
 
 def test_bm25_plan_broadcasts_query_and_takes_ordered(spark):
-    """The scale-critical properties the docstring claims: the 8-row
-    query table and the corpus scalars reach the posting stream as
-    broadcasts (no shuffle join against the 8 rows, no real cartesian),
-    the final top-k is TakeOrdered (no global sort of the scored docs),
-    and nothing runs in Python."""
+    """The scale-critical properties the docstring claims, pinned by
+    NODE COUNT so one part of the plan cannot mask regression of
+    another (round-13 second review: a bare `in plan` for TakeOrdered
+    was satisfied by the query-band top-28 even if the FINAL top-k
+    regressed to a global sort, and `BroadcastHashJoin in plan` by the
+    dl join even if the 8-row query table shuffled): exactly two
+    TakeOrderedAndProject nodes (band top-28 + final top-k), exactly
+    two BroadcastHashJoins (query-term join + dl join), ZERO Sort or
+    SortMergeJoin nodes anywhere, no real cartesian (the 1-row corpus
+    scalars ride BroadcastNestedLoopJoin), nothing in Python."""
+    import re
+
     from apache_flink_pratices_spark.operators.search_index import bm25_topk
 
     plan = formatted_plan(bm25_topk(spark, SF))
     assert "MapInPandas" not in plan and "ArrowEvalPython" not in plan, plan
-    assert "BroadcastHashJoin" in plan, plan
+    assert len(re.findall(r"\(\d+\) TakeOrderedAndProject", plan)) == 2, plan
+    assert len(re.findall(r"\(\d+\) BroadcastHashJoin", plan)) == 2, plan
+    assert len(re.findall(r"\(\d+\) Sort\b", plan)) == 0, plan
+    assert "SortMergeJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
-    assert "TakeOrderedAndProject" in plan, plan
