@@ -752,13 +752,17 @@ def video_phash_band_pairs(
     )
     mask = (1 << PHASH_BAND_BITS) - 1
     n_slices = 64 // PHASH_BAND_BITS
+    # try_element_at (not ANSI element_at): a video shorter than
+    # VID_FRAMES (trimmed — unequal-length guard test) simply emits no
+    # bands for its missing frames instead of throwing
     band_structs = F.array(
         *[
             F.struct(
                 F.lit(f * n_slices + i).alias("band"),
                 (
                     F.shiftright(
-                        F.element_at(F.col("phs"), f + 1), i * PHASH_BAND_BITS
+                        F.try_element_at(F.col("phs"), F.lit(f + 1)),
+                        i * PHASH_BAND_BITS,
                     ).bitwiseAND(mask)
                 ).alias("bucket"),
             )
@@ -766,8 +770,10 @@ def video_phash_band_pairs(
             for i in range(n_slices)
         ]
     )
-    bands = ph.select("id", F.explode(band_structs).alias("bb")).select(
-        "id", "bb.band", "bb.bucket"
+    bands = (
+        ph.select("id", F.explode(band_structs).alias("bb"))
+        .select("id", "bb.band", "bb.bucket")
+        .filter(F.col("bucket").isNotNull())
     )
     hint = (
         corpus_probe(
@@ -793,9 +799,17 @@ def video_phash_band_pairs(
     )
 
     def verify(c: DataFrame) -> DataFrame:
+        # Equal-signature-length guard (ADVICE r13): with unequal frame
+        # counts zip_with pads with NULLs (NULL hamming -> silently
+        # dropped) while a frame-index join oracle would sum only common
+        # frames (possibly emitted) — the explicit filter pins the
+        # "different length = never a strict pair" semantics on BOTH
+        # engines instead of leaning on the media table's fixed
+        # VID_FRAMES. Trim tolerance is the _shift variant's job.
         return (
             c.join(pa, "id_a")
             .join(pb, "id_b")
+            .filter(F.size("phs_a") == F.size("phs_b"))
             .filter(ham <= VID_PHASH_HAMMING_MAX)
             .select("id_a", "id_b", ham.alias("hamming"))
         )
@@ -853,10 +867,15 @@ def video_phash_band_pairs(
       SELECT DISTINCT a.id AS id_a, b.id AS id_b
       FROM bands a JOIN bands b
         ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id
+    ),
+    nf AS (
+      SELECT id, COUNT(*) AS n FROM ph GROUP BY id
     )
     SELECT c.id_a, c.id_b,
            CAST(SUM(bit_count(xor(pa.phash, pb.phash))) AS BIGINT) AS hamming
     FROM cand c
+      JOIN nf na ON na.id = c.id_a
+      JOIN nf nb ON nb.id = c.id_b AND nb.n = na.n
       JOIN ph pa ON pa.id = c.id_a
       JOIN ph pb ON pb.id = c.id_b AND pb.f = pa.f
     GROUP BY c.id_a, c.id_b

@@ -1031,102 +1031,111 @@ def ann_ivf_trained_recall_bench(spark: SparkSession, sf_dir: str) -> dict:
 
     from apache_flink_pratices_spark.operators.kmeans import kmeans_fit
 
-    vectors = clustered_embeddings(spark, sf_dir).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
-    n = vectors.count()
+    # Every persisted frame registers here and is unpersisted in the
+    # closing finally: an exception mid-measurement must not leak
+    # MEMORY_AND_DISK frames for the rest of the bench-extras session
+    # (ADVICE r13).
+    persisted: list[DataFrame] = []
 
-    # brute-force ground truth: 5 broadcast queries x corpus
-    base = vectors.select(
-        "vec_id",
-        "embedding",
-        _dot(F.col("embedding"), F.col("embedding")).alias("nrm"),
-    )
-    qf = base.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("embedding").alias("qe"),
-        F.col("nrm").alias("qn"),
-    )
-    scored = (
-        base.crossJoin(F.broadcast(qf))
-        .filter(F.col("vec_id") != F.col("query_id"))
-        .select(
-            "query_id",
+    def _persist(frame: DataFrame) -> DataFrame:
+        frame = frame.persist(StorageLevel.MEMORY_AND_DISK)
+        persisted.append(frame)
+        return frame
+
+    try:
+        vectors = _persist(clustered_embeddings(spark, sf_dir))
+        n = vectors.count()
+
+        # brute-force ground truth: 5 broadcast queries x corpus
+        base = vectors.select(
             "vec_id",
-            (
-                _dot(F.col("qe"), F.col("embedding"))
-                / (F.sqrt("qn") * F.sqrt("nrm"))
-            ).alias("cos"),
+            "embedding",
+            _dot(F.col("embedding"), F.col("embedding")).alias("nrm"),
         )
-    )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
-    truth: dict[int, set[int]] = {}
-    for r in (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= TOP_K)
-        .collect()
-    ):
-        truth.setdefault(r["query_id"], set()).add(r["vec_id"])
-
-    def recall_of(frame: DataFrame) -> float:
-        got: dict[int, set[int]] = {}
-        for r in frame.select("query_id", "vec_id").collect():
-            got.setdefault(r["query_id"], set()).add(r["vec_id"])
-        return sum(
-            len(got.get(qid, set()) & t) / len(t) for qid, t in truth.items()
-        ) / len(truth)
-
-    def fraction_of(assigned: DataFrame, probes: DataFrame) -> float:
-        cand = (
-            assigned.select("vec_id", "cell")
-            .join(F.broadcast(probes), "cell")
+        qf = base.filter(F.col("vec_id") < N_QUERIES).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qe"),
+            F.col("nrm").alias("qn"),
+        )
+        scored = (
+            base.crossJoin(F.broadcast(qf))
             .filter(F.col("vec_id") != F.col("query_id"))
+            .select(
+                "query_id",
+                "vec_id",
+                (
+                    _dot(F.col("qe"), F.col("embedding"))
+                    / (F.sqrt("qn") * F.sqrt("nrm"))
+                ).alias("cos"),
+            )
         )
-        return cand.count() / float(N_QUERIES * (n - 1))
+        w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+        truth: dict[int, set[int]] = {}
+        for r in (
+            scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= TOP_K)
+            .collect()
+        ):
+            truth.setdefault(r["query_id"], set()).add(r["vec_id"])
 
-    # trained variant (live fit on the derived corpus — the artifact is
-    # keyed to raw tables, and this measurement IS the training story)
-    seeds, _hist = kmeans_fit(vectors, k=IVF_CELLS, max_iter=IVF_KM_ITERS)
-    t_probes = vectors.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"),
-        F.explode(
-            F.transform(
-                F.slice(l2_cells_sorted(seeds), 1, IVF_NPROBE),
-                lambda s: s["cell"].cast("int"),
-            )
-        ).alias("cell"),
-    )
-    t_assigned = ivf_assign_trained(vectors, seeds).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
-    trained = {
-        "recall": round(
-            recall_of(_ivf_probe_verify(t_assigned, t_probes, N_QUERIES, TOP_K)),
-            4,
-        ),
-        "candidate_fraction": round(fraction_of(t_assigned, t_probes), 4),
-    }
+        def recall_of(frame: DataFrame) -> float:
+            got: dict[int, set[int]] = {}
+            for r in frame.select("query_id", "vec_id").collect():
+                got.setdefault(r["query_id"], set()).add(r["vec_id"])
+            return sum(
+                len(got.get(qid, set()) & t) / len(t) for qid, t in truth.items()
+            ) / len(truth)
 
-    # hash-grid variant (the round-7 stand-in directions)
-    h_assigned = ivf_assign(vectors).persist(StorageLevel.MEMORY_AND_DISK)
-    h_probes = vectors.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"),
-        F.explode(
-            F.transform(
-                F.slice(_ivf_sims(), 1, IVF_NPROBE), lambda s: s["cell"]
+        def fraction_of(assigned: DataFrame, probes: DataFrame) -> float:
+            cand = (
+                assigned.select("vec_id", "cell")
+                .join(F.broadcast(probes), "cell")
+                .filter(F.col("vec_id") != F.col("query_id"))
             )
-        ).alias("cell"),
-    )
-    hash_grid = {
-        "recall": round(
-            recall_of(_ivf_probe_verify(h_assigned, h_probes, N_QUERIES, TOP_K)),
-            4,
-        ),
-        "candidate_fraction": round(fraction_of(h_assigned, h_probes), 4),
-    }
-    for f in (t_assigned, h_assigned, vectors):
-        f.unpersist()
-    return {"trained": trained, "hash_grid": hash_grid}
+            return cand.count() / float(N_QUERIES * (n - 1))
+
+        # trained variant (live fit on the derived corpus — the artifact is
+        # keyed to raw tables, and this measurement IS the training story)
+        seeds, _hist = kmeans_fit(vectors, k=IVF_CELLS, max_iter=IVF_KM_ITERS)
+        t_probes = vectors.filter(F.col("vec_id") < N_QUERIES).select(
+            F.col("vec_id").alias("query_id"),
+            F.explode(
+                F.transform(
+                    F.slice(l2_cells_sorted(seeds), 1, IVF_NPROBE),
+                    lambda s: s["cell"].cast("int"),
+                )
+            ).alias("cell"),
+        )
+        t_assigned = _persist(ivf_assign_trained(vectors, seeds))
+        trained = {
+            "recall": round(
+                recall_of(_ivf_probe_verify(t_assigned, t_probes, N_QUERIES, TOP_K)),
+                4,
+            ),
+            "candidate_fraction": round(fraction_of(t_assigned, t_probes), 4),
+        }
+
+        # hash-grid variant (the round-7 stand-in directions)
+        h_assigned = _persist(ivf_assign(vectors))
+        h_probes = vectors.filter(F.col("vec_id") < N_QUERIES).select(
+            F.col("vec_id").alias("query_id"),
+            F.explode(
+                F.transform(
+                    F.slice(_ivf_sims(), 1, IVF_NPROBE), lambda s: s["cell"]
+                )
+            ).alias("cell"),
+        )
+        hash_grid = {
+            "recall": round(
+                recall_of(_ivf_probe_verify(h_assigned, h_probes, N_QUERIES, TOP_K)),
+                4,
+            ),
+            "candidate_fraction": round(fraction_of(h_assigned, h_probes), 4),
+        }
+        return {"trained": trained, "hash_grid": hash_grid}
+    finally:
+        for f in persisted:
+            f.unpersist()
 
 
 # --- per-label centroids ---------------------------------------------------

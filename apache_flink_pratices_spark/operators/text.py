@@ -977,6 +977,54 @@ def bpe_train_merges(
     return merges
 
 
+def trained_bpe_merges(
+    spark: SparkSession,
+    sf_dir: str,
+    n_merges: int = BPE_TRAIN_MERGES,
+    min_count: int = BPE_TRAIN_MIN_COUNT,
+) -> list[tuple[str, str, int]]:
+    """The learned BPE merge table served from a write-once JSON
+    artifact (VERDICT r13 #2: ``bpe_encode_trained`` re-ran the whole
+    train loop per invocation — a deterministic function of (corpus,
+    n_merges, min_count, source), i.e. exactly the derived-data shape
+    ``trained_classifier_weights`` and ``trained_ivf_centroids`` cache).
+    Keyed by documents-file identity + the merge budget/count floor + a
+    source fingerprint over this ENTIRE module (trainer, ``tokens``,
+    ``_merge_pair_col`` and the BPE constants live here), so any
+    semantic edit mechanically misses the key. The merge list is
+    bounded by ``n_merges`` (a few hundred rows at any corpus scale),
+    so the JSON stays tiny; ``bpe_train`` itself remains a LIVE train
+    query — this serving path exists for every downstream consumer of
+    the learned tokenizer (``bpe_encode_trained`` today)."""
+    import sys
+
+    from apache_flink_pratices_spark.functions.hashing import source_fingerprint
+    from apache_flink_pratices_spark.operators.dedup import (
+        _corpus_key,
+        json_artifact,
+    )
+
+    version = "bpe-v1-" + source_fingerprint(sys.modules[__name__])
+    key = _corpus_key(sf_dir, n_merges, min_count, version, "bpe_merges")
+
+    def build() -> dict:
+        merges = bpe_train_merges(
+            load(spark, sf_dir, "documents"), n_merges, min_count
+        )
+        return {"merges": [[ls, rs, pc] for ls, rs, pc in merges]}
+
+    obj = json_artifact(
+        "bpe_merges",
+        key,
+        build,
+        valid=lambda o: isinstance(o.get("merges"), list)
+        and all(
+            isinstance(m, list) and len(m) == 3 for m in o.get("merges", [])
+        ),
+    )
+    return [(str(ls), str(rs), int(pc)) for ls, rs, pc in obj["merges"]]
+
+
 def learned_piece_ids(
     merges: list[tuple[str, str, int]], singles: tuple[str, ...] | str
 ) -> dict[str, int]:
@@ -1176,16 +1224,21 @@ def _sql_bpe_encode_trained() -> str:
     "fingerprint. The oracle recomputes training AND application in one "
     "composed query, so the full mine -> train -> apply chain is "
     "value-hash-checked cross-engine with no frozen stand-in anywhere. "
-    "Scale shape: bpe_train's one corpus pass + vocabulary-bounded "
-    "rounds, a bounded alphabet collect, then bpe_encode's plan "
-    "(vocabulary-sized Python, instances join back and aggregate "
-    "JVM-side).",
+    "Scale shape: the merge table is served from a write-once JSON "
+    "artifact (trained_bpe_merges — VERDICT r13 #2; keyed by corpus + "
+    "config + module source, pinned bit-equal to a live train), so "
+    "steady-state invocations pay apply only: a bounded alphabet "
+    "collect, then bpe_encode's plan (vocabulary-sized Python, "
+    "instances join back and aggregate JVM-side).",
     bench=True,
     tags=("text", "tokenizer", "llm-pipeline", "training", "composition"),
 )
 def bpe_encode_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
-    merges = bpe_train_merges(d)
+    # merge table served from the write-once artifact (VERDICT r13 #2);
+    # pinned bit-equal to a live bpe_train_merges run in
+    # tests/test_bpe_train.py, so the apply path costs apply only
+    merges = trained_bpe_merges(spark, sf_dir)
     words = (
         d.select("doc_id", F.posexplode(tokens()).alias("wpos0", "w"))
         .filter(F.col("w") != "")
@@ -2056,7 +2109,19 @@ def trained_classifier_weights(
     vocabulary-bounded (Heaps' law), so the collect and the JSON stay
     small at any corpus scale; rows are sorted for a deterministic
     artifact. ``os.replace`` publishes atomically; concurrent builders
-    compute identical content so the race is benign."""
+    compute identical content so the race is benign.
+
+    Blast radius, acknowledged (ADVICE r13): the whole-module key means
+    ANY edit to this large module (even comments or BPE/bm25-adjacent
+    code) invalidates the artifact and forces one full retrain on next
+    use. Deliberate trade: the retrain is ~3 s at bench scale and
+    correctness-neutral (write-once + corrupt-rebuild tests), while the
+    r13 function-list fingerprint silently MISSED the _gopher_metrics
+    delegate twice — an under-inclusive key is a wrong-answer bug, an
+    over-inclusive one is a small rebuild cost. Revisit only if rebuild
+    cost grows (e.g. key on an explicitly collected closed set of
+    trainer/feature/label/constant sources, with a test that inspects
+    the trainer's call graph for escapees)."""
     import sys
 
     from apache_flink_pratices_spark.functions.hashing import source_fingerprint

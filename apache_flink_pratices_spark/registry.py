@@ -82,14 +82,20 @@ CRITICAL = (
 #: carry a fresh hard driver row. It is ALSO in the r9-stale cohort, so
 #: anchoring costs no extra window slot — the pin just makes the rule's
 #: application explicit and unconditional.
-#: Window math for r13: 14 CRITICAL + 6 never-checked newcomers
-#: (bpe_train, bpe_encode_trained, quality_classifier_fit,
-#: ann_ivf_trained_topk, mm_video_phash_pairs, bm25_topk) + the
-#: 29-query r9-stale cohort (incl. the re-anchored scorer) = 49 ≤ ~50
-#: slots, so the whole cohort drains this round (VERDICT r12 #1) and
-#: the invariant afterwards is: no latest row older than r10 (verified
-#: mechanically at HEAD: all 49 inside the first 50 of all_specs()).
-RE_ANCHORED: tuple[str, ...] = ("quality_linear_classifier",)
+#: Round 14 pins nothing: the r13 re-anchor (quality_linear_classifier)
+#: carried its fresh green driver row in CORRECTNESS_r13, and every
+#: round-14 change to an already-green query is output-identical with a
+#: bit-equal twin pin + fresh replica row (the BPE merge-table artifact
+#: serving, per the round-7/12/13 precedent).
+#: Window math for r14: 14 CRITICAL + 3 never-checked newcomers
+#: (ann_pq_trained_topk, bm25_queryset_topk, mm_video_phash_pairs_shift)
+#: + the 34-query r10-stale cohort = 51 > 50 slots, so exactly ONE
+#: stale query — the LAST of the r10 cohort by registration order —
+#: spills to r15 (the deliberate two-round split VERDICT r13 #1
+#: blesses; the spilled name is recorded in docs/scale_notes.md and is
+#: the sole never-older-than-r10 row after r14; it sorts to the front
+#: of the r15 rotation automatically).
+RE_ANCHORED: tuple[str, ...] = ()
 
 DEMOTED_ANCHORS = (
     "w7_signal_ids",

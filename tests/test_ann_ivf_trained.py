@@ -119,6 +119,25 @@ def test_trained_beats_hash_grid_on_clustered_corpus(spark):
     assert 0 < out["hash_grid"]["candidate_fraction"] <= 1.0
 
 
+def test_recall_bench_unpersists_on_midway_failure(spark, monkeypatch):
+    """ADVICE r13: an exception mid-measurement must not leak the
+    MEMORY_AND_DISK frames for the rest of the bench-extras session —
+    every persisted frame is released by the closing finally."""
+    import apache_flink_pratices_spark.operators.kmeans as km
+
+    def boom(*a, **k):
+        raise RuntimeError("planted mid-measurement failure")
+
+    monkeypatch.setattr(km, "kmeans_fit", boom)
+    before = dict(spark.sparkContext._jsc.getPersistentRDDs())
+    with pytest.raises(RuntimeError, match="planted"):
+        ann_ivf_trained_recall_bench(spark, SF)
+    after = dict(spark.sparkContext._jsc.getPersistentRDDs())
+    assert len(after) == len(before), (
+        f"leaked persisted frames: {len(before)} -> {len(after)}"
+    )
+
+
 def test_registered_query_shape(spark, tmp_path, monkeypatch):
     monkeypatch.setenv("SPARK_GRAFT_ARTIFACT_DIR", str(tmp_path))
     from apache_flink_pratices_spark.registry import all_specs

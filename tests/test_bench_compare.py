@@ -167,7 +167,9 @@ def test_streaming_orientation_rates_fall_times_rise():
     r12 #5) — both beyond the floor here, no calibration."""
     old = _stream_summary(50000, 45000, 170.0)
     new = _stream_summary(30000, 60000, 250.0)  # fraud -40%, cep +33%, replay +47%
-    out = bench_compare.compare_streaming(old, new, floor_pct=25.0)
+    out = bench_compare.compare_streaming(
+        old, new, floor_pct=25.0, stream_floor_pct=25.0
+    )
     status = {r["metric"]: r["status"] for r in out["rows"]}
     assert status == {
         "fraud_ev_s": "REGRESSION",
@@ -185,14 +187,41 @@ def test_streaming_cal_normalization_absorbs_box_state():
     old = _stream_summary(53000, 46000, 166.0)
     new = _stream_summary(53000 / 1.153, 46000 / 1.153, 190.7)
     out = bench_compare.compare_streaming(
-        old, new, floor_pct=10.0, cal_ratio=1.153
+        old, new, floor_pct=10.0, cal_ratio=1.153, stream_floor_pct=10.0
     )
     for row in out["rows"]:
         assert row["status"] == "within-noise", row
         assert abs(row["delta_cal_pct"]) < 1.0, row
     # ... while the RAW deltas would all have breached the 10% floor
-    raw = bench_compare.compare_streaming(old, new, floor_pct=10.0)
+    raw = bench_compare.compare_streaming(
+        old, new, floor_pct=10.0, stream_floor_pct=10.0
+    )
     assert all(r["status"] != "within-noise" for r in raw["rows"])
+
+
+def test_streaming_default_floor_absorbs_subprocess_variance():
+    """ADVICE r13: identical-code streaming runs vary up to 1.6x between
+    subprocesses, so the default streaming floor is max(batch floor, 60%)
+    — a -37% rate move (inside 1.6x) must NOT flag under the default,
+    while an explicit --stream-floor-pct override restores tighter
+    gating, and a genuine beyond-1.6x collapse still flags."""
+    old = _stream_summary(50000, 45000, 170.0)
+    new = _stream_summary(31500, 45000, 170.0)  # fraud -37%
+    out = bench_compare.compare_streaming(old, new, floor_pct=25.0)
+    rows = {r["metric"]: r for r in out["rows"]}
+    assert rows["fraud_ev_s"]["status"] == "within-noise"
+    assert rows["fraud_ev_s"]["noise_pct"] == 60.0
+    assert out["regressions"] == []
+    # explicit override: same move flags at a 25% streaming floor
+    tight = bench_compare.compare_streaming(
+        old, new, floor_pct=25.0, stream_floor_pct=25.0
+    )
+    assert {r["metric"] for r in tight["regressions"]} == {"fraud_ev_s"}
+    # a genuine collapse (-70%, beyond the measured 1.6x) still flags
+    crash = bench_compare.compare_streaming(
+        old, _stream_summary(15000, 45000, 170.0), floor_pct=25.0
+    )
+    assert {r["metric"] for r in crash["regressions"]} == {"fraud_ev_s"}
 
 
 def test_streaming_missing_or_zero_sides_never_flag():

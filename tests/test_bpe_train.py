@@ -265,3 +265,49 @@ def test_trained_encode_matches_pure_python_end_to_end(spark):
     # the learned merges actually compress: fewer tokens than characters
     total_chars = sum(len(w) for w, c in wc.items() for _ in range(c))
     assert sum(v[1] for v in got.values()) < total_chars
+
+
+def test_merge_artifact_served_not_rebuilt_and_bit_equal(
+    spark, tmp_path, monkeypatch
+):
+    """trained_bpe_merges (VERDICT r13 #2: bpe_encode_trained re-ran the
+    whole train loop per invocation): the first call trains and
+    publishes the write-once JSON, BIT-EQUAL to a live bpe_train_merges
+    run; the second call must READ the artifact (a rebuild would run the
+    trainer again); a corrupt artifact is a cache miss that rebuilds,
+    never a crash. The spy wraps the trainer itself — its source is part
+    of the key via the whole-module fingerprint, so spying via
+    setattr on the MODULE leaves the fingerprinted source untouched."""
+    import glob
+    import os
+
+    import apache_flink_pratices_spark.operators.text as text_mod
+    from apache_flink_pratices_spark.io import load
+    from apache_flink_pratices_spark.operators.text import trained_bpe_merges
+
+    monkeypatch.setenv("SPARK_GRAFT_ARTIFACT_DIR", str(tmp_path))
+    served = trained_bpe_merges(spark, SF_SMOKE)
+    live = bpe_train_merges(load(spark, SF_SMOKE, "documents"))
+    assert served == live  # bit-equal twin pin, tuple for tuple
+
+    calls = []
+    real_train = text_mod.bpe_train_merges
+    monkeypatch.setattr(
+        text_mod,
+        "bpe_train_merges",
+        lambda *a, **k: calls.append(1) or real_train(*a, **k),
+    )
+    assert trained_bpe_merges(spark, SF_SMOKE) == served
+    assert calls == []  # served, not rebuilt
+
+    art = glob.glob(os.path.join(str(tmp_path), "bpe_merges_*.json"))
+    assert len(art) == 1
+    with open(art[0], "w") as f:
+        f.write("{not json")
+    assert trained_bpe_merges(spark, SF_SMOKE) == served
+    assert calls == [1]  # exactly one trainer run: the rebuild
+    # an ill-TYPED but parseable artifact is a miss too
+    with open(art[0], "w") as f:
+        f.write('{"merges": [["a", "b"]]}')  # 2-element row: fails valid()
+    assert trained_bpe_merges(spark, SF_SMOKE) == served
+    assert calls == [1, 1]

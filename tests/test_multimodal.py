@@ -209,6 +209,53 @@ def test_video_phash_planted_twins_strangers_and_frame_alignment(spark):
     assert frozenset((100, 500)) not in got  # frame order matters
 
 
+def test_video_phash_unequal_signature_lengths_never_strict_pair(spark):
+    """ADVICE r13: a trimmed video (fewer frames -> shorter signature)
+    shares frame-aligned band buckets with its original, so it mines as
+    a candidate — but the strict verify must DROP it explicitly via the
+    equal-length filter (not via a silent NULL hamming), matching the
+    oracle's equal-frame-count guard. Trim tolerance belongs to the
+    _shift variant, not the strict query."""
+    import numpy as np
+
+    from apache_flink_pratices_spark.operators.multimodal import (
+        MEDIA_META_SCHEMA,
+        VID_C,
+        VID_FRAMES,
+        VID_H,
+        VID_W,
+        video_phash_band_pairs,
+    )
+
+    rng = np.random.RandomState(7)
+    frame_size = VID_W * VID_H * VID_C
+    base = rng.randint(0, 256, size=VID_FRAMES * frame_size).astype(np.uint8)
+    trimmed = base[: (VID_FRAMES - 1) * frame_size]  # drop the LAST frame
+
+    def meta(n):
+        return {
+            "width": VID_W,
+            "height": VID_H,
+            "channels": VID_C,
+            "sample_rate": 0,
+            "n_frames": n,
+        }
+
+    rows = [
+        (100, "video", meta(VID_FRAMES), bytearray(base.tobytes())),
+        (200, "video", meta(VID_FRAMES - 1), bytearray(trimmed.tobytes())),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        f"doc_id long, media_type string, meta {MEDIA_META_SCHEMA}, payload binary",
+    )
+    pairs = video_phash_band_pairs(df).collect()
+    cross = [r for r in pairs if r.id_a // 2 != r.id_b // 2]
+    assert cross == [], f"unequal-length videos strict-paired: {cross}"
+    # sanity: the within-doc brightness twins (equal lengths) still pair
+    assert any(r.id_a // 2 == r.id_b // 2 for r in pairs)
+
+
 def test_video_phash_pair_join_never_shuffles_payloads(spark):
     """Only (id, 4x8-byte signature) rows may cross an exchange — the
     video payload must never appear above the Arrow stage."""
