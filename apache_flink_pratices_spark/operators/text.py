@@ -943,6 +943,14 @@ def bpe_train_merges(
     vocabulary-sized rounds. Per-round ``localCheckpoint`` truncates the
     growing lineage exactly like ``connected_components``."""
     words = d.select(F.explode(tokens()).alias("w")).filter(F.col("w") != "")
+    # EAGER localCheckpoints, kept deliberately (optimization r14): the
+    # "obvious" lazy-checkpoint rewrite (eager=False, argmax job
+    # materializes each round's re-segmentation as a side effect, one job
+    # per round instead of two) was built and MEASURED SLOWER — subset
+    # bench min 4.447 s vs 3.185 s baseline (spread 8%/16%, cal-comparable
+    # boxes) — so the separate per-round materialization job is cheaper
+    # on this plan shape than fusing the fold into the argmax's first
+    # stage (guide §1.1: verify the "ideal" plan empirically).
     seg = (
         words.groupBy("w")
         .agg(F.count("*").cast("long").alias("cnt"))
@@ -1245,7 +1253,15 @@ def bpe_encode_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", (F.col("wpos0") + 1).alias("wpos"), "w")
     )
     # the corpus alphabet: a bounded collect (distinct characters), the
-    # singles tier of the learned inventory
+    # singles tier of the learned inventory. Deliberately derived from
+    # the token-INSTANCE stream, not a shared distinct-word frame: the
+    # explode is map-side-combined straight down to the alphabet (the
+    # partial-distinct aggregate collapses each partition to ~|alphabet|
+    # rows before any exchange), so nothing corpus-sized shuffles — and
+    # the r14 optimization pass MEASURED the "share one persisted
+    # distinct-word frame for alphabet + encode" rewrite at +0.4 s
+    # steady-state (1.20 → 1.60 s phase-timed A/B at sf0.1: caching the
+    # tiny frame costs more than recomputing the fused pipeline).
     chars = sorted(
         r["ch"]
         for r in words.select(
@@ -1625,7 +1641,20 @@ def _lm_tables(train_toks: DataFrame):
     lm_uni = uni.crossJoin(F.broadcast(tot)).select(
         "w", _lm_nll_col(F.col("n_tot"), F.col("c")).alias("nll")
     )
-    return lm_bi, lm_uni, tot
+    # The LM tables are MODEL STATE (the same role as the trained
+    # classifier weights) and the scorers join the corpus-sized token
+    # stream against them — so they carry an explicit broadcast hint
+    # (guide §3.1: size estimates after multi-aggregate subtrees are
+    # unreliable; the r14 optimization pass measured the unhinted static
+    # plan broadcasting the TOKEN-STREAM side — BuildLeft over the
+    # i<n-filtered instance stream — because the un-materialized cache
+    # under-estimates, i.e. the corpus side became the build side, the
+    # exact inversion of the intended shape. With the hint: both scorer
+    # joins build on the vocabulary-bounded side, measured 1.75 → 1.48 s
+    # at sf0.1). A corpus whose bigram-TYPE table outgrows the broadcast
+    # cap (8 GB / 512M rows) would drop this hint and shuffle-join —
+    # that trade is documented at the registration site.
+    return F.broadcast(lm_bi), F.broadcast(lm_uni), tot
 
 
 @register(
@@ -1684,10 +1713,13 @@ def _lm_tables(train_toks: DataFrame):
     "mines); ln() runs once per DISTINCT bigram/vocab entry, floored to "
     "int64 micro-nats THERE, so all corpus-sized accumulation is exact "
     "integer arithmetic. Plan: one tokenize pass persisted, "
-    "vocabulary-bounded LM tables joined back (no forced broadcast — "
-    "AQE broadcasts while the LM fits, shuffle-joins when a 100 TB "
-    "vocabulary does not), one per-doc aggregate; zero corpus-sized "
-    "shuffles beyond the count-table build.",
+    "vocabulary-bounded LM tables broadcast back onto it (explicit "
+    "hint since r14 — the unhinted static plan measurably broadcast "
+    "the TOKEN-STREAM side instead, because multi-aggregate subtree "
+    "size estimates are unreliable; guide §3.1), one per-doc "
+    "aggregate; zero corpus-sized shuffles beyond the count-table "
+    "build. A corpus whose bigram-type table outgrows the broadcast "
+    "cap would drop the hint and shuffle-join.",
     bench=True,
     tags=("text", "quality", "lm", "llm-pipeline"),
 )

@@ -87,14 +87,10 @@ CRITICAL = (
 #: round-14 change to an already-green query is output-identical with a
 #: bit-equal twin pin + fresh replica row (the BPE merge-table artifact
 #: serving, per the round-7/12/13 precedent).
-#: Window math for r14: 14 CRITICAL + 3 never-checked newcomers
-#: (ann_pq_trained_topk, bm25_queryset_topk, mm_video_phash_pairs_shift)
-#: + the 34-query r10-stale cohort = 51 > 50 slots, so exactly ONE
-#: stale query — the LAST of the r10 cohort by registration order —
-#: spills to r15 (the deliberate two-round split VERDICT r13 #1
-#: blesses; the spilled name is recorded in docs/scale_notes.md and is
-#: the sole never-older-than-r10 row after r14; it sorts to the front
-#: of the r15 rotation automatically).
+#: Window math for r14 (an OPTIMIZATION round — no new queries): 14
+#: CRITICAL + the 34-query r10-stale cohort = 48 of ~50 slots, so the
+#: whole cohort fits the window with two slots spare (VERDICT r13 #1's
+#: drain completes in one round; no two-round split needed).
 RE_ANCHORED: tuple[str, ...] = ()
 
 DEMOTED_ANCHORS = (
