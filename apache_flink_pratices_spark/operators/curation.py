@@ -794,6 +794,16 @@ _SQL_QBP = f"""
 """
 
 
+#: the q_bp arithmetic over (n_words, n_stop) columns — ONE definition
+#: shared by _quality_bp_frame and the fused survivor filter in
+#: _pipeline_frames (optimization r14), so the two Spark-side users can
+#: never drift from each other or from the _SQL_QBP oracle above
+_QBP_EXPR = (
+    f"least(10000, n_words * 10000 div {QTS_WORD_NORM})"
+    " * (n_words - n_stop) div n_words"
+)
+
+
 def _quality_bp_frame(d: DataFrame) -> DataFrame:
     """(doc_id, source, lang, q_bp): the exact integer basis-point
     quality score — length saturation x non-stopword fraction, all
@@ -812,10 +822,7 @@ def _quality_bp_frame(d: DataFrame) -> DataFrame:
         "doc_id",
         "source",
         "lang",
-        F.expr(
-            f"least(10000, n_words * 10000 div {QTS_WORD_NORM})"
-            " * (n_words - n_stop) div n_words"
-        ).alias("q_bp"),
+        F.expr(_QBP_EXPR).alias("q_bp"),
     )
 
 
@@ -2019,7 +2026,11 @@ def _pipeline_frames(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     measurement harness counts THE stages the registered query runs,
     not a reimplementation): canon, gate, dirty, keep, surv, budget,
     packed, final."""
-    from apache_flink_pratices_spark.operators.text import gopher_rules_frame
+    from apache_flink_pratices_spark.operators.text import (
+        _gopher_metrics,
+        gopher_rules_frame,
+        tokens,
+    )
 
     docs = load(spark, sf_dir, "documents").persist(StorageLevel.MEMORY_AND_DISK)
     canon = (
@@ -2067,13 +2078,43 @@ def _pipeline_frames(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
         .filter(qts_gate * 10000 < F.col("q_bp") * F.col("q_bp"))
         .select("doc_id")
     )
+    # Survivors (optimization r14, guide §2.2/§3): the gopher gate and the
+    # temperature gate are ROW-WISE predicates over the document row, so
+    # they run as FILTERS fused into the survivor scan instead of doc_id
+    # self-joins (doc_id is unique, so inner-join-on-derived-subset ≡
+    # filter; equivalence measured exact at sf0.01 — 101 identical rows).
+    # The named `gate`/`keep` frames above are kept for the planted-stats
+    # harness and single-definition sharing: `m["passes"]` and _QBP_EXPR
+    # are the SAME expressions both paths evaluate. Only `canon` (cluster
+    # membership) and `dirty` (decon verdict) stay relational. surv is
+    # PERSISTED because three consumers read it (budget aggregate, packing
+    # window, final join) and nothing else dedupes the subtree — the
+    # un-persisted form re-ran the whole join tree 3x per action
+    # (measured: 6.27 -> 3.90 s min just from the persist, -> 3.09 s with
+    # the filter fusion, fresh-subprocess min-of-3 after warmups at
+    # sf0.1). Corpus-sized at 100 TB, hence MEMORY_AND_DISK, the same
+    # trade as the docs cache above; lifetime is session-scoped exactly
+    # like dedup.py's fingerprint cache.
+    m = _gopher_metrics()
     surv = (
         docs.select("doc_id", "source", "text")
         .filter(F.col("doc_id") % EVAL_MOD != 0)
+        .withColumn("ws", tokens())
+        .filter(F.size("ws") > 0)
+        .filter(m["passes"])
+        .withColumn("n_words", F.size(F.col("ws")).cast("long"))
+        .withColumn(
+            "n_stop",
+            F.size(F.filter(F.col("ws"), lambda w: w.isin(*STOPWORDS)))
+            .cast("long"),
+        )
+        .filter(F.col("n_words") > 0)
+        .withColumn("q_bp", F.expr(_QBP_EXPR))
+        .filter(qts_gate * 10000 < F.col("q_bp") * F.col("q_bp"))
         .join(canon, "doc_id")
-        .join(gate, "doc_id")
         .join(dirty, "doc_id", "left_anti")
-        .join(keep, "doc_id")
+        .select("doc_id", "source", "text")
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     budget = token_budget_plan_frame(surv).select(
         "source", "share_bp", "epochs_capped_bp", "planned_tokens"
