@@ -552,8 +552,18 @@ def _simhash_fingerprints_of(d: DataFrame) -> DataFrame:
     # the output carries the caller's doc_id type verbatim (testdata
     # corpus long, synthetic/planted corpora string)
     id_type = d.schema["doc_id"].dataType.simpleString()
-    tf = _simhash_tf(d)
-    return tf.repartition("doc_id").mapInArrow(fn, f"doc_id {id_type}, fp long")
+    # doc-locality for the kernel comes from repartitioning the RAW rows
+    # once, BEFORE the explode: HashPartitioning(doc_id) satisfies the
+    # (doc_id, w) groupBy's clustering (subset rule), so the TF aggregate
+    # runs exchange-free and its output is already doc_id-partitioned for
+    # mapInArrow. The previous shape aggregated on an un-clustered input
+    # and then paid a SECOND exchange (repartition("doc_id")) to move the
+    # whole TF table — corpus-sized distinct-term rows at 100 TB (r14,
+    # guide §2.4). Callers that already repartitioned by doc_id
+    # (_docs_repartitioned) collapse to one exchange (CollapseRepartition).
+    p = d.sparkSession.sparkContext.defaultParallelism
+    tf = _simhash_tf(d.repartition(p, "doc_id"))
+    return tf.mapInArrow(fn, f"doc_id {id_type}, fp long")
 
 
 def _simhash_fingerprints_expr_of(d: DataFrame) -> DataFrame:
@@ -2368,13 +2378,19 @@ def dup_spans_of(d: DataFrame) -> DataFrame:
     start_seq = F.when(
         F.size("a") >= n, F.sequence(F.lit(0), F.size("a") - n)
     ).otherwise(F.array().cast("array<int>"))
+    # starts feeds BOTH the duplicated-shingle aggregate and the hits
+    # join; unpersisted, the corpus was scanned + position-exploded +
+    # md5-hashed twice (r14: two identical Generate subtrees in the
+    # plan). Persist the 24-byte (doc_id, s, h) rows — ≪ corpus — so the
+    # explode pass runs once (guide §1.1); released by released_caches
+    # in long-lived sessions like every other operator persist.
     starts = arrs.select(
         "doc_id", F.explode(start_seq).alias("s"), "a"
     ).select(
         "doc_id",
         "s",
         md5_long(F.concat_ws(" ", F.slice("a", F.col("s") + 1, n))).alias("h"),
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     dup = (
         starts.groupBy("h")
         .agg(F.count_distinct("doc_id").alias("nd"))

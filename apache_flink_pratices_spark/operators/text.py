@@ -276,16 +276,24 @@ TFIDF_TOP_K = 5
 def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
+    from pyspark.storagelevel import StorageLevel
+
     d = load(spark, sf_dir, "documents")
     # corpus-cardinality scalar: one count action, then a plan literal —
     # the same role as a trained IDF table's row count (model state),
     # not a per-row driver loop.
     n_docs = d.count()
+    # tf feeds BOTH the df vocabulary aggregate and the scored join;
+    # unpersisted, the corpus was scanned + exploded + aggregated twice
+    # (r14: two identical Generate/HashAggregate subtrees in the plan).
+    # One tokenize pass is the floor for TF-IDF — persist the term table
+    # (24-byte rows, ≪ corpus) and derive df from the cache (guide §1.1).
     tf = (
         d.select("doc_id", F.explode(tokens()).alias("term"))
         .filter(F.col("term") != "")
         .groupBy("doc_id", "term")
         .agg(F.count("*").alias("tf"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     df = tf.groupBy("term").agg(F.count("*").alias("df"))
     # optimizer-chosen join: auto-broadcast at this SF (plan-audited), but
