@@ -187,17 +187,23 @@ def q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     # supplier⋈nation⋈region collapses to one small broadcast dim. customer
     # scales with SF, so its join is left to AQE (broadcast at small SF,
-    # shuffle at scale); the unavoidable shuffle join is
-    # lineitem ⋈ filtered-orders on l_orderkey.
+    # shuffle at scale). Join ORDER (r14, guide §3.2): the broadcast dim
+    # joins LINEITEM FIRST — the region filter drops ~4/5 of the fact rows
+    # map-side before the fact⋈fact join, so the big join's left side is
+    # the REDUCED lineitem (the static planner previously broadcast the
+    # FULL lineitem scan for the l⋈co join — the fact table as build side,
+    # backwards at any scale). The c_nationkey = s_nationkey condition
+    # rides on the fact⋈fact join, where both keys are present.
     dims = s.join(n, s.s_nationkey == n.n_nationkey).join(
         r, n.n_regionkey == r.r_regionkey
     )
     co = o.join(c, o.o_custkey == c.c_custkey)
+    l2 = l.join(F.broadcast(dims), l.l_suppkey == dims.s_suppkey)
     return (
-        l.join(co, l.l_orderkey == co.o_orderkey)
-        .join(
-            F.broadcast(dims),
-            (l.l_suppkey == dims.s_suppkey) & (co.c_nationkey == dims.s_nationkey),
+        l2.join(
+            co,
+            (l2.l_orderkey == co.o_orderkey)
+            & (co.c_nationkey == l2.s_nationkey),
         )
         .groupBy("n_name")
         .agg(dsum(revenue).alias("revenue"))
