@@ -2037,8 +2037,9 @@ def _register_dedup_semantic() -> None:
         e = load(spark, sf_dir, "embeddings")
         # (vec_id, label, embedding, nrm, cell): map-side, vectorized.
         # Three consumers (centroid pass + both pair sides) — persisted
-        # so the Python-worker assignment runs once; session-lived like
-        # ann_ivf_frame's cache, reclaimed by registry.released_caches /
+        # so the Python-worker assignment runs once (unlike the r14
+        # single-consumer ANN frames, which stream unpersisted);
+        # session-lived, reclaimed by registry.released_caches /
         # run_and_release in long-lived sessions (VERDICT r8 #5)
         assigned = ivf_assign(e).persist(StorageLevel.MEMORY_AND_DISK)
         # exact per-cell centroid: element sums as quantized int64

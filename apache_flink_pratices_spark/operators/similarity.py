@@ -119,33 +119,16 @@ def _sql_dot(ax: str, bx: str) -> str:
     tags=("similarity", "ann"),
 )
 def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window
-
     e = load(spark, sf_dir, "embeddings")
     with_norm = e.select(
         "vec_id", "label", "embedding", _dot(F.col("embedding"), F.col("embedding")).alias("nrm")
     )
-    q = with_norm.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("embedding").alias("q_embedding"),
-        F.col("nrm").alias("q_nrm"),
-    )
+    q = _query_frame(e, N_QUERIES)
     pairs = with_norm.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
-    scored = pairs.select(
-        "query_id",
-        "vec_id",
-        "label",
-        (
-            _dot(F.col("q_embedding"), F.col("embedding"))
-            / (F.sqrt(F.col("q_nrm")) * F.sqrt(F.col("nrm")))
-        ).alias("cosine"),
-    )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= TOP_K)
-        .select("query_id", "vec_id", "label", "cosine", "rn")
-    )
+    # vectorized Arrow verify (r14): the brute tier pays |Q|·N dots — the
+    # interpreted HOF _dot was the hot loop here exactly as it was in
+    # dedup_semantic's pair verify (same kernel family, bit-pinned twin)
+    return _ranked_topk(_pair_cosine_scored(pairs), TOP_K)
 
 
 # --- random-hyperplane LSH (bucketed ANN) ---------------------------------
@@ -242,56 +225,35 @@ def ann_lsh_frame(
     path is O(|Q|·N·d)); the signature pass is one JVM-side map over the
     corpus, and candidates shuffle as (query_id, vec_id) pairs only.
     """
-    from pyspark.sql.window import Window
-
-    from pyspark.storagelevel import StorageLevel
-
     with_norm = vectors.select(
         "vec_id", "label", "embedding",
         _dot(F.col("embedding"), F.col("embedding")).alias("nrm"),
     )
-    # the signature pass is the dominant map work (bits x dim products per
-    # row) and feeds BOTH the query side and the corpus side of the band
-    # join — persist so it runs once (matters most for the 64-bit
-    # clustered variant: measured 4.6 -> ~2.5 s at sf0.1). The cache
-    # backs the RETURNED lazy plan, so it cannot be unpersisted here and
-    # stays live for the session (one signature table per corpus —
-    # CacheManager dedupes repeat calls); long-lived sessions reclaim it
-    # with spark.catalog.clearCache(), as bench.py does between runs
-    # (ADVICE r7: noted as a deliberate session-cache cost)
-    bands = _signature_bands(vectors, bits, band_size, dim).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
-    qb = bands.filter(F.col("vec_id") < n_queries).select(
-        F.col("vec_id").alias("query_id"), "band", "bucket"
-    )
+    # The corpus signature pass has exactly ONE consumer (the corpus side
+    # of the band join): the broadcast query side re-derives its
+    # signatures from the n_queries RAW rows instead of filtering a
+    # persisted corpus-wide signature table (r14, guide §5 "caching is
+    # only worth it when a DataFrame is reused"). The old persist made
+    # the qb broadcast build materialize the ENTIRE corpus signature
+    # cache to extract 5 query rows — a corpus-sized session cache and a
+    # full materialization barrier before the main join could start; the
+    # per-row signature kernel is deterministic, so re-running it on the
+    # tiny query subset is bit-identical and costs n_queries rows. At
+    # 100 TB this is the difference between caching the corpus signature
+    # table and streaming it through the join once.
+    bands = _signature_bands(vectors, bits, band_size, dim)
+    qb = _signature_bands(
+        vectors.filter(F.col("vec_id") < n_queries), bits, band_size, dim
+    ).select(F.col("vec_id").alias("query_id"), "band", "bucket")
     cand = (
         bands.join(F.broadcast(qb), ["band", "bucket"])
         .filter(F.col("vec_id") != F.col("query_id"))
         .select("query_id", "vec_id")
         .distinct()
     )
-    q = with_norm.filter(F.col("vec_id") < n_queries).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("embedding").alias("q_embedding"),
-        F.col("nrm").alias("q_nrm"),
-    )
+    q = _query_frame(vectors, n_queries)
     pairs = cand.join(with_norm, "vec_id").join(F.broadcast(q), "query_id")
-    scored = pairs.select(
-        "query_id",
-        "vec_id",
-        "label",
-        (
-            _dot(F.col("q_embedding"), F.col("embedding"))
-            / (F.sqrt(F.col("q_nrm")) * F.sqrt(F.col("nrm")))
-        ).alias("cosine"),
-    )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= top_k)
-        .select("query_id", "vec_id", "label", "cosine", "rn")
-    )
+    return _ranked_topk(_pair_cosine_scored(pairs), top_k)
 
 
 def _sql_md5_pm_cte(
@@ -520,16 +482,11 @@ def ann_ivf_frame(
     n_queries·nprobe (8-byte, 8-byte) rows, and the verify is
     partition-local within each probed cell.
     """
-    from pyspark.storagelevel import StorageLevel
-
-    # assigned is consumed twice (candidate join + query side) — persist
-    # so the vectorized assignment stage (and its Python worker round
-    # trip) runs once; same-plan sibling reuse does NOT cover it because
-    # there is no exchange between the scan and the consumers to be reused.
-    # Like ann_lsh_frame's signature cache, this backs the returned lazy
-    # plan and stays live for the session — a deliberate cost, reclaimed
-    # by spark.catalog.clearCache() in long-lived sessions (ADVICE r7)
-    assigned = ivf_assign(vectors).persist(StorageLevel.MEMORY_AND_DISK)
+    # assigned has exactly ONE consumer (the candidate side): the query
+    # frame is re-derived from the n_queries RAW rows (see _query_frame),
+    # so the vectorized assignment streams straight into the probe join —
+    # no corpus-sized cache, no materialization barrier (r14, guide §5).
+    assigned = ivf_assign(vectors)
     probes = (
         vectors.filter(F.col("vec_id") < n_queries)
         .select(
@@ -541,23 +498,101 @@ def ann_ivf_frame(
             ).alias("cell"),
         )
     )
-    return _ivf_probe_verify(assigned, probes, n_queries, top_k)
+    return _ivf_probe_verify(
+        assigned, probes, _query_frame(vectors, n_queries), top_k
+    )
+
+
+def _pair_cosine_scored(pairs: DataFrame) -> DataFrame:
+    """(query_id, vec_id, label, cosine) from candidate rows carrying both
+    embeddings and norms — vectorized Arrow ``mapInPandas``.
+
+    The candidate verify is the same hot loop ``_semantic_pair_cosine``
+    (operators/dedup.py) vectorized for the within-cell pair stream: the
+    interpreted higher-order ``_dot`` pays ~2 lambda invocations per
+    element per pair, while the numpy formulation of the SAME quantized
+    arithmetic — per-element ``floor(q·e·SCALE)`` in float64, exact int64
+    sum, one double division (np.sqrt and '/' are IEEE-correctly-rounded,
+    same bits as the JVM) — runs per Arrow batch. Bit-equal to
+    :func:`_pair_cosine_scored_expr` (pinned in tests/test_ann_lsh.py).
+    Only the 7 needed columns cross the boundary (guide §4)."""
+    import numpy as np
+    import pandas as pd
+
+    def fn(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            qe = np.array(pdf["q_embedding"].tolist(), dtype=np.float64)
+            ee = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+            dots = (
+                np.floor(qe * ee * float(_SCALE)).astype(np.int64).sum(axis=1)
+                / float(_SCALE)
+            )
+            cos = dots / (
+                np.sqrt(pdf["q_nrm"].to_numpy(dtype=np.float64))
+                * np.sqrt(pdf["nrm"].to_numpy(dtype=np.float64))
+            )
+            yield pd.DataFrame(
+                {
+                    "query_id": pdf["query_id"].to_numpy(),
+                    "vec_id": pdf["vec_id"].to_numpy(),
+                    "label": pdf["label"].to_numpy(),
+                    "cosine": cos,
+                }
+            )
+
+    return pairs.select(
+        "query_id", "vec_id", "label", "q_embedding", "q_nrm", "embedding", "nrm"
+    ).mapInPandas(fn, "query_id bigint, vec_id bigint, label int, cosine double")
+
+
+def _pair_cosine_scored_expr(pairs: DataFrame) -> DataFrame:
+    """Retained expression twin of :func:`_pair_cosine_scored` — the
+    cross-engine derivation the DuckDB oracles mirror (same stance as
+    ``_semantic_pair_cosine_expr``)."""
+    cosine = _dot(F.col("q_embedding"), F.col("embedding")) / (
+        F.sqrt(F.col("q_nrm")) * F.sqrt(F.col("nrm"))
+    )
+    return pairs.select("query_id", "vec_id", "label", cosine.alias("cosine"))
+
+
+def _ranked_topk(scored: DataFrame, top_k: int) -> DataFrame:
+    """Per-query top-k with the suite's deterministic tiebreak."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= top_k)
+        .select("query_id", "vec_id", "label", "cosine", "rn")
+    )
+
+
+def _query_frame(vectors: DataFrame, n_queries: int) -> DataFrame:
+    """(query_id, q_embedding, q_nrm) for the n_queries query vectors,
+    derived straight from the RAW rows. The HOF ``_dot`` norm runs on
+    n_queries rows only and is pinned bit-equal to the vectorized
+    kernels' numpy norm (tests/test_ann_ivf.py pins ivf_assign ==
+    ivf_assign_expr, whose nrm is this same expression), so serving the
+    query side from here instead of a persisted corpus-wide assignment
+    frame changes no bits — it only drops the corpus-sized cache and
+    the materialization barrier its broadcast build paid (r14)."""
+    return vectors.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_embedding"),
+        _dot(F.col("embedding"), F.col("embedding")).alias("q_nrm"),
+    )
 
 
 def _ivf_probe_verify(
-    assigned: DataFrame, probes: DataFrame, n_queries: int, top_k: int
+    assigned: DataFrame, probes: DataFrame, q: DataFrame, top_k: int
 ) -> DataFrame:
     """The shared IVF tail (round 13, extracted verbatim for the
     trained-centroid variant): broadcast the (query, cell) probe list
     over a cell-assigned corpus, exact-cosine verify inside probed
-    cells only, per-query top-k."""
-    from pyspark.sql.window import Window
-
-    q = assigned.filter(F.col("vec_id") < n_queries).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("embedding").alias("q_embedding"),
-        F.col("nrm").alias("q_nrm"),
-    )
+    cells only, per-query top-k. ``q`` is the (query_id, q_embedding,
+    q_nrm) frame — see :func:`_query_frame`."""
     cand = (
         assigned.join(F.broadcast(probes), "cell")
         .filter(F.col("vec_id") != F.col("query_id"))
@@ -569,21 +604,8 @@ def _ivf_probe_verify(
     # A distinct here would wide-shuffle the 64-dim embeddings for
     # nothing; if a multi-cell assignment is ever added, dedup on
     # (query_id, vec_id) BEFORE attaching embeddings instead.
-    scored = cand.join(F.broadcast(q), "query_id").select(
-        "query_id",
-        "vec_id",
-        "label",
-        (
-            _dot(F.col("q_embedding"), F.col("embedding"))
-            / (F.sqrt(F.col("q_nrm")) * F.sqrt(F.col("nrm")))
-        ).alias("cosine"),
-    )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= top_k)
-        .select("query_id", "vec_id", "label", "cosine", "rn")
-    )
+    scored = _pair_cosine_scored(cand.join(F.broadcast(q), "query_id"))
+    return _ranked_topk(scored, top_k)
 
 
 _SQL_IVF_DIRS = _sql_md5_pm_cte(
@@ -826,12 +848,10 @@ def ann_ivf_trained_frame(
     k-means centroid (map-only kernel), probe each query's ``nprobe``
     nearest centroids, exact-cosine verify inside probed cells only —
     the identical cell-bounded tail as the hash-grid IVF by shared
-    :func:`_ivf_probe_verify`."""
-    from pyspark.storagelevel import StorageLevel
-
-    assigned = ivf_assign_trained(vectors, seeds).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    :func:`_ivf_probe_verify`. Like the hash-grid frame, the assignment
+    has one consumer and streams unpersisted; the query side comes from
+    the raw rows (r14, guide §5)."""
+    assigned = ivf_assign_trained(vectors, seeds)
     probes = vectors.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"),
         F.explode(
@@ -841,7 +861,9 @@ def ann_ivf_trained_frame(
             )
         ).alias("cell"),
     )
-    return _ivf_probe_verify(assigned, probes, n_queries, top_k)
+    return _ivf_probe_verify(
+        assigned, probes, _query_frame(vectors, n_queries), top_k
+    )
 
 
 def _sql_ann_ivf_trained(
@@ -1107,9 +1129,10 @@ def ann_ivf_trained_recall_bench(spark: SparkSession, sf_dir: str) -> dict:
             ).alias("cell"),
         )
         t_assigned = _persist(ivf_assign_trained(vectors, seeds))
+        qframe = _query_frame(vectors, N_QUERIES)
         trained = {
             "recall": round(
-                recall_of(_ivf_probe_verify(t_assigned, t_probes, N_QUERIES, TOP_K)),
+                recall_of(_ivf_probe_verify(t_assigned, t_probes, qframe, TOP_K)),
                 4,
             ),
             "candidate_fraction": round(fraction_of(t_assigned, t_probes), 4),
@@ -1127,7 +1150,7 @@ def ann_ivf_trained_recall_bench(spark: SparkSession, sf_dir: str) -> dict:
         )
         hash_grid = {
             "recall": round(
-                recall_of(_ivf_probe_verify(h_assigned, h_probes, N_QUERIES, TOP_K)),
+                recall_of(_ivf_probe_verify(h_assigned, h_probes, qframe, TOP_K)),
                 4,
             ),
             "candidate_fraction": round(fraction_of(h_assigned, h_probes), 4),

@@ -103,7 +103,10 @@ def test_plan_one_kernel_broadcast_probes_no_products(spark, tmp_path, monkeypat
     plan = df._sc._jvm.PythonSQLUtils.explainString(
         df._jdf.queryExecution(), "formatted"
     )
-    assert len(re.findall(r"\(\d+\) MapInPandas", plan)) == 1, plan
+    # exactly TWO Arrow kernels since r14: the corpus cell assignment and
+    # the vectorized candidate verify (_pair_cosine_scored) — the corpus
+    # assignment must still appear exactly once (no duplicated subtree)
+    assert len(re.findall(r"\(\d+\) MapInPandas", plan)) == 2, plan
     assert "CartesianProduct" not in plan and "SortMergeJoin" not in plan
     assert "BroadcastHashJoin" in plan, plan
 

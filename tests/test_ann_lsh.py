@@ -191,3 +191,87 @@ def test_planted_clusters_are_separated(spark):
             (same if cluster_of(i) == cluster_of(j) else cross).append(cos)
     assert same and cross
     assert np.mean(same) > 0.6 > np.mean(cross) + 0.3
+
+
+# --- r14: vectorized query-verify kernel pinned to its expression twin ------
+
+
+def _scored_pair_frame(spark, e):
+    """Candidate-shaped pair frame: every (query, corpus) combination with
+    both embeddings and norms attached — the input surface of
+    _pair_cosine_scored."""
+    from apache_flink_pratices_spark.operators.similarity import (
+        _dot,
+        _query_frame,
+    )
+
+    with_norm = e.select(
+        "vec_id",
+        "label",
+        "embedding",
+        _dot(F.col("embedding"), F.col("embedding")).alias("nrm"),
+    )
+    q = _query_frame(e, N_QUERIES)
+    return with_norm.join(
+        F.broadcast(q), F.col("vec_id") != F.col("query_id")
+    )
+
+
+def test_vectorized_query_cosine_matches_expression_twin(spark):
+    """_pair_cosine_scored (numpy kernel) must be bit-equal to the HOF
+    expression twin on the real corpus — same pin as the dedup_semantic
+    pair kernel (the r14 ANN verifies all route through this kernel)."""
+    from apache_flink_pratices_spark.io import load
+    from apache_flink_pratices_spark.operators.similarity import (
+        _pair_cosine_scored,
+        _pair_cosine_scored_expr,
+    )
+
+    raw = _scored_pair_frame(spark, load(spark, SF, "embeddings")).persist()
+    raw.count()
+    vec = {
+        (r.query_id, r.vec_id): (r.label, r.cosine)
+        for r in _pair_cosine_scored(raw).collect()
+    }
+    exp = {
+        (r.query_id, r.vec_id): (r.label, r.cosine)
+        for r in _pair_cosine_scored_expr(raw).collect()
+    }
+    raw.unpersist()
+    assert len(vec) > 0
+    assert vec == exp  # bit-equal doubles, every pair
+
+
+def test_vectorized_query_cosine_twin_on_adversarial_floats(spark):
+    """Zeros, negatives and near-boundary magnitudes — the regime where a
+    numpy-vs-JVM floor() disagreement would surface."""
+    import random
+
+    from apache_flink_pratices_spark.operators.similarity import (
+        _pair_cosine_scored,
+        _pair_cosine_scored_expr,
+    )
+
+    rng = random.Random(20260817)
+    rows = []
+    for i in range(60):
+        emb = [
+            rng.choice([0.0, rng.uniform(-1, 1), rng.uniform(-1e-6, 1e-6)])
+            for _ in range(64)
+        ]
+        rows.append((i, [float(f"{x:.6g}") for x in emb], i % 3))
+    e = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>, label int"
+    )
+    raw = _scored_pair_frame(spark, e).persist()
+    raw.count()
+    vec = {
+        (r.query_id, r.vec_id): r.cosine
+        for r in _pair_cosine_scored(raw).collect()
+    }
+    exp = {
+        (r.query_id, r.vec_id): r.cosine
+        for r in _pair_cosine_scored_expr(raw).collect()
+    }
+    raw.unpersist()
+    assert len(vec) > 0 and vec == exp
