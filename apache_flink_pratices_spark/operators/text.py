@@ -324,6 +324,77 @@ REP_MAX_TOP_WORD_FRAC = 0.18
 REP_MAX_DUP_BIGRAM_FRAC = 0.05
 
 
+def _repetition_metrics(t: DataFrame) -> DataFrame:
+    """(doc_id, n_words, n_distinct, top_word_cnt, n_dup_bigrams) for a
+    ``(doc_id, ws)`` token-list frame — vectorized Arrow ``mapInPandas``.
+
+    All four metrics are integer counts over the JVM-produced token list,
+    so Python hash counting is exactly the HOF arithmetic (no floats, no
+    collation: tokens arrive as the same UTF-8 strings the expressions
+    compare). Bigrams dedupe as (w_i, w_{i+1}) tuples — equivalent to the
+    twin's ``concat(w_i, ' ', w_{i+1})`` strings because tokens are
+    split on ' ' and therefore never contain one. Counter/max is O(n)
+    per row; the twin's ``filter-per-distinct`` top-word scan is
+    O(n·distinct) and interpreted per element."""
+    import pandas as pd
+
+    def fn(batches):
+        from collections import Counter
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            n_words, n_distinct, top_cnt, dup_bg = [], [], [], []
+            for ws in pdf["ws"]:
+                n = len(ws)
+                c = Counter(ws)
+                n_words.append(n)
+                n_distinct.append(len(c))
+                top_cnt.append(max(c.values()))
+                if n >= 2:
+                    dup_bg.append(
+                        (n - 1) - len({(ws[i], ws[i + 1]) for i in range(n - 1)})
+                    )
+                else:
+                    dup_bg.append(0)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].to_numpy(),
+                    "n_words": pd.array(n_words, dtype="int32"),
+                    "n_distinct": pd.array(n_distinct, dtype="int32"),
+                    "top_word_cnt": pd.array(top_cnt, dtype="int32"),
+                    "n_dup_bigrams": pd.array(dup_bg, dtype="int32"),
+                }
+            )
+
+    return t.select("doc_id", "ws").mapInPandas(
+        fn,
+        "doc_id bigint, n_words int, n_distinct int, "
+        "top_word_cnt int, n_dup_bigrams int",
+    )
+
+
+def _repetition_metrics_expr(t: DataFrame) -> DataFrame:
+    """Retained higher-order-function twin of :func:`_repetition_metrics`
+    — the cross-engine formulation the DuckDB oracle mirrors (pinned
+    bit-equal in tests/test_text_pipeline.py)."""
+    return t.select(
+        "doc_id",
+        F.size("ws").alias("n_words"),
+        F.size(F.array_distinct("ws")).alias("n_distinct"),
+        F.expr(
+            "array_max(transform(array_distinct(ws), "
+            "d -> size(filter(ws, w -> w = d))))"
+        ).alias("top_word_cnt"),
+        F.expr(
+            "CASE WHEN size(ws) >= 2 THEN size(ws) - 1 - size(array_distinct("
+            "transform(sequence(1, size(ws) - 1), "
+            "i -> concat(element_at(ws, i), ' ', element_at(ws, i + 1))))) "
+            "ELSE 0 END"
+        ).alias("n_dup_bigrams"),
+    )
+
+
 @register(
     "quality_repetition",
     oracle=f"""
@@ -357,12 +428,15 @@ REP_MAX_DUP_BIGRAM_FRAC = 0.05
     """,
     doc="Gopher-style repetition quality filters: distinct-word ratio, "
     "most-frequent-word fraction, duplicate-bigram fraction, and the "
-    "composite keep/drop verdict. Computed entirely with array "
-    "higher-order functions on each row — JVM map work, ZERO shuffles, so "
-    "at 100 TB it is embarrassingly parallel. Per-row cost is "
-    "O(n_words x n_distinct) from the top-word scan; for heavy-tailed "
-    "real corpora with huge single documents the explode + "
-    "groupBy(doc_id, word) variant (one shuffle, linear) is the fallback.",
+    "composite keep/drop verdict. Map-only (ZERO shuffles), so at 100 TB "
+    "it is embarrassingly parallel: tokenization stays a JVM expression "
+    "(split/lower/filter — the cross-engine string semantics the oracle "
+    "mirrors) and the four integer counts run in ONE vectorized Arrow "
+    "kernel per token list — O(n_words) per row via hash counting, where "
+    "the retained higher-order-function twin pays an INTERPRETED "
+    "O(n_words × n_distinct) top-word scan (r14: that scan was the "
+    "query's hot loop; kernel pinned bit-equal to the twin in "
+    "tests/test_text_pipeline.py).",
     bench=True,
     tags=("text", "quality", "repetition", "curation"),
 )
@@ -372,21 +446,7 @@ def quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.expr("filter(split(lower(text), ' '), w -> w <> '')").alias("ws"),
     ).filter(F.size("ws") > 0)
-    m = t.select(
-        "doc_id",
-        F.size("ws").alias("n_words"),
-        F.size(F.array_distinct("ws")).alias("n_distinct"),
-        F.expr(
-            "array_max(transform(array_distinct(ws), "
-            "d -> size(filter(ws, w -> w = d))))"
-        ).alias("top_word_cnt"),
-        F.expr(
-            "CASE WHEN size(ws) >= 2 THEN size(ws) - 1 - size(array_distinct("
-            "transform(sequence(1, size(ws) - 1), "
-            "i -> concat(element_at(ws, i), ' ', element_at(ws, i + 1))))) "
-            "ELSE 0 END"
-        ).alias("n_dup_bigrams"),
-    )
+    m = _repetition_metrics(t)
     distinct_ratio = F.col("n_distinct").cast("double") / F.col("n_words")
     top_frac = F.col("top_word_cnt").cast("double") / F.col("n_words")
     dup_bg = F.when(

@@ -221,3 +221,69 @@ def test_dup_ngram_coverage_short_docs(spark, tmp_path):
     assert out[1].n_covered == 9 and out[2].n_covered == 9
     for short in (3, 4, 5):
         assert out[short].n_covered == 0 and out[short].dup_frac == 0.0
+
+
+# --- r14: vectorized repetition-metrics kernel pinned to the HOF twin --------
+
+
+def _rep_token_frame(spark, texts):
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    return df.select(
+        "doc_id",
+        F.expr("filter(split(lower(text), ' '), w -> w <> '')").alias("ws"),
+    ).filter(F.size("ws") > 0)
+
+
+def test_repetition_kernel_matches_expression_twin(spark):
+    """_repetition_metrics (Arrow kernel) must equal the retained HOF twin
+    row for row on the real corpus — every output is an integer count, so
+    equality is exact."""
+    from apache_flink_pratices_spark.io import load
+    from apache_flink_pratices_spark.operators.text import (
+        _repetition_metrics,
+        _repetition_metrics_expr,
+    )
+
+    d = load(spark, SF_SMOKE, "documents")
+    t = d.select(
+        "doc_id",
+        F.expr("filter(split(lower(text), ' '), w -> w <> '')").alias("ws"),
+    ).filter(F.size("ws") > 0).persist()
+    t.count()
+    got = {r["doc_id"]: tuple(r)[1:] for r in _repetition_metrics(t).collect()}
+    ref = {
+        r["doc_id"]: tuple(r)[1:] for r in _repetition_metrics_expr(t).collect()
+    }
+    t.unpersist()
+    assert len(got) > 0 and got == ref
+
+
+def test_repetition_kernel_twin_on_adversarial_texts(spark):
+    """Hand-built shapes the counting logic can get wrong: repeated
+    separators, single word, all-same, alternating bigram dups, unicode
+    tokens, case folding."""
+    from apache_flink_pratices_spark.operators.text import (
+        _repetition_metrics,
+        _repetition_metrics_expr,
+    )
+
+    texts = [
+        "x x x x",
+        "a b c d e",
+        "solo",
+        "a  b   a  b",          # repeated separators -> empty tokens dropped
+        "A a B b A a",          # case folding collapses
+        "ab cd ab cd ab",       # duplicate bigrams both directions
+        "héllo wörld héllo wörld",  # non-ASCII tokens
+        "z " * 200,             # long degenerate doc (trailing empty dropped)
+    ]
+    t = _rep_token_frame(spark, texts).persist()
+    t.count()
+    got = {r["doc_id"]: tuple(r)[1:] for r in _repetition_metrics(t).collect()}
+    ref = {
+        r["doc_id"]: tuple(r)[1:] for r in _repetition_metrics_expr(t).collect()
+    }
+    t.unpersist()
+    assert len(got) == len(texts) and got == ref
