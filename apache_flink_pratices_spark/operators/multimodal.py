@@ -126,10 +126,15 @@ def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("media_type") == "audio", _N_BLOCKS["audio"])
         .otherwise(_N_BLOCKS["video"])
     )
+    # one unhex over the JOINED hex chain, not an aggregate of per-block
+    # unhex concats (r14): the binary fold copied the growing accumulator
+    # per block — O(blocks²) bytes per row (a 768-block video payload
+    # re-copied ~4.7 MB) — and paid an interpreted unhex per block, while
+    # array_join builds the hex string in one linear pass. Identical
+    # bytes: unhex(h1 || h2 || ...) == unhex(h1) || unhex(h2) || ...
     payload = F.expr(
-        "aggregate(transform(sequence(1, nb), "
-        "i -> unhex(md5(concat(CAST(doc_id AS STRING), '-', CAST(i AS STRING))))), "
-        "CAST('' AS BINARY), (acc, x) -> concat(acc, x))"
+        "unhex(array_join(transform(sequence(1, nb), "
+        "i -> md5(concat(CAST(doc_id AS STRING), '-', CAST(i AS STRING)))), ''))"
     )
     meta = F.when(
         F.col("media_type") == "image",
