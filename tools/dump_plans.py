@@ -1,10 +1,10 @@
-"""Dump EXPLAIN FORMATTED plans for registered queries into plans/r14/.
+"""Dump EXPLAIN FORMATTED plans for registered queries into plans/<round>/ (SPARK_GRAFT_PLANS_ROUND, default r15).
 
 Usage:
     python tools/dump_plans.py <suffix> <query> [<query> ...]
     python tools/dump_plans.py before corpus_pipeline_e2e dedup_simhash
 
-Writes plans/r14/<query>_<suffix>.txt for each query — the optimization
+Writes plans/<round>/<query>_<suffix>.txt for each query — the optimization
 round's committed evidence that plan-shape claims (Exchange counts, join
 strategies, PushedFilters, Python-boundary nodes) match the code.
 
@@ -40,7 +40,9 @@ def main() -> None:
     if unknown:
         raise SystemExit(f"unknown queries: {unknown}")
 
-    out_dir = os.path.join(REPO, "plans", "r14")
+    out_dir = os.path.join(
+        REPO, "plans", os.environ.get("SPARK_GRAFT_PLANS_ROUND", "r15")
+    )
     os.makedirs(out_dir, exist_ok=True)
     spark = get_spark("afp-dump-plans")
     spark.sparkContext.setLogLevel("WARN")
