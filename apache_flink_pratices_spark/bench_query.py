@@ -213,6 +213,17 @@ def _run_extras() -> dict:
     from apache_flink_pratices_spark.session import get_spark
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    # Smoke-scale knob for the PYTEST CONTRACT DRIVE ONLY (r15, VERDICT
+    # r14 #5/#6: the full-shape bench CLI test spent ~130 s of its 600 s
+    # building the full-size planted evidence corpora at local[4], the
+    # single largest line of the suite's 30-minute wall). The extras are
+    # UNTIMED scale evidence — shrinking their synthetic corpora changes
+    # no timed number and no oracle-checked result; the driver sets no
+    # such env, so every committed round artifact still carries the
+    # full-size evidence. Values below keep every planted property
+    # non-degenerate (overlap planted, clusters present, all stages
+    # keep-and-remove).
+    small = os.environ.get("SPARK_GRAFT_EXTRAS_SCALE") == "small"
     spark = get_spark("afp-bench-extras")
     spark.sparkContext.setLogLevel("WARN")
     cand_fraction = round(ann_lsh_clustered_candidate_fraction(spark, sf_dir), 4)
@@ -234,18 +245,32 @@ def _run_extras() -> dict:
     # ... and on the planted ~1%-overlap corpus (VERDICT r11 #5): the
     # realistic eval-decon shape, where candidate_fraction ~ overlap+FPR
     # and the prefilter spares ~99% of the exact verify join
-    bloom_low = decontaminate_bloom_lowoverlap_stats(spark)
+    bloom_low = (
+        decontaminate_bloom_lowoverlap_stats(
+            spark, n_train=200_000, n_eval=20_000
+        )
+        if small
+        else decontaminate_bloom_lowoverlap_stats(spark)
+    )
     spark.catalog.clearCache()
     # minhash-vs-simhash recall/precision on the planted-pair corpus
     # (VERDICT r11 #7): the dedup method choice, measured
-    method_cmp = neardup_method_compare_bench(spark)
+    method_cmp = (
+        neardup_method_compare_bench(spark, n_background=500, pairs_per_tier=10)
+        if small
+        else neardup_method_compare_bench(spark)
+    )
     spark.catalog.clearCache()
     # the flagship pipeline on a planted WIDE-vocab corpus where every
     # stage keeps and removes rows (VERDICT r12 #6): the headline
     # corpus_pipeline_e2e row's decon stage legitimately empties the
     # driver's 31-word-vocabulary corpus at sf0.1, so packing/budget
     # are measured on real rows HERE
-    pipeline_planted = corpus_pipeline_planted_stats(spark)
+    pipeline_planted = (
+        corpus_pipeline_planted_stats(spark, n_docs=800, vocab_size=2500)
+        if small
+        else corpus_pipeline_planted_stats(spark)
+    )
     spark.stop()
     return {
         "ann_lsh_clustered_candidate_fraction": cand_fraction,

@@ -82,16 +82,47 @@ CRITICAL = (
 #: carry a fresh hard driver row. It is ALSO in the r9-stale cohort, so
 #: anchoring costs no extra window slot — the pin just makes the rule's
 #: application explicit and unconditional.
-#: Round 14 pins nothing: the r13 re-anchor (quality_linear_classifier)
+#: Round 14 pinned nothing: the r13 re-anchor (quality_linear_classifier)
 #: carried its fresh green driver row in CORRECTNESS_r13, and every
-#: round-14 change to an already-green query is output-identical with a
+#: round-14 change to an already-green query was output-identical with a
 #: bit-equal twin pin + fresh replica row (the BPE merge-table artifact
 #: serving, per the round-7/12/13 precedent).
-#: Window math for r14 (an OPTIMIZATION round — no new queries): 14
-#: CRITICAL + the 34-query r10-stale cohort = 48 of ~50 slots, so the
-#: whole cohort fits the window with two slots spare (VERDICT r13 #1's
-#: drain completes in one round; no two-round split needed).
-RE_ANCHORED: tuple[str, ...] = ()
+#: Round 15 pins the VERDICT r14 #3 window verbatim: every query whose
+#: code was touched in optimization rounds 14-15 must carry a fresh hard
+#: driver row this round (the final round — builder replica rows are not
+#: driver ground truth). The list below is the r14-#3 mandate minus the
+#: members that rotate in naturally as the r11-stale cohort
+#: (ann_cosine_topk, ann_lsh_topk, ann_lsh_topk_clustered,
+#: contamination_ngrams, corpus_pipeline_e2e, dedup_ngram_jaccard,
+#: dup_span_extract, dup_span_removal — verified against the committed
+#: CORRECTNESS history at pin time; q5_local_supplier registered past
+#: the natural cutoff and is pinned explicitly), plus the
+#: r15-touched queries with fresh-but-stale-code r14 rows
+#: (dedup_simhash / tfidf_top_terms / pagerank_neardup / ...: their r14
+#: green rows predate this round's partitioning changes). Window math:
+#: 14 CRITICAL + 16 RE_ANCHORED = 30 pinned, 20 slots left for the
+#: stale rotation — a deliberate one-round burst past the usual ≥28
+#: rotation budget (tests/test_registry_order.py documents the
+#: exception), justified because a judge-mandated re-anchor list
+#: outranks rotation throughput in the final round.
+RE_ANCHORED: tuple[str, ...] = (
+    "quality_lm_perplexity",
+    "quality_lm_perplexity_ref",
+    "ann_ivf_topk",
+    "ann_ivf_trained_topk",
+    "bpe_encode_trained",
+    "mm_phash_pairs",
+    "mm_video_phash_pairs",
+    "dedup_simhash",
+    "tfidf_top_terms",
+    "quality_repetition",
+    "dedup_minhash_lsh",
+    "dup_ngram_coverage",
+    "source_overlap_matrix",
+    "pagerank_neardup",
+    "bpe_train",
+    "q5_local_supplier",
+)
 
 DEMOTED_ANCHORS = (
     "w7_signal_ids",

@@ -18,10 +18,19 @@ def test_bench_cli_contract(tmp_path):
     env["SPARK_GRAFT_CPUS"] = "4"
     env["SPARK_GRAFT_STREAM_BENCH"] = "small"  # keep the smoke fast
     env["SPARK_GRAFT_BENCH_RUNS"] = "2"  # v2 pays a JVM start per query
+    # r15 (VERDICT r14 #5: the suite must fit the driver's verify
+    # window; this test was its single largest line at ~620 s): one
+    # warm-up instead of three — the contract under test is the
+    # subprocess orchestration + JSON shape, not the timing plateau —
+    # and the smoke-scale knob shrinks the untimed planted evidence
+    # corpora (the driver's own full runs set neither, so committed
+    # round artifacts are untouched).
+    env["SPARK_GRAFT_BENCH_WARMUPS"] = "1"
+    env["SPARK_GRAFT_EXTRAS_SCALE"] = "small"
     # v2 smoke subset: the contract shape (subprocess orchestration, JSON
-    # lines, extras, streaming) is identical per query, so three queries
-    # bound the drive at ~5 min instead of 30 JVM starts
-    env["SPARK_GRAFT_BENCH_QUERIES"] = "wordcount,dedup_simhash,fraud_alerts"
+    # lines, extras, streaming) is identical per query, so two queries
+    # bound the drive instead of 30 JVM starts
+    env["SPARK_GRAFT_BENCH_QUERIES"] = "wordcount,fraud_alerts"
     # detail artifact (VERDICT r10 #3): subset runs write it only to an
     # explicit override path, never the repo-root round artifact
     detail_path = str(tmp_path / "BENCH_DETAIL_smoke.json")
@@ -152,6 +161,7 @@ def test_bench_subset_skip_tail(tmp_path):
     env["SPARK_GRAFT_CPUS"] = "4"
     env["SPARK_GRAFT_STREAM_BENCH"] = "skip"
     env["SPARK_GRAFT_BENCH_RUNS"] = "2"
+    env["SPARK_GRAFT_BENCH_WARMUPS"] = "1"  # shape test, not a timing one
     env["SPARK_GRAFT_BENCH_QUERIES"] = "wordcount"
     detail_path = str(tmp_path / "BENCH_DETAIL_skip.json")
     env["SPARK_GRAFT_BENCH_DETAIL"] = detail_path
