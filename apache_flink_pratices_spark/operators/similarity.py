@@ -522,7 +522,15 @@ def _pair_cosine_scored(pairs: DataFrame) -> DataFrame:
     sum, one double division (np.sqrt and '/' are IEEE-correctly-rounded,
     same bits as the JVM) — runs per Arrow batch. Bit-equal to
     :func:`_pair_cosine_scored_expr` (pinned in tests/test_ann_lsh.py).
-    Only the 7 needed columns cross the boundary (guide §4)."""
+    Only the 7 needed columns cross the boundary (guide §4).
+
+    Data bound (ADVICE r14): ``np.floor(...).astype(np.int64)`` WRAPS on
+    overflow where the JVM twin's ``CAST(double AS BIGINT)`` saturates,
+    so bit-equality holds only while every per-element product satisfies
+    |x·y|·1e12 < 2^63 — i.e. |x·y| < ~9.2e6, far beyond any normalized
+    embedding but NOT enforced for arbitrary vectors passed through the
+    public ``ann_*_frame`` entry points. Out-of-bounds inputs diverge
+    from the oracle bit-wise rather than failing loudly."""
     import numpy as np
     import pandas as pd
 

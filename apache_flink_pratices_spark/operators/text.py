@@ -352,7 +352,12 @@ def _repetition_metrics(t: DataFrame) -> DataFrame:
                 c = Counter(ws)
                 n_words.append(n)
                 n_distinct.append(len(c))
-                top_cnt.append(max(c.values()))
+                # empty token list → 0, matching the HOF twin's
+                # array_max(empty) = null coalesced by the callers'
+                # size(ws) > 0 pre-filter; without the guard a stray
+                # empty row would crash the Python worker (max() of an
+                # empty sequence) instead of degrading (ADVICE r14)
+                top_cnt.append(max(c.values()) if n else 0)
                 if n >= 2:
                     dup_bg.append(
                         (n - 1) - len({(ws[i], ws[i + 1]) for i in range(n - 1)})
